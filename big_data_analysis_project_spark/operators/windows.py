@@ -1,0 +1,69 @@
+"""Window operators W1-W2 and top-k (O4). SURVEY.md §2.6-2.7.
+
+The reference implements ranking only in its PostgreSQL materialized
+views (``init_db.sql:96-102``); here they are native Spark window
+functions.
+
+Scale note: a global ``Window.orderBy`` (no partitionBy) funnels all
+rows through one task — fine for mart-sized inputs (the reference's
+use), wrong for raw facts. For large inputs use ``topk_global`` which
+does a per-partition top-k then a tiny final merge (orderBy+limit is
+exactly that via Spark's TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_by(df: DataFrame, order_col: str, desc: bool = True, alias: str = "rank") -> DataFrame:
+    """W1: RANK() OVER (ORDER BY x DESC). ref: init_db.sql:96-102.
+    Mart-scale only (single-task global window)."""
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    return df.withColumn(alias, F.rank().over(Window.orderBy(order)))
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """W2: latest row per key — row_number()=1 over desc order.
+
+    ref: init_db.sql:102 (``WHERE year = (SELECT MAX(year) ...)``).
+    The window form partitions by key so it scales horizontally; the
+    scalar-subquery form is ``filter_latest_year`` in plans/.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    desc: bool = True,
+    alias: str = "rank",
+) -> DataFrame:
+    """O4: top-k per group via dense ranking window.
+    ref surface: ComparisonTable.jsx:42-64 (declared, never implemented
+    server-side in the reference)."""
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return df.withColumn(alias, F.row_number().over(w)).filter(F.col(alias) <= k)
+
+
+def topk_global(df: DataFrame, order_col: str, k: int, desc: bool = True) -> DataFrame:
+    """Global top-k that scales: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows
+    per partition), never a full global sort."""
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    return df.orderBy(order).limit(k)

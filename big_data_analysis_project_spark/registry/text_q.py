@@ -1,0 +1,156 @@
+"""Text-analysis operators over the documents table (Phase E,
+north-star extensions): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All JVM-side built-ins (split/regexp/md5/aggregate) — no Python UDFs —
+so each is a narrow single-pass map that scales linearly. Regex
+patterns are chosen to mean the same thing in Java regex (Spark) and
+RE2 (DuckDB) so the oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_STOPWORDS_RE = "\\b(the|a|an|and|of|to|in|is|on|for)\\b"
+
+
+@q(
+    "text_tokens",
+    f"""SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+              len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+       FROM documents""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex pre-token
+    count (letters / digits / punct singles)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""SELECT doc_id,
+              length(text) AS n_chars_measured,
+              len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                    / length(text), 4) AS punct_ratio,
+              ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS DOUBLE)
+                    / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+       FROM documents WHERE length(text) > 0""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio —
+    the standard cheap pre-training quality filters."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split(F.trim("text"), "\\s+"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORDS_RE), 0)).cast(
+                "double"
+            )
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+# language-ID heuristic: score stopword families per language. The
+# synthetic corpus is English-vocabulary, so the point is determinism
+# of the classifier, not linguistic accuracy.
+_EN_RE = "\\b(the|and|of|is|a)\\b"
+_DE_RE = "\\b(der|die|das|und|ist)\\b"
+_ES_RE = "\\b(el|la|los|y|es)\\b"
+
+
+@q(
+    "text_langid",
+    f"""SELECT doc_id,
+              CASE
+                WHEN len(regexp_extract_all(lower(text), '{_EN_RE}')) >=
+                     greatest(len(regexp_extract_all(lower(text), '{_DE_RE}')),
+                              len(regexp_extract_all(lower(text), '{_ES_RE}')), 1) THEN 'en'
+                WHEN len(regexp_extract_all(lower(text), '{_DE_RE}')) >=
+                     greatest(len(regexp_extract_all(lower(text), '{_ES_RE}')), 1) THEN 'de'
+                WHEN len(regexp_extract_all(lower(text), '{_ES_RE}')) >= 1 THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+       FROM documents""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-family scoring (n-gram heuristic
+    class; real models plug in as a pandas UDF without changing the
+    plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    en = F.size(F.regexp_extract_all(low, F.lit(_EN_RE), 0))
+    de = F.size(F.regexp_extract_all(low, F.lit(_DE_RE), 0))
+    es = F.size(F.regexp_extract_all(low, F.lit(_ES_RE), 0))
+    return d.select(
+        "doc_id",
+        F.when(en >= F.greatest(de, es, F.lit(1)), "en")
+        .when(de >= F.greatest(es, F.lit(1)), "de")
+        .when(es >= 1, "es")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                             list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                                            c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+       FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus
+    a 31-polynomial rolling hash (the canonical content-defined
+    fingerprint primitive) — both pure JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    rolling = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
+    )

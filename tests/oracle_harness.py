@@ -1,0 +1,78 @@
+"""Local twin of the driver's t2 correctness gate: run a registry
+query on Spark and its oracle SQL on DuckDB over the same parquet
+tables, compare row count + (name-sorted) columns + order-insensitive
+values with float tolerance."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return conn
+
+
+def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_cell(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 6)
+        if isinstance(v, int):
+            return float(v) if abs(v) < 2**52 else v
+        # Decimal and friends -> float where possible
+        try:
+            return round(float(v), 6)
+        except (TypeError, ValueError):
+            return str(v)
+
+    return sorted(
+        (tuple(norm_cell(row[i]) for i in order) for row in rows),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    rel = conn.execute(sql)
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"
