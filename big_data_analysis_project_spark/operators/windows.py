@@ -26,6 +26,49 @@ def rank_by(df: DataFrame, order_col: str, desc: bool = True, alias: str = "rank
     return df.withColumn(alias, F.rank().over(Window.orderBy(order)))
 
 
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    desc: bool = True,
+    alias: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Scale-safe global RANK: two-phase instead of a single-task
+    ``Window.orderBy`` (VERDICT r1 #4).
+
+    Phase 1: ``repartitionByRange`` on the order column — equal values
+    land in the same partition, so ties never span partitions and
+    per-partition RANK is locally correct.
+    Phase 2: per-partition row counts (``num_partitions`` rows total)
+    get a cumulative offset via a window over that tiny frame; global
+    rank = local rank + offset of strictly-better partitions.
+
+    Every data-sized operation is parallel across ``num_partitions``
+    tasks; the only single-task window runs over ``num_partitions``
+    rows (bounded by cluster width, not data volume). The frame is
+    cached so the partition ids seen by the count and the rank branch
+    are the same physical assignment.
+    """
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    parts = (
+        df.repartitionByRange(num_partitions, order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    local_w = Window.partitionBy("_pid").orderBy(order)
+    return (
+        parts.withColumn("_local", F.rank().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_local") + F.col("_offset")).cast("int"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -273,15 +273,21 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
        ), total AS (SELECT SUM(revenue) AS total_revenue FROM per_flag)
        SELECT l_returnflag,
               ROUND(revenue, 2) AS revenue,
-              CASE WHEN total_revenue > 0
-                   THEN CAST(revenue * 100000 / total_revenue AS DECIMAL(12,2))
-                   ELSE 0 END AS revenue_per_100k
+              ROUND(CAST(CASE WHEN total_revenue > 0
+                              THEN CAST(revenue * 100000 / total_revenue AS DECIMAL(12,2))
+                              ELSE 0 END AS DOUBLE), 2) AS revenue_per_100k
        FROM per_flag, total""",
 )
 def derive_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: zero-guarded decimal rate derivation (the reference's
     per-100k formula over revenue shares, incl. the when/otherwise(0)
-    decimal(12,2) widening). ref: spark_data_processor.py:567-592."""
+    decimal(12,2) widening). ref: spark_data_processor.py:567-592.
+
+    Oracle-surface convention (FIXTURES.md §B / VERDICT r1 #1): the
+    driver's value-hash normalizer serializes DECIMAL differently
+    between Spark and DuckDB, so the *registry key* casts the rate to
+    DOUBLE on both sides. Decimal typing stays authoritative in
+    functions/rates.py where the golden-parity test needs it."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -290,7 +296,9 @@ def derive_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag.crossJoin(F.broadcast(total)).select(
         "l_returnflag",
         F.round("revenue", 2).alias("revenue"),
-        per_100k("revenue", "total_revenue").alias("revenue_per_100k"),
+        F.round(per_100k("revenue", "total_revenue").cast("double"), 2).alias(
+            "revenue_per_100k"
+        ),
     )
 
 
@@ -560,8 +568,8 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
               COUNT(DISTINCT l_suppkey) AS distinct_keys,
               CAST(MIN(EXTRACT(year FROM l_shipdate)) AS INT) AS min_year,
               CAST(MAX(EXTRACT(year FROM l_shipdate)) AS INT) AS max_year,
-              SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
-              SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS high_discount
+              CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+              CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount
        FROM lineitem""",
 )
 def quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,13 +603,16 @@ def quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM spend""",
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: RANK over a global ordering (mart-scale: single-task window
-    — acceptable because the input is one row per customer after the
-    aggregate). ref: init_db.sql:96-102."""
+    """W1: RANK over a global ordering, two-phase (range-partitioned
+    local rank + per-partition offsets) so no single task ever sees the
+    full per-customer frame — the input here is one row per customer,
+    which grows linearly with scale. ref: init_db.sql:96-102."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
-    return spend.withColumn(
-        "spend_rank", F.rank().over(Window.orderBy(F.desc("total_spend")))
+    from ..operators.windows import global_rank
+
+    return global_rank(spend, "total_spend", desc=True, alias="spend_rank").select(
+        "o_custkey", "total_spend", "spend_rank"
     )
 
 

@@ -58,11 +58,11 @@ def _norm(a: Column) -> Column:
 
 @q(
     "ann_cosine_topk",
-    f"""WITH query AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-       SELECT vec_id, ROUND(list_cosine_similarity(embedding, qv), 4) AS cosine
+    f"""WITH query AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+       SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cosine
        FROM embeddings, query
        WHERE vec_id <> {QUERY_VEC_ID}
-       ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
        LIMIT {TOP_K}""",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
