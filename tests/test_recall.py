@@ -1,0 +1,98 @@
+"""Recall / equivalence tests for the registry keys with no DuckDB
+oracle (VERDICT r1 #2): the approximate families are checked against
+their exact in-repo twins, and the streaming key against its batch
+twin.
+
+These are the tests the r1 docstrings promised:
+* dedup_minhash_lsh  vs dedup_ngram_jaccard  (pair recall + precision)
+* dedup_simhash      vs brute-force hamming  (exact candidate set)
+* ann_lsh_bucketed   vs ann_cosine_topk      (recall@10 + quality ratio)
+* stream_hourly      vs window_tumbling      (row-for-row equality)
+"""
+
+from __future__ import annotations
+
+from big_data_analysis_project_spark.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    """LSH banding (16x4 over 64 perms) must recover ~all exact
+    Jaccard>=0.5 pairs; every emitted pair is exact-verified so its
+    jaccard must equal the exact computation's."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact oracle produced no pairs — test data changed?"
+    # precision: candidates are exact-Jaccard-verified, so every
+    # emitted pair must appear in the exact set with the same score
+    for pair, jac in approx.items():
+        assert pair in exact, f"minhash emitted non-duplicate pair {pair}"
+        assert abs(jac - exact[pair]) < 1e-9, f"jaccard mismatch for {pair}"
+    # recall: banding with 16 bands x 4 rows has its s-curve knee near
+    # 0.5; at the 0.5 threshold measured recall is 1.0 on the testdata
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """4x16-bit chunk banding guarantees (pigeonhole) every pair with
+    hamming<=3 shares a chunk, so the Spark output must EQUAL the
+    brute-force all-pairs computation over collected fingerprints."""
+    from big_data_analysis_project_spark.registry.dedup_q import simhash_fingerprints
+    from big_data_analysis_project_spark.sources.readers import load_table
+
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(load_table(spark, SF_SMOKE, "documents")).collect()
+    }
+    ids = sorted(fp)
+    brute = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["dedup_simhash"](spark, SF_SMOKE).collect()
+    }
+    assert brute, "brute-force found no near-dup pairs — test data changed?"
+    assert got == brute
+
+
+def test_ann_lsh_recall_and_quality(spark):
+    """Multi-table hyperplane LSH vs the exact cosine top-10.
+
+    The synthetic embeddings are near-random (best cosine ~0.3-0.47,
+    i.e. ~72 deg angles), which is the WORST case for hyperplane LSH —
+    collision probability per bit is only ~0.6. Set-recall is
+    therefore inherently modest; the stable metric is the standard ANN
+    quality ratio mean(lsh top-k cosine) / mean(exact top-k cosine),
+    measured ~0.81-0.84 on sf0.001/sf0.01."""
+    exact = [(r.vec_id, r.cosine) for r in QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()]
+    approx = [(r.vec_id, r.cosine) for r in QUERIES["ann_lsh_bucketed"](spark, SF_SMOKE).collect()]
+    assert len(exact) == 10 and len(approx) == 10
+    overlap = len({v for v, _ in exact} & {v for v, _ in approx})
+    assert overlap >= 2, f"ANN recall@10 {overlap}/10 < 2"
+    ratio = (sum(c for _, c in approx) / 10) / (sum(c for _, c in exact) / 10)
+    assert ratio >= 0.7, f"ANN quality ratio {ratio:.3f} < 0.7"
+    # every LSH cosine must be a genuine cosine of a real corpus
+    # vector, so none can exceed the exact best
+    assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
+
+
+def test_stream_hourly_equals_batch(spark):
+    """The Structured Streaming hourly aggregate must equal the batch
+    tumbling-window twin row-for-row (availableNow drains the full
+    file source, watermark drops nothing in complete mode)."""
+    batch = {tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_hourly"](spark, SF_SMOKE).collect()}
+    assert batch, "batch twin returned no rows"
+    assert stream == batch
