@@ -95,12 +95,16 @@ def topk_per_group(
     k: int,
     desc: bool = True,
     alias: str = "rank",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """O4: top-k per group via dense ranking window.
+    """O4: top-k per group via ranking window. Pass ``tiebreak_cols``
+    for a deterministic order when ``order_col`` can tie (row_number
+    on ties is otherwise partition-order-dependent).
     ref surface: ComparisonTable.jsx:42-64 (declared, never implemented
     server-side in the reference)."""
-    order = F.desc(order_col) if desc else F.asc(order_col)
-    w = Window.partitionBy(*group_cols).orderBy(order)
+    order = [F.desc(order_col) if desc else F.asc(order_col)]
+    order += [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn(alias, F.row_number().over(w)).filter(F.col(alias) <= k)
 
 

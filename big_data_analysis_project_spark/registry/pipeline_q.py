@@ -67,14 +67,11 @@ FROM syn
 """
 
 
-@q("tb_pipeline", ORACLE_TB_PIPELINE)
-def tb_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 end-to-end on synthetic input: build the long fact table
-    (arithmetic pseudo-noise, no RNG), run the full pipeline, return
-    the country_trends mart with rates cast to DOUBLE for the oracle
-    surface. repair_swap=False: the input is well-formed, skipping the
-    F12 probe action (that path is exercised by the golden test and
-    the col_swap key)."""
+def synthetic_tb_inputs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(tb_raw, pop_raw) in the reference's raw long/population shapes,
+    generated with arithmetic pseudo-noise (no RNG — FIXTURES.md: the
+    oracle must be able to reproduce every input). Shared by the
+    tb_pipeline key and the serving_q endpoint keys."""
     dim = spark.createDataFrame(
         [(iso3, rate, float(_POPULATIONS[iso3])) for iso3, rate in _BASE_RATES.items()],
         "iso3 string, base_rate double, population double",
@@ -121,8 +118,24 @@ def tb_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("year").cast("string").alias("year"),
         "population",
     )
-    marts = run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
-    ct = marts.country_trends
+    return tb_raw, pop_raw
+
+
+def synthetic_marts(spark: SparkSession):
+    """The four TB marts over the synthetic inputs, as deferred plans."""
+    tb_raw, pop_raw = synthetic_tb_inputs(spark)
+    return run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
+
+
+@q("tb_pipeline", ORACLE_TB_PIPELINE)
+def tb_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 end-to-end on synthetic input: build the long fact table
+    (arithmetic pseudo-noise, no RNG), run the full pipeline, return
+    the country_trends mart with rates cast to DOUBLE for the oracle
+    surface. repair_swap=False: the input is well-formed, skipping the
+    F12 probe action (that path is exercised by the golden test and
+    the col_swap key)."""
+    ct = synthetic_marts(spark).country_trends
     return ct.select(
         "country",
         "iso3",
