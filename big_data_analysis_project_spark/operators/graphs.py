@@ -1,0 +1,65 @@
+"""Connected components over a pair/edge DataFrame (engine addition:
+the dedup family needs cluster representatives, not O(n^2) pair lists
+— VERDICT r1 #7).
+
+Algorithm: iterative min-label propagation ("hash-to-min" style).
+Every vertex starts labeled with itself; each round, labels flow
+across edges in both directions and every vertex keeps the minimum
+label it has seen. Converges in O(component diameter) rounds — for
+near-dup clusters (dense cliques from boilerplate) that is 1-2 rounds.
+
+Scale shape: each round is one shuffle keyed on vertex id (join +
+groupBy-min). No collect of the edge set; the only driver-side state
+is the per-round convergence counter. At 100 TB this is the same
+pattern GraphFrames/Pregel uses, minus the dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex appearing in ``edges``;
+    ``component`` is the minimum vertex id in the connected component.
+
+    Each iteration checkpoints via ``localCheckpoint`` so the lineage
+    (and therefore the plan) stays bounded — an unbounded iterative
+    join otherwise compiles an exponentially deep tree.
+    """
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    both = both.localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iter):
+        # labels flowing across edges: neighbor's current component
+        msgs = both.join(
+            labels.withColumnRenamed("vertex", "a"), "a"
+        ).select(F.col("b").alias("vertex"), "component")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -28,10 +28,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graphs import connected_components
 from ..sources.readers import load_table
 
 QUERIES = {}
 ORACLE = {}
+
+# Band/chunk buckets larger than this are never self-joined all-pairs:
+# minhash drops them (they are boilerplate collisions that exact-verify
+# would reject anyway at real thresholds), simhash stars them to the
+# bucket's min-id representative (n-1 candidate edges instead of
+# n(n-1)/2). This is the standard LSH skew guard — without it one
+# degenerate bucket (all docs sharing a chunk value) costs O(n^2)
+# shuffle at 100 TB.
+BUCKET_CAP = 64
+# star-fallback fan-out inside oversized buckets: each member pairs
+# with this many smallest-id representatives
+_N_REPS = 8
 
 
 def q(key: str, oracle: str | None = None):
@@ -179,9 +192,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys -> self-join on (band_idx, band_hash) -> exact verify.
 
     Scale: the only joins are keyed on band buckets (collision sets),
-    so the shuffle volume is O(candidates), not O(n^2). Skewed buckets
-    (boilerplate docs) are handled by AQE skew-join; a bucket-size cap
-    is the standard extra guard if needed."""
+    so the shuffle volume is O(candidates), not O(n^2); buckets above
+    BUCKET_CAP are dropped before the self-join (boilerplate-collision
+    guard — at the measured testdata distribution the largest minhash
+    bucket is 4, so the cap is a pure safety rail here)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     rows_per_band = N_PERMS // N_BANDS
@@ -201,6 +215,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    oversized = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    band_entries = band_entries.join(oversized, ["band", "bucket"], "left_anti")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -256,12 +277,25 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-@q("dedup_simhash")  # no portable-SQL oracle: rows-only check + pytest
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, 4-chunk banding
-    (hamming<=3 guarantees a shared chunk by pigeonhole), verified by
-    exact hamming distance <= 3."""
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """Hamming<=3-verified near-dup edges from 4x16-bit chunk banding.
+
+    Buckets <= ``cap``: all-pairs candidates within the bucket — exact
+    by pigeonhole (<=3 bit diffs over 4 chunks leave >=1 chunk equal).
+
+    Buckets > ``cap`` (degenerate: the testdata's templated corpus
+    puts ALL docs in one chunk-value bucket) are RE-BUCKETED, not
+    dropped: members of a level-1 bucket already agree on 16 bits, so
+    a qualifying pair's <=3 diffs all lie in the remaining 48 bits —
+    pigeonhole over 4x12-bit sub-chunks of those bits guarantees a
+    shared level-2 sub-bucket. Sub-buckets <= ``cap`` get all-pairs;
+    still-oversized sub-buckets (doubly degenerate) fall back to
+    multi-star candidates against their ``_N_REPS`` smallest-id
+    members — K*n edges, bounded, approximate. Every candidate from
+    every level is exact-hamming-verified, so false positives are
+    impossible at any level; only doubly-degenerate sub-buckets can
+    cost recall.
+    """
     fp = simhash_fingerprints(docs)
     chunks = fp.select(
         "doc_id",
@@ -280,28 +314,140 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    stats = chunks.groupBy("chunk", "val").agg(F.count(F.lit(1)).alias("n"))
+    small = chunks.join(
+        stats.filter(F.col("n") <= cap).select("chunk", "val"), ["chunk", "val"]
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
+    )
+    # level 2: re-bucket oversized buckets on 4x12-bit sub-chunks of
+    # the 48 bits OUTSIDE the level-1 chunk (members agree on the
+    # level-1 16 bits, so all <=3 diffs live in those 48)
+    from pyspark.sql import Window
+
+    big_members = chunks.join(
+        stats.filter(F.col("n") > cap).select("chunk", "val"), ["chunk", "val"]
+    )
+    rest = None
+    for c in range(4):
+        others = [j for j in range(4) if j != c]
+        expr = None
+        for pos, j in enumerate(others):
+            part = F.shiftleft(
+                F.shiftright(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF)),
+                pos * 16,
+            )
+            expr = part if expr is None else expr + part
+        rest = (
+            F.when(F.col("chunk") == c, expr)
+            if rest is None
+            else rest.when(F.col("chunk") == c, expr)
         )
+    subbed = (
+        big_members.withColumn("rest", rest)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            "chunk",
+            "val",
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("sub"),
+                            F.shiftright(F.col("rest"), k * 12)
+                            .bitwiseAND(F.lit(0xFFF))
+                            .alias("subval"),
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("ss"),
         )
-        .distinct()
+        .select("chunk", "val", "doc_id", "simhash", "ss.sub", "ss.subval")
+    )
+    subkey = ["chunk", "val", "sub", "subval"]
+    substats = subbed.groupBy(*subkey).agg(F.count(F.lit(1)).alias("n"))
+    sub_small = subbed.join(substats.filter(F.col("n") <= cap).select(*subkey), subkey)
+    s_a = sub_small.alias("a")
+    s_b = sub_small.alias("b")
+    cand_sub = s_a.join(
+        s_b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.subval") == F.col("b.subval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
+    )
+    # doubly-degenerate sub-buckets: multi-star to the _N_REPS
+    # smallest-id members (row_number streams after the per-bucket
+    # sort — no array materialization, a huge bucket spills not OOMs)
+    sub_big = subbed.join(substats.filter(F.col("n") > cap).select(*subkey), subkey)
+    w = Window.partitionBy(*subkey).orderBy("doc_id")
+    reps = (
+        sub_big.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _N_REPS)
+        .select(
+            *subkey,
+            F.col("doc_id").alias("rep_id"),
+            F.col("simhash").alias("rep_hash"),
+        )
+    )
+    cand_big = (
+        sub_big.join(reps, subkey)
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.least("rep_id", "doc_id").alias("doc_a"),
+            F.greatest("rep_id", "doc_id").alias("doc_b"),
+            F.when(F.col("rep_id") < F.col("doc_id"), F.col("rep_hash"))
+            .otherwise(F.col("simhash"))
+            .alias("ha"),
+            F.when(F.col("rep_id") < F.col("doc_id"), F.col("simhash"))
+            .otherwise(F.col("rep_hash"))
+            .alias("hb"),
+        )
+    )
+    cand = (
+        cand_small.union(cand_sub).union(cand_big).dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b")
+    )
+
+
+@q("dedup_simhash")  # no portable-SQL oracle: rows-only check + pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS: 64-bit fingerprints, capped chunk
+    banding, exact hamming verify, then connected components. Output
+    is the drop-list (doc_id, keep_id) — one row per clustered doc,
+    bounded by corpus size — instead of the O(n^2) pair list that
+    emitted 177k rows at sf0.1 in round 1 (VERDICT r1 #5).
+    Verified in tests/test_recall.py against brute-force hamming
+    union-find."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_edges(docs)
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
     )
 
 
@@ -344,4 +490,37 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, c) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.c FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT v AS doc_id, MIN(c) AS keep_id FROM reach GROUP BY v
+"""
+
+
+@q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the exact Jaccard>=0.5 pair set:
+    connected components -> (doc_id, keep_id) drop-list, keep_id being
+    the minimum doc_id of the component. The oracle computes the same
+    transitive closure with a recursive CTE.
+
+    This is the operator a dedup pipeline actually consumes (drop rows
+    where doc_id != keep_id); at 100 TB the edge input swaps to
+    dedup_minhash_lsh's verified pairs — same component step."""
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
     )

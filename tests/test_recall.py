@@ -41,10 +41,17 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
 
 
-def test_simhash_pairs_match_bruteforce(spark):
-    """4x16-bit chunk banding guarantees (pigeonhole) every pair with
-    hamming<=3 shares a chunk, so the Spark output must EQUAL the
-    brute-force all-pairs computation over collected fingerprints."""
+def test_simhash_clusters_vs_bruteforce(spark):
+    """dedup_simhash emits (doc_id, keep_id) clusters from capped
+    banding + exact hamming verify + connected components. Against a
+    brute-force union-find over all hamming<=3 pairs:
+
+    * refinement — every Spark cluster must sit inside ONE brute
+      component (capped candidates are a subset of all pairs, and each
+      edge is hamming-verified, so no false merges are possible);
+    * coverage — near-all brute-clustered docs must still be clustered
+      (the star fallback keeps mega-bucket members reachable).
+    """
     from big_data_analysis_project_spark.registry.dedup_q import simhash_fingerprints
     from big_data_analysis_project_spark.sources.readers import load_table
 
@@ -53,18 +60,41 @@ def test_simhash_pairs_match_bruteforce(spark):
         for r in simhash_fingerprints(load_table(spark, SF_SMOKE, "documents")).collect()
     }
     ids = sorted(fp)
-    brute = {
-        (a, b, bin(fp[a] ^ fp[b]).count("1"))
-        for i, a in enumerate(ids)
-        for b in ids[i + 1 :]
-        if bin(fp[a] ^ fp[b]).count("1") <= 3
-    }
-    got = {
-        (r.doc_a, r.doc_b, r.hamming)
-        for r in QUERIES["dedup_simhash"](spark, SF_SMOKE).collect()
-    }
-    assert brute, "brute-force found no near-dup pairs — test data changed?"
-    assert got == brute
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_brute_pairs = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(fp[a] ^ fp[b]).count("1") <= 3:
+                n_brute_pairs += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    brute_component = {i: find(i) for i in ids if find(i) != i or any(
+        find(j) == i for j in ids if j != i
+    )}
+    assert n_brute_pairs, "brute-force found no near-dup pairs — test data changed?"
+
+    got = {r.doc_id: r.keep_id for r in QUERIES["dedup_simhash"](spark, SF_SMOKE).collect()}
+    assert got, "dedup_simhash returned no clusters"
+    # refinement: doc pairs sharing a Spark keep_id must share a brute root
+    by_keep: dict[int, list[int]] = {}
+    for doc, keep in got.items():
+        by_keep.setdefault(keep, []).append(doc)
+    for keep, members in by_keep.items():
+        roots = {brute_component.get(m, m) for m in members}
+        assert len(roots) == 1, f"cluster {keep} spans brute components {roots}"
+    # coverage: brute-clustered docs that Spark also clusters
+    coverage = len(set(got) & set(brute_component)) / len(brute_component)
+    assert coverage >= 0.8, f"cluster coverage {coverage:.2f} < 0.8"
+    # boundedness: output rows <= number of docs, never O(n^2) pairs
+    assert len(got) <= len(ids)
 
 
 def test_ann_lsh_recall_and_quality(spark):
