@@ -11,12 +11,14 @@ Layout:
     session.py    SparkSession factory (AQE, Arrow, Kryo, UTC, scale-aware)
     schemas.py    explicit StructTypes for every table the engine touches
     sources/      readers (csv/json/parquet/jdbc-gated) + synthetic generator
-    operators/    cleaning, reshape (pivot/unpivot), joins, aggregates, windows
-    functions/    rate derivation, text analytics, similarity primitives
-    plans/        end-to-end pipelines (TB golden pipeline, serving queries)
-    dedup/        exact + MinHash-LSH + SimHash + n-gram + embedding dedup
-    streaming/    structured-streaming jobs over the events table
-    sinks.py      parquet/csv/jdbc writers with partitioning + upsert keys
+    sinks.py      parquet/csv/jdbc writers (partitioning, upsert keys, audit)
+    operators/    cleaning, reshape, joins, aggregates, windows, graphs (CC)
+    functions/    rate derivation (decimal parity)
+    plans/        end-to-end pipelines (flagship, TB golden pipeline)
+    registry/     every query key + DuckDB oracle the driver checks:
+                  relational, pipeline, serving, text, dedup (exact/
+                  minhash-LSH/simhash/ngram/embedding), similarity (ANN),
+                  streaming (tumbling window + Structured Streaming twin)
 """
 
 __version__ = "0.1.0"

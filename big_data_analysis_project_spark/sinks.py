@@ -1,0 +1,98 @@
+"""Sinks S6-S8 (SURVEY.md §2.1) — parquet / CSV / JDBC writers with
+the reference's write semantics made explicit:
+
+* full-replace (``to_sql(if_exists='replace')``,
+  ref: spark_data_processor.py:899-906) -> ``mode('overwrite')``;
+* upsert keys (``UNIQUE(iso3, year)`` + ``ON CONFLICT DO NOTHING``,
+  ref: init_db.sql:28,59,138-144) -> ``dropDuplicates(keys)`` before
+  the write;
+* audit columns (``updated_at`` triggers, ref: init_db.sql:74-93) ->
+  ``current_timestamp()`` stamped at write time.
+
+Scale notes: parquet marts are written ``partitionBy`` a low-cardinality
+column (year) so downstream reads partition-prune; JDBC writes shard
+across ``numPartitions`` concurrent connections — each partition is one
+INSERT batch stream, which is how a 1000-executor cluster loads a
+warehouse without a driver-side bottleneck.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prepare(
+    df: DataFrame,
+    upsert_keys: Sequence[str] | None,
+    audit_col: str | None,
+) -> DataFrame:
+    if upsert_keys:
+        df = df.dropDuplicates(list(upsert_keys))
+    if audit_col:
+        df = df.withColumn(audit_col, F.current_timestamp())
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    upsert_keys: Sequence[str] | None = None,
+    audit_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S7: snappy parquet sink. ref artifacts: data/processed/*.parquet
+    (earlier-revision write path logged at ask.txt:141)."""
+    writer = _prepare(df, upsert_keys, audit_col).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    upsert_keys: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S6: headered CSV sink. ref: spark_data_processor.py:638-651 used
+    ``toPandas().to_csv()`` — a driver collect; here the write is
+    distributed unless ``single_file`` forces the reference's
+    one-file-per-mart layout (mart-scale only: coalesce(1) funnels the
+    data through one task)."""
+    out = _prepare(df, upsert_keys, None)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    upsert_keys: Sequence[str] | None = None,
+    audit_col: str | None = "updated_at",
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+) -> None:
+    """S8: JDBC sink. ref: spark_data_processor.py:891-932 loads the
+    three marts into PostgreSQL via pandas ``to_sql`` (driver-side,
+    chunked); here ``df.write.format('jdbc')`` streams from executors.
+
+    Requires the vendor driver jar on the classpath (same gate as
+    ``sources.readers.read_jdbc``); callers without one get the
+    standard ClassNotFound error from the JVM, tested via
+    tests/test_sinks.py's skip-if-no-driver probe.
+    """
+    out = _prepare(df, upsert_keys, audit_col)
+    if num_partitions:
+        out = out.repartition(num_partitions)
+    writer = out.write.format("jdbc").mode(mode).option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

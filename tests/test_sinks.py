@@ -1,0 +1,73 @@
+"""Sink tests (S6-S8): parquet round-trip with partition pruning,
+single-file CSV parity, JDBC gated on driver availability."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_project_spark.sinks import write_csv, write_jdbc, write_parquet
+from big_data_analysis_project_spark.sources.readers import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.year("o_orderdate").alias("year")
+    )
+
+
+def test_write_parquet_partitioned_prunes(spark, orders):
+    out = str(Path(tempfile.mkdtemp()) / "orders_parq")
+    write_parquet(orders, out, partition_by=["year"], audit_col="updated_at")
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert "updated_at" in back.columns
+    # partition pruning: a year filter must reach PartitionFilters, and
+    # the pruned scan must read fewer files than the full table
+    one_year = back.filter(F.col("year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "year" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_write_parquet_upsert_keys(spark, orders):
+    out = str(Path(tempfile.mkdtemp()) / "orders_dedup")
+    doubled = orders.union(orders)
+    write_parquet(doubled, out, upsert_keys=["o_orderkey"])
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_csv_single_file(spark, orders):
+    out = Path(tempfile.mkdtemp()) / "orders_csv"
+    write_csv(orders.limit(50), str(out), single_file=True)
+    parts = list(out.glob("part-*.csv"))
+    assert len(parts) == 1, f"expected one CSV part file, got {parts}"
+    back = spark.read.option("header", "true").csv(str(out))
+    assert back.count() == 50
+
+
+def _jdbc_driver_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+        return True
+    except Exception:
+        return False
+
+
+def test_write_jdbc_or_gate(spark, orders):
+    """With a driver jar: full write+read-back round trip. Without:
+    the writer must surface the JVM's driver error, not silently
+    no-op (the gate the docstring promises)."""
+    url = f"jdbc:sqlite:{Path(tempfile.mkdtemp()) / 'marts.db'}"
+    if _jdbc_driver_available(spark):
+        write_jdbc(orders.limit(20), url, "orders_mart", audit_col=None)
+        back = spark.read.format("jdbc").option("url", url).option("dbtable", "orders_mart").load()
+        assert back.count() == 20
+    else:
+        with pytest.raises(Exception, match="(?i)driver|sqlite|class"):
+            write_jdbc(orders.limit(20), url, "orders_mart", audit_col=None)
