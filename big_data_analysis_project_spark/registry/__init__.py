@@ -15,14 +15,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup_q, pipeline_q, relational, serving_q, similarity_q, streaming_q, text_q
+from . import (
+    dedup_q,
+    multimodal_q,
+    pipeline_q,
+    relational,
+    serving_q,
+    similarity_q,
+    streaming_q,
+    text_q,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, pipeline_q, serving_q, text_q, dedup_q, similarity_q, streaming_q):
+for mod in (
+    relational,
+    pipeline_q,
+    serving_q,
+    text_q,
+    dedup_q,
+    similarity_q,
+    streaming_q,
+    multimodal_q,
+):
     overlap = set(QUERIES) & set(mod.QUERIES)
     assert not overlap, f"duplicate query keys: {overlap}"
     QUERIES.update(mod.QUERIES)
