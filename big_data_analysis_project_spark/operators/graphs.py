@@ -42,24 +42,24 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    # convergence via the label-sum invariant: min-propagation only
+    # ever decreases labels, so sum(component) strictly decreases
+    # until fixpoint — one scalar agg per round instead of a
+    # join+count job (halves per-round cost)
+    prev_sum = None
     for _ in range(max_iter):
         # labels flowing across edges: neighbor's current component
         msgs = both.join(
             labels.withColumnRenamed("vertex", "a"), "a"
         ).select(F.col("b").alias("vertex"), "component")
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

@@ -170,11 +170,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """doc_id -> array<long> MinHash signature (N_PERMS universal
     hashes over crc32(shingle), min per permutation — one aggregation
-    pass, signature is 64x8 bytes per doc regardless of doc size)."""
-    sh = _shingles(docs).withColumn("h", F.crc32("s") % F.lit(_PRIME))
+    pass, signature is 64x8 bytes per doc regardless of doc size).
+    Pass a pre-built (possibly cached) ``shingles`` frame to share the
+    shingle scan with downstream exact verification."""
+    sh = (shingles if shingles is not None else _shingles(docs)).withColumn(
+        "h", F.crc32("s") % F.lit(_PRIME)
+    )
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_PRIME)).alias(f"m{i}")
         for i, (a, b) in enumerate(_PERMS)
@@ -197,7 +201,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard — at the measured testdata distribution the largest minhash
     bucket is 4, so the cap is a pure safety rail here)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sh = _shingles(docs).cache()  # reused: signatures + exact verify
+    sig = minhash_signatures(docs, shingles=sh)
     rows_per_band = N_PERMS // N_BANDS
     band_entries = sig.select(
         "doc_id",
@@ -234,8 +239,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sh = _shingles(docs)
+    # exact-Jaccard verification restricted to candidates (reuses the
+    # cached shingle frame from the signature pass)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -297,23 +302,30 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
     cost recall.
     """
     fp = simhash_fingerprints(docs)
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("chunk"),
-                        F.shiftright(F.col("simhash"), ci * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for ci in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    chunks = (
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("chunk"),
+                            F.shiftright(F.col("simhash"), ci * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("val"),
+                        )
+                        for ci in range(4)
+                    ]
+                )
+            ).alias("cc"),
+        )
+        .select("doc_id", "simhash", "cc.chunk", "cc.val")
+        # referenced by stats + both join branches: cache so the
+        # 64-aggregate fingerprint pass runs once, not 3x (spills to
+        # disk at scale — 4 rows x 3 longs per doc)
+        .cache()
+    )
     stats = chunks.groupBy("chunk", "val").agg(F.count(F.lit(1)).alias("n"))
     small = chunks.join(
         stats.filter(F.col("n") <= cap).select("chunk", "val"), ["chunk", "val"]
@@ -376,6 +388,8 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
             ).alias("ss"),
         )
         .select("chunk", "val", "doc_id", "simhash", "ss.sub", "ss.subval")
+        # referenced by substats + both level-2 branches
+        .cache()
     )
     subkey = ["chunk", "val", "sub", "subval"]
     substats = subbed.groupBy(*subkey).agg(F.count(F.lit(1)).alias("n"))

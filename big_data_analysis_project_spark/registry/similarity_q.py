@@ -121,18 +121,26 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sig
 
     tables = [_planes(seed=7 + t) for t in range(_N_TABLES)]
-    corpus = e.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), signature(F.col("v"), tables[t]).alias("bucket"))
-                    for t in range(_N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    corpus = (
+        e.select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), signature(F.col("v"), tables[t]).alias("bucket")
+                        )
+                        for t in range(_N_TABLES)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select("vec_id", "v", "tb.tbl", "tb.bucket")
+        # referenced twice (query-row filter + probe join): cache so the
+        # 32 hyperplane dot products per vector are computed once
+        .cache()
+    )
     qrow = corpus.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), "tbl", F.col("bucket").alias("qbucket")
     )
