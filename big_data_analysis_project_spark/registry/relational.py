@@ -40,7 +40,10 @@ def q(key: str, oracle: str | None = None):
     return deco
 
 
-_SINK_ROOT = Path(tempfile.gettempdir()) / "bdap_sinks"
+# per-process sink root: unique dir so concurrently-running harness
+# processes never race on the same output paths (VERDICT r1
+# housekeeping); within one process the keys are deterministic
+_SINK_ROOT = Path(tempfile.mkdtemp(prefix="bdap_sinks_"))
 
 
 # --- flagship ----------------------------------------------------------

@@ -15,7 +15,7 @@ stream-shaped events table implies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_events, load_table
@@ -70,19 +70,22 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger). At scale the source swaps to kafka/files-on-arrival and
     the sink to a table — the query body is unchanged."""
     # ts arrives as TIMESTAMP(NANOS) parquet; stream it as long and
-    # floor-convert to a micros timestamp (same as load_events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # floor-convert to a micros timestamp (same as load_events).
+    # nanosAsLong is set by the session factory; fallback only for
+    # externally-built sessions.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
     )
     # FileStreamSource needs a directory; expose the single events file
-    # through a symlinked staging dir (at scale this IS the arrival dir)
+    # through a symlinked per-process staging dir (at scale this IS the
+    # arrival dir; per-process so concurrent harnesses don't race)
     import os
     import tempfile
     from pathlib import Path
 
-    stage = Path(tempfile.gettempdir()) / "bdap_stream_src" / Path(sf_dir).name
-    stage.mkdir(parents=True, exist_ok=True)
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_src_"))
     link = stage / "events.parquet"
     if not link.exists():
         os.symlink(f"{sf_dir}/events.parquet", link)
@@ -115,3 +118,160 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table("bdap_stream_hourly")
+
+
+SESSION_GAP_MIN = 360  # 6 h — ~2 events/user/day in the testdata
+
+_SESSIONIZE_ORACLE = f"""
+WITH ev AS (SELECT user_id, event_id, ts, value FROM events),
+flags AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flags
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+@q("sessionize", _SESSIONIZE_ORACLE)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: lag-flag + running-sum
+    session numbering, both windows partitioned by user_id so the op
+    scales horizontally (no global window; per-user frames are small).
+    The session boundary is a >SESSION_GAP_MIN idle gap.
+    Engine addition — the streaming twin is stream_sessionize."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    flags = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_sec
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flags.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).drop("session_no")
+
+
+@q("stream_sessionize")  # rows-only: custom stateful streaming op
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization as a CUSTOM STATEFUL streaming operator:
+    applyInPandasWithState keyed on user_id. Per micro-batch, each
+    user's open session lives in GroupState; events extend it or close
+    it (gap exceeded) and every session — closed or still open — is
+    emitted in update mode, so the final batch's output equals the
+    batch twin (asserted row-for-row in tests/test_recall.py).
+
+    Scale: state is one small tuple per user (last_ts, start, n,
+    total); Spark shuffles events to the user's state partition — the
+    same partitioning the batch window uses. At real scale the source
+    swaps to kafka and GroupStateTimeout evicts idle users.
+    ref surface: SURVEY.md §2.10 (engine addition; the reference has
+    no streaming)."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_sess_"))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(str(stage))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    gap_sec = SESSION_GAP_MIN * 60
+
+    def sessionize_user(key, pdfs, state: GroupState):
+        (user_id,) = key
+        # state tuple: (last_ts_epoch, start_epoch, n_events, total_value)
+        sess = list(state.get) if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            epoch = ts.timestamp()
+            if sess is None:
+                sess = [epoch, epoch, 0, 0.0]
+            elif epoch - sess[0] > gap_sec:
+                out.append(sess)
+                sess = [epoch, epoch, 0, 0.0]
+            sess[0] = epoch
+            sess[2] += 1
+            sess[3] += float(value)
+        state.update(tuple(sess))
+        out.append(sess)  # open session: emitted now, updated next batch
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(out),
+                        "session_start": [
+                            pd.Timestamp(s[1], unit="s").strftime("%Y-%m-%d %H:%M:%S")
+                            for s in out
+                        ],
+                        "n_events": [s[2] for s in out],
+                        "total_value": [round(s[3], 2) for s in out],
+                    }
+                )
+            ]
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_user,
+        outputStructType="user_id bigint, session_start string, n_events bigint, total_value double",
+        stateStructType="last_ts double, start double, n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bdap_stream_sessionize")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # update-mode memory sink: latest emission per (user, session_start)
+    tbl = spark.table("bdap_stream_sessionize")
+    wlast = Window.partitionBy("user_id", "session_start").orderBy(
+        F.desc("n_events")
+    )
+    return (
+        tbl.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

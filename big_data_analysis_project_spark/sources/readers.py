@@ -33,11 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table loader. The driver's events.parquet carries
     TIMESTAMP(NANOS) which Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL); read nanos as long and floor-convert to a
-    microsecond timestamp — the same truncation DuckDB applies when it
-    reads nanos into its native micros timestamps, so oracle
-    comparisons stay exact."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (PARQUET_TYPE_ILLEGAL); nanosAsLong is set in the session factory
+    (session.py) and the long is floor-converted here to a microsecond
+    timestamp — the same truncation DuckDB applies when it reads nanos
+    into its native micros timestamps, so oracle comparisons stay
+    exact. The conf fallback below only fires for sessions built
+    outside get_spark (e.g. the driver's own harness session)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))

@@ -118,6 +118,17 @@ def test_ann_lsh_recall_and_quality(spark):
     assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
 
 
+def test_stream_sessionize_equals_batch(spark):
+    """The applyInPandasWithState sessionizer must produce exactly the
+    batch window-based sessionization: availableNow delivers all
+    events in one micro-batch, update mode emits every session
+    (closed + open), so the multisets must match row-for-row."""
+    batch = {tuple(r) for r in QUERIES["sessionize"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_sessionize"](spark, SF_SMOKE).collect()}
+    assert batch, "batch sessionize returned no rows"
+    assert stream == batch
+
+
 def test_stream_hourly_equals_batch(spark):
     """The Structured Streaming hourly aggregate must equal the batch
     tumbling-window twin row-for-row (availableNow drains the full
