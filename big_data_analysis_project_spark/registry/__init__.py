@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytic_q,
     dedup_q,
     multimodal_q,
     pipeline_q,
@@ -35,6 +36,7 @@ for mod in (
     relational,
     pipeline_q,
     serving_q,
+    analytic_q,
     text_q,
     dedup_q,
     similarity_q,
