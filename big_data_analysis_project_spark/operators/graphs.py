@@ -33,9 +33,14 @@ def connected_components(
     (and therefore the plan) stays bounded — an unbounded iterative
     join otherwise compiles an exponentially deep tree.
     """
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the (possibly expensive) edge pipeline ONCE, then
+    # build the reversed union from the checkpointed result — a union
+    # over the raw plan would execute the whole upstream edge
+    # computation twice
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
+    both = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
     both = both.localCheckpoint(eager=True)
     labels = (
         both.select(F.col("a").alias("vertex"))

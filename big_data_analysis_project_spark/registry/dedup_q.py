@@ -269,16 +269,21 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
         .filter(F.col("t") != "")
         .withColumn("h", F.crc32("t"))
     )
+    # majority vote per bit as sum((h>>i)&1) vs token count: plain
+    # shift-and-mask aggregates are cheaper per row than 64
+    # CASE WHEN branches, and "ones > half" == "net vote positive"
     bit_votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{i}"
-        )
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    votes = tokens.groupBy("doc_id").agg(*bit_votes)
+    votes = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"), *bit_votes
+    )
     fp: Column = F.lit(0).cast("long")
     for i in range(bits - 1):  # bit 63 left clear: keep the long positive
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+        fp = fp + F.when(
+            F.col(f"b{i}") * 2 > F.col("cnt"), F.lit(1).cast("long") * (1 << i)
+        ).otherwise(0)
     return votes.select("doc_id", fp.alias("simhash"))
 
 
