@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     analytic_q,
     dedup_q,
+    extended_q,
     multimodal_q,
     pipeline_q,
     relational,
@@ -37,6 +38,7 @@ for mod in (
     pipeline_q,
     serving_q,
     analytic_q,
+    extended_q,
     text_q,
     dedup_q,
     similarity_q,

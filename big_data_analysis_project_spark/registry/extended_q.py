@@ -1,0 +1,400 @@
+"""Extended relational + pipeline operators (engine additions beyond
+the reference's surface, second wave): semi/anti joins, cube and
+grouping-sets hierarchies, deterministic hash sampling, histogram
+binning, as-of and bucketed range joins over the events stream,
+salted skew joins, z-score anomaly detection, ntile quantile bands,
+corpus term statistics, and a hive-partitioned parquet sink.
+
+Every key here is oracle-checked (plain ANSI SQL on DuckDB). Output
+columns stick to VARCHAR/BIGINT/INT/DOUBLE and never ROUND a divided
+double (oracle hash-compare rules learned in round 1).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_events, load_table
+
+QUERIES = {}
+ORACLE = {}
+
+_SINK_ROOT = Path(tempfile.mkdtemp(prefix="bdap_ext_sinks_"))
+
+
+def q(key: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+# --- joins -------------------------------------------------------------
+
+
+@q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one order. Semi joins
+    ship only the join key of the right side through the shuffle and
+    never duplicate left rows — at 100 TB this replaces the
+    join+distinct anti-pattern."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value (>300k) order.
+    (Every customer in the testdata has SOME order, so the plain
+    orphan check would be a vacuous 0-row key; the value filter keeps
+    the anti-join genuinely exercised — 30 rows at sf0.01.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "join_salted",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded equi-join: the build side (orders) is exploded
+    with 8 salt values and the probe side (lineitem) picks a
+    deterministic salt, so one hot orderkey spreads over 8 reducers
+    instead of melting one. Result is provably identical to the plain
+    join — the oracle IS the plain join. At local scale AQE's skew
+    handling makes this a no-op; at 1000 executors with a power-law
+    key it is the difference between minutes and a dead stage."""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])).alias("salt")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salt)).alias("salt"),
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "asof_join",
+    """SELECT c.event_id,
+              strftime(MAX(v.ts), '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON v.user_id = c.user_id AND v.ts <= c.ts
+       GROUP BY c.event_id""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the latest view at-or-before
+    it for the same user (DuckDB spells this ASOF JOIN; the oracle
+    uses the equivalent MAX-over-inequality form).
+
+    Spark-first plan: tag both sides, union, ONE window pass per user
+    ordered by (ts, views-first) carrying last(view_ts) forward. Cost
+    is a single shuffle on user_id — no inequality join, no per-row
+    probe; this is the scale shape for "latest quote before trade"
+    on billions of rows."""
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).withColumn(
+        # views sort before clicks at identical ts so v.ts <= c.ts
+        # semantics hold on ties
+        "is_click", F.when(F.col("event_type") == "click", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "view_ts",
+        F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_click") == 1).select(
+        "event_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
+@q(
+    "range_join_bucketed",
+    """SELECT e.event_id, COUNT(x.event_id) AS n_following
+       FROM (SELECT * FROM events WHERE event_type = 'error') e
+       LEFT JOIN events x
+         ON x.user_id = e.user_id
+        AND x.ts > e.ts AND x.ts <= e.ts + INTERVAL 1 HOUR
+       GROUP BY e.event_id""",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucketing: events within 1 hour after each
+    error, per user. A naive inequality join is a broadcast-nested-
+    loop (O(n*m)); bucketing both sides to the hour and equi-joining
+    on (user, bucket) with the probe side exploded to {h, h+1} turns
+    it into a hash join whose per-bucket fan-in is bounded by the
+    window length — the standard interval-join plan (Flink/Trino do
+    the same internally)."""
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    hour = lambda c: (F.unix_timestamp(c) / 3600).cast("bigint")  # noqa: E731
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        "user_id",
+        hour(F.col("ts")).alias("h"),
+    )
+    # probe side lands in bucket h and h+1 of the matching error
+    probe = ev.select(
+        F.col("event_id").alias("x_id"),
+        F.col("ts").alias("x_ts"),
+        "user_id",
+        F.explode(
+            F.array(hour(F.col("ts")), hour(F.col("ts")) - 1)
+        ).alias("h"),
+    )
+    matched = (
+        err.join(probe, ["user_id", "h"])
+        .filter(
+            (F.col("x_ts") > F.col("err_ts"))
+            & (F.col("x_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+    return (
+        err.select("err_id")
+        .join(matched, "err_id", "left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.coalesce("n_following", F.lit(0)).alias("n_following"),
+        )
+    )
+
+
+# --- aggregation hierarchies ------------------------------------------
+
+
+@q(
+    "agg_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every combination of the grouping dimensions in one
+    shuffle (rollup's lattice sibling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — only the requested lattice nodes, no
+    full cube expansion (cheaper when you need 2 of 2^k nodes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                  COALESCE(l_linestatus, 'ALL') AS linestatus,
+                  COUNT(*) AS n
+           FROM li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
+# --- sampling / binning / bands ---------------------------------------
+
+
+@q(
+    "sample_hash",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+       FROM orders
+       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample: md5 of the key, keep hex
+    prefixes 00..19 (26/256 ≈ 10.2%). Unlike df.sample(), the subset
+    is stable across runs, engines, partitionings, and retries —
+    the property a reproducible eval-set split needs. Filter pushes
+    to the scan; no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2)
+        <= "19"
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+@q(
+    "histogram_bins",
+    """SELECT CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bin,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY 1""",
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin id = floor(x / width). One shuffle
+    keyed on the bin — the building block for distribution profiling
+    at scale (IEEE double division + floor is bit-identical across
+    engines, so the oracle is exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 500).cast("bigint").alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "ntile_quartile",
+    """SELECT o_orderkey,
+              NTILE(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS quartile
+       FROM orders""",
+)
+def ntile_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile banding via NTILE over a partitioned window (unique
+    orderkey tiebreak keeps the assignment deterministic). Partitioned
+    by priority, so no single-task global window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+# --- anomaly detection -------------------------------------------------
+
+
+@q(
+    "anomaly_zscore",
+    """WITH s AS (
+         SELECT user_id, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+         FROM events GROUP BY user_id
+       )
+       SELECT e.event_id FROM events e JOIN s USING (user_id)
+       WHERE ABS(e.value - s.m) > 3 * s.sd""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outliers: |x - mean| > 3*stddev within each
+    user. Two shuffles on user_id (agg + broadcast-able stats join);
+    formulated multiplication-only — no division, no rounding — so
+    the oracle comparison is exact."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter(F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd"))
+        .select("event_id")
+    )
+
+
+# --- corpus term statistics -------------------------------------------
+
+
+@q(
+    "text_term_stats",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         FROM documents
+       )
+       SELECT term,
+              COUNT(DISTINCT doc_id) AS df,
+              COUNT(*) AS tf
+       FROM tok WHERE term <> ''
+       GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 100""",
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (the integer core of TF-IDF): document
+    frequency + total term frequency for common terms. The idf itself
+    is ln(N/df) — left to the caller because it is a divided double
+    (oracle-rounding hazard); df and tf carry all the information.
+    One explode + one shuffle keyed on the term."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .filter(F.col("df") >= 100)
+    )
+
+
+# --- partitioned sink --------------------------------------------------
+
+
+@q(
+    "sink_partitioned",
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_floor
+       FROM orders GROUP BY 1""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: hive-partitioned parquet sink (partitionBy year) and
+    re-scan aggregating per partition. At scale this layout is what
+    makes partition pruning possible — a year-filtered query reads
+    1/Nth of the data; the re-read here proves the round-trip
+    preserves both the partition column and row payloads."""
+    out = str(_SINK_ROOT / "sink_partitioned")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    back = spark.read.parquet(out)
+    # FLOOR before the bigint cast: Spark's double->bigint cast
+    # truncates while DuckDB's rounds, so the floor pins both engines
+    # to the same integer
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
+    )
