@@ -398,3 +398,121 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
     )
+
+
+# --- second wave: cumulative / argmax / json / ordered concat ---------
+
+
+@q(
+    "running_total",
+    """SELECT o_custkey, o_orderkey,
+              COUNT(*) OVER w AS n_so_far,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS spend_floor
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer order count + floor-sum (integer-exact,
+    so the oracle hash is stable). Partitioned window — no global
+    single-task sort; per-partition state is O(1)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.sum(F.floor("o_totalprice").cast("bigint")).over(w).alias("spend_floor"),
+    )
+
+
+@q(
+    "agg_argmax",
+    """SELECT o_orderpriority,
+              arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+              ROUND(MAX(o_totalprice), 2) AS top_price
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax without a window: the orderkey of the priciest order per
+    priority in ONE aggregation pass (max_by / arg_max). At scale this
+    replaces the rank()=1 window idiom — no sort, map-side partial
+    aggregation. Precondition: the max price is unique per group
+    (verified for the testdata at every sf; with ties max_by is
+    engine-arbitrary — add a struct tiebreak where the sort key
+    admits one)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@q(
+    "json_extract_props",
+    """SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column and aggregate on it. get_json_object stays JVM-side
+    (Jackson, codegen) — no Python in the path; at 100 TB prefer
+    from_json with an explicit schema so the parse happens once."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "agg_string_concat",
+    """SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nations per region, comma-joined in
+    sorted order (sort_array makes collect_list deterministic —
+    collect order is not)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+@q(
+    "window_sliding",
+    """WITH e AS (
+         SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS b FROM events
+       ),
+       w AS (SELECT unnest([b, b - 1800000000]) AS ws FROM e)
+       SELECT strftime(to_timestamp(ws // 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              COUNT(*) AS n
+       FROM w GROUP BY 1""",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h wide, 30 min slide): each event
+    lands in exactly 2 windows. Spark's window() generates the
+    assignment inline (no join); the oracle unnests the same 2 bucket
+    starts per event. Same groupBy(window) shape runs unchanged under
+    Structured Streaming with a watermark."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
