@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_events, load_table
+from .dedup_q import _NGRAM_ORACLE as _NGRAM_PAIR_SQL
 
 QUERIES = {}
 ORACLE = {}
@@ -516,3 +517,79 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@q(
+    "sink_bucketed",
+    """SELECT o.o_custkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS spend_floor
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_acctbal > 0
+       GROUP BY o.o_custkey""",
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + co-located join: both sides written
+    bucketed by the join key (8 buckets), then joined WITHOUT a
+    shuffle — the scan's bucketing satisfies the join's distribution
+    requirement (tests/test_sinks.py asserts no Exchange in the plan).
+    At 100 TB this is THE layout decision: bucketing the fact table on
+    its join key once turns every subsequent join/agg on that key into
+    a shuffle-free stage."""
+    out_o = str(_SINK_ROOT / "bucketed_orders")
+    out_c = str(_SINK_ROOT / "bucketed_customer")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", out_o)
+        .saveAsTable("bdap_bucketed_orders")
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", out_c)
+        .saveAsTable("bdap_bucketed_customer")
+    )
+    o = spark.table("bdap_bucketed_orders")
+    c = spark.table("bdap_bucketed_customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor("o_totalprice").cast("bigint")).alias("spend_floor"),
+        )
+    )
+
+
+@q(
+    "graph_degree",
+    """WITH pairs AS (
+"""
+    + _NGRAM_PAIR_SQL
+    + """
+       ),
+       ends AS (
+         SELECT doc_a AS doc_id FROM pairs
+         UNION ALL
+         SELECT doc_b FROM pairs
+       )
+       SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id""",
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree over the near-dup similarity graph (the profiling
+    step before clustering: degree distribution tells you whether the
+    corpus has boilerplate blow-up). One union + one shuffle over the
+    edge list."""
+    from .dedup_q import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    ends = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))

@@ -93,7 +93,7 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(str(stage))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -210,7 +210,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(str(stage))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "event_id", "ts", "value")
     )
 
@@ -275,3 +275,47 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@q("stream_sliding")  # rows-only: true streaming twin of window_sliding
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window count (1 h wide, 30 min slide) as a genuine
+    Structured Streaming job — the streaming twin of the oracle-checked
+    ``window_sliding`` batch key (equality asserted in
+    tests/test_recall.py). Same watermark + groupBy(window) body; only
+    the source/sink wiring differs from batch."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_slide_"))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bdap_stream_sliding")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("bdap_stream_sliding")

@@ -137,3 +137,12 @@ def test_stream_hourly_equals_batch(spark):
     stream = {tuple(r) for r in QUERIES["stream_hourly"](spark, SF_SMOKE).collect()}
     assert batch, "batch twin returned no rows"
     assert stream == batch
+
+
+def test_stream_sliding_equals_batch(spark):
+    """The Structured Streaming sliding-window count must equal the
+    oracle-checked batch window_sliding twin row-for-row."""
+    batch = {tuple(r) for r in QUERIES["window_sliding"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_sliding"](spark, SF_SMOKE).collect()}
+    assert batch, "batch twin returned no rows"
+    assert stream == batch

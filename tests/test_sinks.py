@@ -71,3 +71,19 @@ def test_write_jdbc_or_gate(spark, orders):
     else:
         with pytest.raises(Exception, match="(?i)driver|sqlite|class"):
             write_jdbc(orders.limit(20), url, "orders_mart", audit_col=None)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of sink_bucketed: both sides written bucketed
+    by the join key, so the join + per-key agg plan must contain ZERO
+    shuffle Exchanges — the scan's bucketing satisfies the
+    distribution requirement end to end."""
+    import re
+
+    from big_data_analysis_project_spark.registry.extended_q import sink_bucketed
+    from .conftest import SF_SMOKE
+
+    df = sink_bucketed(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"\bExchange\b", plan), plan
+    assert df.count() > 0
