@@ -78,12 +78,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    # query norm precomputed into the 1-row broadcast frame: inside the
+    # scored expression it would be re-evaluated for every corpus row
+    query = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    )
     scored = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(query))
         .withColumn(
-            "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+            "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))
         )
     )
     return (
@@ -142,21 +146,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     qrow = corpus.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), "tbl", F.col("bucket").alias("qbucket")
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+        "tbl",
+        F.col("bucket").alias("qbucket"),
     )
     # per table: the query bucket plus all hamming-1 neighbors
     probe_buckets = F.array(
         F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
     )
-    probes = qrow.select("qv", "tbl", F.explode(probe_buckets).alias("bucket"))
+    probes = qrow.select("qv", "qn", "tbl", F.explode(probe_buckets).alias("bucket"))
     candidates = (
         corpus.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probes), ["tbl", "bucket"])
-        .select("vec_id", "v", "qv")
+        .select("vec_id", "v", "qv", "qn")
         .dropDuplicates(["vec_id"])
     )
     scored = candidates.withColumn(
-        "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+        "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))
     )
     return (
         scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
