@@ -73,3 +73,43 @@ def decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
         yield out
+
+
+FRAME_SCHEMA = "doc_id long, frame_id int, offset int, checksum int"
+FRAME_BYTES = 64
+MAX_FRAMES = 8
+
+
+def sample_frames(payload: bytes) -> list[dict]:
+    """Deterministic fake frame-sampler: the payload is treated as a
+    video, one 'frame' per FRAME_BYTES window, capped at MAX_FRAMES
+    (uniform head sampling). Real media swaps this for av/ffmpeg
+    keyframe extraction; the 1->N row expansion shape is identical."""
+    n_frames = min(len(payload) // FRAME_BYTES, MAX_FRAMES)
+    out = []
+    for k in range(n_frames):
+        off = k * FRAME_BYTES
+        out.append(
+            {
+                "frame_id": k,
+                "offset": off,
+                "checksum": payload[off] * 256 + payload[off + 1],
+            }
+        )
+    return out
+
+
+def sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body with 1->N expansion: each (doc_id, payload)
+    row yields up to MAX_FRAMES frame rows — the batch-shape contract
+    for frame sampling / chunked feature extraction (output row count
+    is decoupled from input row count, unlike a pandas_udf)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for fr in sample_frames(payload):
+                fr["doc_id"] = doc_id
+                rows.append(fr)
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_id", "offset", "checksum"]
+        )

@@ -130,3 +130,31 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "payload").mapInPandas(
         decode_meta_batches, schema=DECODE_SCHEMA
     )
+
+
+@q(
+    "mm_frame_sample",
+    """SELECT doc_id,
+              CAST(k AS INT) AS frame_id,
+              CAST(k * 64 AS INT) AS offset,
+              ascii(substr(text, CAST(k * 64 + 1 AS INT), 1)) * 256
+                + ascii(substr(text, CAST(k * 64 + 2 AS INT), 1)) AS checksum
+       FROM documents,
+            LATERAL unnest(range(0, least(octet_length(encode(text)) // 64, 8))) AS t(k)""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: mapInPandas with 1->N row
+    expansion — each binary payload yields up to 8 frame rows (64-byte
+    windows standing in for keyframes). The oracle recomputes the
+    window arithmetic from the text twin, verifying the expansion's
+    row multiplicity, offsets, and byte fidelity through Arrow.
+
+    Scale: narrow map, no shuffle; output size is bounded at
+    MAX_FRAMES per doc regardless of payload size — the cap that
+    keeps a 2-hour video from exploding the stage."""
+    from ..functions.multimodal import FRAME_SCHEMA, sample_frame_batches
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        sample_frame_batches, schema=FRAME_SCHEMA
+    )
