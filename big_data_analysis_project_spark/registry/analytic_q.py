@@ -169,3 +169,99 @@ def trend_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("direction"),
     )
+
+
+@q(
+    "events_funnel",
+    """WITH v AS (
+         SELECT user_id, MIN(ts) AS v_ts FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ),
+       c AS (
+         SELECT e.user_id, MIN(e.ts) AS c_ts
+         FROM events e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click'
+           AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 12 HOUR
+         GROUP BY e.user_id
+       ),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS p_ts
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase'
+           AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 12 HOUR
+         GROUP BY e.user_id
+       )
+       SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+       UNION ALL SELECT 'click', COUNT(*) FROM c
+       UNION ALL SELECT 'purchase', COUNT(*) FROM p""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with conversion windows: first view -> click
+    within 12 h -> purchase within 12 h of that click. (Unwindowed, all
+    150 testdata users complete every stage — the counts only
+    discriminate with the deadline; 12 h yields 150/37/7 at sf0.01.) Three aggregate passes joined on
+    user_id — each stage's frame is tiny (one row per surviving
+    user), so at 100 TB the joins after stage 1 are broadcast-able
+    and the heavy table is scanned once per stage with the event_type
+    filter pushed down."""
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    hour = F.expr("INTERVAL 12 HOUR")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1))).withColumn("stage", F.lit("view")),
+        c.agg(F.count(F.lit(1))).withColumn("stage", F.lit("click")),
+        p.agg(F.count(F.lit(1))).withColumn("stage", F.lit("purchase")),
+    ]
+    out = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return out.select("stage", F.col(out.columns[0]).alias("n_users"))
+
+
+@q(
+    "retention_cohort",
+    """WITH firstday AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+       )
+       SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+              CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+              COUNT(DISTINCT e.user_id) AS n_active
+       FROM events e JOIN firstday f ON e.user_id = f.user_id
+       GROUP BY 1, 2""",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    counted distinct on each later activity day. Two shuffles (first-
+    day agg keyed on user, matrix agg keyed on cohort x offset); the
+    firstday frame is one row per user — broadcast-able at mart scale,
+    shuffle-join at 100 TB with the same plan shape."""
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", F.to_date("ts").alias("day"))
+    firstday = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ev.join(firstday, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "d0").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
