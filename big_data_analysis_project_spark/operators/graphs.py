@@ -2,11 +2,15 @@
 the dedup family needs cluster representatives, not O(n^2) pair lists
 — VERDICT r1 #7).
 
-Algorithm: iterative min-label propagation ("hash-to-min" style).
-Every vertex starts labeled with itself; each round, labels flow
-across edges in both directions and every vertex keeps the minimum
-label it has seen. Converges in O(component diameter) rounds — for
-near-dup clusters (dense cliques from boilerplate) that is 1-2 rounds.
+Algorithm: iterative min-label propagation ("hash-to-min" style)
+with pointer jumping. Every vertex starts labeled with itself; each
+round, labels flow across edges in both directions, every vertex
+keeps the minimum label it has seen, and then adopts its label's own
+label (path compression). The jump step turns O(diameter) rounds
+into O(log diameter) — star-fallback chains from the capped dedup
+buckets produce diameter ~12 components at sf0.1, which converge in
+4 rounds instead of 12. At 100 TB each round is a full shuffle, so
+round count is the dominant term.
 
 Scale shape: each round is one shuffle keyed on vertex id (join +
 groupBy-min). No collect of the edge set; the only driver-side state
@@ -61,6 +65,20 @@ def connected_components(
             labels.union(msgs)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: adopt the current label OF my label. Every
+        # component value is itself a vertex id present in `labels`
+        # (labels are mins over vertex ids), so the self-join matches;
+        # coalesce only guards the transient pre-fixpoint state. Labels
+        # still only ever decrease, so the sum invariant below holds.
+        parent = labels.select(
+            F.col("vertex").alias("component"), F.col("component").alias("_pc")
+        )
+        labels = (
+            labels.join(parent, "component", "left")
+            .select(
+                "vertex", F.coalesce("_pc", "component").alias("component")
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
