@@ -589,7 +589,10 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_q import dedup_ngram_jaccard
 
     edges = dedup_ngram_jaccard(spark, sf_dir)
-    ends = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
-        edges.select(F.col("doc_b").alias("doc_id"))
+    # explode both endpoints from each edge row — a union of two
+    # selects over `edges` would execute the whole jaccard pipeline
+    # twice (one run per branch), doubling the dominant cost
+    ends = edges.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
     return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
