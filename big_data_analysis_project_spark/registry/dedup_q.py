@@ -220,6 +220,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # cache: referenced by the oversized-bucket stats, the anti-join,
+    # and BOTH sides of the candidate self-join — uncached, the 64-min
+    # signature aggregation re-executes once per reference (4x). The
+    # cached frame is 16 small rows per doc.
+    band_entries = band_entries.cache()
     oversized = (
         band_entries.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
