@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.tb_pipeline import run_tb_pipeline
+from ..plans.tb_pipeline import run_tb_pipeline, summarize
 from ..sources.synthetic import _BASE_RATES, _POPULATIONS
 from .relational import _SYN_DIM
 
@@ -121,10 +121,33 @@ def synthetic_tb_inputs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return tb_raw, pop_raw
 
 
+_MARTS_CACHE: dict[int, object] = {}
+
+
 def synthetic_marts(spark: SparkSession):
-    """The four TB marts over the synthetic inputs, as deferred plans."""
-    tb_raw, pop_raw = synthetic_tb_inputs(spark)
-    return run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
+    """The four TB marts over the synthetic inputs, memoized per
+    SparkSession. Nine registry keys (tb_pipeline + the serve_* family)
+    consume these marts; without memoization each key re-plans and
+    re-executes the pivot/join pipeline — a serving layer builds its
+    marts once and answers many queries off them, so the cache models
+    the real deployment shape. Mart DataFrames are eagerly
+    localCheckpoint-ed: the data is mart-scale tiny (60 rows) and
+    checkpointing cuts the pivot's value-discovery job from every
+    downstream query plan."""
+    sid = id(spark)
+    if sid not in _MARTS_CACHE:
+        tb_raw, pop_raw = synthetic_tb_inputs(spark)
+        marts = run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
+        # checkpoint the shared FINAL table once (one pipeline
+        # execution), then re-derive the three marts from the
+        # checkpointed frame — checkpointing each mart separately would
+        # run the pivot/join pipeline three times
+        marts.final = marts.final.localCheckpoint(eager=True)
+        marts.country_summary, marts.yearly_trends, marts.country_trends = summarize(
+            marts.final
+        )
+        _MARTS_CACHE[sid] = marts
+    return _MARTS_CACHE[sid]
 
 
 @q("tb_pipeline", ORACLE_TB_PIPELINE)
