@@ -201,7 +201,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard — at the measured testdata distribution the largest minhash
     bucket is 4, so the cap is a pure safety rail here)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()  # reused: signatures + exact verify
+    sh = _shingles(docs).localCheckpoint(eager=True)  # reused: signatures + exact verify
     sig = minhash_signatures(docs, shingles=sh)
     rows_per_band = N_PERMS // N_BANDS
     band_entries = sig.select(
@@ -220,11 +220,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # cache: referenced by the oversized-bucket stats, the anti-join,
-    # and BOTH sides of the candidate self-join — uncached, the 64-min
-    # signature aggregation re-executes once per reference (4x). The
-    # cached frame is 16 small rows per doc.
-    band_entries = band_entries.cache()
+    # eager checkpoint: referenced by the oversized-bucket stats, the
+    # anti-join, and the pair-expansion groupBy. A lazy .cache() does
+    # NOT deduplicate that work — the three references live in ONE
+    # action, whose concurrent stages race past the unpopulated cache
+    # and each recompute the 64-min signature aggregation. The eager
+    # checkpoint materializes once, up front; downstream stages read
+    # the stored partitions (16 small rows per doc).
+    band_entries = band_entries.localCheckpoint(eager=True)
     oversized = (
         band_entries.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -232,17 +235,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bucket")
     )
     band_entries = band_entries.join(oversized, ["band", "bucket"], "left_anti")
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # pairs within each band bucket via collect_list + array expansion
+    # (buckets are <= BUCKET_CAP members after the anti-join, so the
+    # arrays are bounded): one shuffle on the bucket key instead of the
+    # self-join's two
+    grouped = band_entries.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ms")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    )
+    candidates = (
+        grouped.select(F.explode(pair_arr).alias("p")).select("p.*").distinct()
     )
     # exact-Jaccard verification restricted to candidates (reuses the
     # cached shingle frame from the signature pass)
@@ -274,22 +284,59 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
         .filter(F.col("t") != "")
         .withColumn("h", F.crc32("t"))
     )
-    # majority vote per bit as sum((h>>i)&1) vs token count: plain
-    # shift-and-mask aggregates are cheaper per row than 64
-    # CASE WHEN branches, and "ones > half" == "net vote positive"
-    bit_votes = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(bits)
+    # majority vote per bit as sum((h>>i)&1) vs token count, with TWO
+    # 32-bit counter lanes packed per aggregate long: 33 aggregate
+    # columns instead of 65 keeps the hash aggregate inside whole-stage
+    # codegen (the unpacked 65-column variant measured 4-8x slower at
+    # sf0.1). Lanes stay exact up to ~2^31 tokens per doc — no
+    # realistic document overflows them.
+    packed = [
+        F.sum(
+            F.shiftright(F.col("h"), 2 * i).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(F.col("h"), 2 * i + 1).bitwiseAND(F.lit(1)), 32)
+        ).alias(f"p{i}")
+        for i in range(bits // 2)
     ]
-    votes = tokens.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("cnt"), *bit_votes
-    )
+    votes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *packed)
     fp: Column = F.lit(0).cast("long")
     for i in range(bits - 1):  # bit 63 left clear: keep the long positive
+        lane_count = F.shiftright(F.col(f"p{i // 2}"), 32 * (i % 2)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
         fp = fp + F.when(
-            F.col(f"b{i}") * 2 > F.col("cnt"), F.lit(1).cast("long") * (1 << i)
+            lane_count * 2 > F.col("cnt"), F.lit(1).cast("long") * (1 << i)
         ).otherwise(0)
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def _bucket_pairs(members: DataFrame, key_cols: list[str]) -> DataFrame:
+    """All a<b pairs within each bucket of ``members`` (doc_id,
+    simhash, *key_cols), emitted WITHOUT a self-join: one groupBy
+    collects each bucket's members into a sorted array (bounded — the
+    caller has already filtered buckets to <= BUCKET_CAP members) and
+    a narrow array expression expands the pairs. A self-join on the
+    bucket key shuffles the member set twice and re-probes a hash
+    table; this shuffles it once and the expansion is pure codegen."""
+    grouped = members.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                # 1-based slice starting just past element i (0-based):
+                # partners with a strictly larger doc_id (array sorted)
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.*")
 
 
 def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
@@ -331,28 +378,18 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
             ).alias("cc"),
         )
         .select("doc_id", "simhash", "cc.chunk", "cc.val")
-        # referenced by stats + both join branches: cache so the
-        # 64-aggregate fingerprint pass runs once, not 3x (spills to
-        # disk at scale — 4 rows x 3 longs per doc)
-        .cache()
+        # eager checkpoint, not .cache(): stats + both join branches
+        # sit in one action, whose concurrent stages race past a lazy
+        # cache and recompute the fingerprint aggregation each — the
+        # checkpoint materializes once up front (4 rows x 3 longs per
+        # doc, spills to disk at scale)
+        .localCheckpoint(eager=True)
     )
     stats = chunks.groupBy("chunk", "val").agg(F.count(F.lit(1)).alias("n"))
     small = chunks.join(
         stats.filter(F.col("n") <= cap).select("chunk", "val"), ["chunk", "val"]
     )
-    a = small.alias("a")
-    b = small.alias("b")
-    cand_small = a.join(
-        b,
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("ha"),
-        F.col("b.simhash").alias("hb"),
-    )
+    cand_small = _bucket_pairs(small, ["chunk", "val"])
     # level 2: re-bucket oversized buckets on 4x12-bit sub-chunks of
     # the 48 bits OUTSIDE the level-1 chunk (members agree on the
     # level-1 16 bits, so all <=3 diffs live in those 48)
@@ -398,27 +435,14 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
             ).alias("ss"),
         )
         .select("chunk", "val", "doc_id", "simhash", "ss.sub", "ss.subval")
-        # referenced by substats + both level-2 branches
-        .cache()
+        # referenced by substats + both level-2 branches — eager
+        # checkpoint for the same single-action reason as `chunks`
+        .localCheckpoint(eager=True)
     )
     subkey = ["chunk", "val", "sub", "subval"]
     substats = subbed.groupBy(*subkey).agg(F.count(F.lit(1)).alias("n"))
     sub_small = subbed.join(substats.filter(F.col("n") <= cap).select(*subkey), subkey)
-    s_a = sub_small.alias("a")
-    s_b = sub_small.alias("b")
-    cand_sub = s_a.join(
-        s_b,
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col("a.sub") == F.col("b.sub"))
-        & (F.col("a.subval") == F.col("b.subval"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("ha"),
-        F.col("b.simhash").alias("hb"),
-    )
+    cand_sub = _bucket_pairs(sub_small, subkey)
     # doubly-degenerate sub-buckets: multi-star to the _N_REPS
     # smallest-id members (row_number streams after the per-bucket
     # sort — no array materialization, a huge bucket spills not OOMs)
@@ -447,14 +471,18 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
             .alias("hb"),
         )
     )
-    cand = (
-        cand_small.union(cand_sub).union(cand_big).dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = cand_small.union(cand_sub).union(cand_big)
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # exact-hamming verify BEFORE the duplicate-elimination shuffle:
+    # bit_count is a narrow codegen expression, so filtering first
+    # means the dropDuplicates exchange carries only true edges (46k
+    # at sf0.1) instead of every raw candidate (436k) — on a templated
+    # corpus the candidate:edge ratio is ~10x and grows with scale
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

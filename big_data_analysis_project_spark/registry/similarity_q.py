@@ -141,9 +141,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tb"),
         )
         .select("vec_id", "v", "tb.tbl", "tb.bucket")
-        # referenced twice (query-row filter + probe join): cache so the
-        # 32 hyperplane dot products per vector are computed once
-        .cache()
+        # referenced twice (query-row filter + probe join) within ONE
+        # action: eager checkpoint instead of .cache() — concurrent
+        # stages of a single action race past a lazy cache and both
+        # recompute the 32 hyperplane dot products per vector
+        .localCheckpoint(eager=True)
     )
     qrow = corpus.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"),

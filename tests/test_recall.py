@@ -146,3 +146,33 @@ def test_stream_sliding_equals_batch(spark):
     stream = {tuple(r) for r in QUERIES["stream_sliding"](spark, SF_SMOKE).collect()}
     assert batch, "batch twin returned no rows"
     assert stream == batch
+
+
+def test_connected_components_paths_agree(spark):
+    """The distributed pointer-jumping path (driver_edge_limit=0) and
+    the driver union-find fast path must produce identical
+    (vertex, component) labelings on the same edge set — including a
+    chain (tests label transitivity across rounds) and singleton-free
+    behavior (vertices only appear if they have an edge)."""
+    from big_data_analysis_project_spark.operators.graphs import connected_components
+
+    edges = spark.createDataFrame(
+        # two chains and one isolated pair; ids deliberately unsorted
+        [(5, 3), (3, 9), (9, 7), (20, 21), (40, 2), (2, 41)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r.vertex, r.component)
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.vertex, r.component)
+        for r in connected_components(edges, driver_edge_limit=0).collect()
+    }
+    expected = {
+        (3, 3), (5, 3), (7, 3), (9, 3),
+        (20, 20), (21, 20),
+        (2, 2), (40, 2), (41, 2),
+    }
+    assert fast == expected
+    assert dist == expected
