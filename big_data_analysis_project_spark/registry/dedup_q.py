@@ -150,7 +150,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
     join, not an all-pairs cross join: pairs only materialize where a
     shingle is shared)."""
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    # eager checkpoint: the shingle set feeds the self-join (twice) and
+    # the size aggregate inside one action — materialize once
+    sh = _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -273,6 +273,73 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sample_stratified",
+    """SELECT doc_id, lang FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+             <= CASE WHEN lang = 'en' THEN '19' ELSE '7f' END""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample with per-stratum rates: ~10% of
+    the dominant language, ~50% of everything else — the rebalancing
+    a multilingual training mix does (downsample the head, keep the
+    tail). Same md5-prefix determinism as sample_hash, so the split
+    is reproducible across runs, engines, and partitionings; the rate
+    lookup is a narrow CASE, the filter pushes into the scan, and
+    there is no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    cutoff = F.when(F.col("lang") == "en", F.lit("19")).otherwise(F.lit("7f"))
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        <= cutoff
+    ).select("doc_id", "lang")
+
+
+@q(
+    "quantile_bins",
+    """WITH th AS (
+         SELECT quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.50) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem
+       )
+       SELECT CASE WHEN l_quantity <= p25 THEN 0
+                   WHEN l_quantity <= p50 THEN 1
+                   WHEN l_quantity <= p75 THEN 2
+                   ELSE 3 END AS bin,
+              COUNT(*) AS n,
+              MIN(l_quantity) AS lo,
+              MAX(l_quantity) AS hi
+       FROM lineitem, th GROUP BY 1""",
+)
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram WITHOUT a global NTILE window:
+    one aggregate computes the exact quartile thresholds, a broadcast
+    cross join + CASE assigns bins narrowly, one shuffle counts them.
+    A global NTILE funnels every row through one task; this shape
+    scales — at 100 TB swap percentile for approx_percentile and keep
+    the plan. l_quantity is integer-valued, so the interpolated
+    quartiles are float-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = li.agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+    )
+    binned = li.crossJoin(F.broadcast(th)).withColumn(
+        "bin",
+        F.when(F.col("l_quantity") <= F.col("p25"), 0)
+        .when(F.col("l_quantity") <= F.col("p50"), 1)
+        .when(F.col("l_quantity") <= F.col("p75"), 2)
+        .otherwise(3),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    )
+
+
+@q(
     "histogram_bins",
     """SELECT CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS bin,
               COUNT(*) AS n

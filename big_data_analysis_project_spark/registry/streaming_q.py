@@ -277,6 +277,41 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("stream_dedup")  # rows-only: stateful streaming twin of dedup_exact
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: content-hash the incoming
+    documents and dropDuplicates on the hash — the incremental twin of
+    the batch ``dedup_exact`` key (set-equality of kept hashes asserted
+    in tests/test_recall.py). State is one 32-byte hash per distinct
+    document, the exact state a 100 TB incremental-ingest dedup keeps;
+    at real scale the source swaps to files-on-arrival/kafka and
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` bounds the
+    state window."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    doc_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_dedup_"))
+    os.symlink(f"{sf_dir}/documents.parquet", stage / "documents.parquet")
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .format("parquet")
+        .load(str(stage))
+        .select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"))
+        .dropDuplicates(["h"])
+    )
+    query = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("bdap_stream_dedup")
+
+
 @q("stream_sliding")  # rows-only: true streaming twin of window_sliding
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window count (1 h wide, 30 min slide) as a genuine

@@ -176,3 +176,21 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == expected
     assert dist == expected
+
+
+def test_stream_dedup_matches_batch(spark):
+    """stream_dedup (streaming dropDuplicates on content hash) must
+    keep exactly the distinct-hash set the batch dedup keeps."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.sources.readers import load_table
+
+    got = {r.h for r in QUERIES["stream_dedup"](spark, SF_SMOKE).collect()}
+    want = {
+        r.h
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
