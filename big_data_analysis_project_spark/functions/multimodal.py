@@ -113,3 +113,64 @@ def sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(
             rows, columns=["doc_id", "frame_id", "offset", "checksum"]
         )
+
+
+FEATURE_SCHEMA = "doc_id long, feature array<long>"
+N_FEATURE_BUCKETS = 16
+
+
+def extract_features(payload: bytes) -> list[int]:
+    """Deterministic fake feature extractor: a 16-bucket byte histogram
+    (bucket = byte % 16) — integer counts so the oracle comparison is
+    exact, no float normalization drift. Real media swaps this for a
+    model-forward pass (CLIP/wav2vec); the output contract — one
+    fixed-length vector per payload, emitted as an array column that
+    feeds the ANN/dedup embedding keys — is identical."""
+    hist = [0] * N_FEATURE_BUCKETS
+    for b in payload:
+        hist[b % N_FEATURE_BUCKETS] += 1
+    return hist
+
+
+def extract_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, payload) -> (doc_id, feature) where
+    feature is a fixed-length array<long> — the payload-to-vector
+    contract for similarity search over media."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "feature": [extract_features(p) for p in pdf["payload"]],
+            }
+        )
+
+
+RESIZE_SCHEMA = "doc_id long, n_bytes_in int, n_bytes_out int, out_md5 string"
+RESIZE_STRIDE = 2
+
+
+def resize_payload(payload: bytes) -> bytes:
+    """Deterministic fake resize: keep every RESIZE_STRIDE-th byte —
+    the stand-in for an image downscale that halves the payload. Real
+    media swaps this for PIL.Image.resize; the binary-in/binary-out
+    transform shape (and that the output is re-hashable, re-storable
+    bytes) is what the plumbing proves."""
+    return payload[::RESIZE_STRIDE]
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary-in/binary-out transform with integrity
+    columns (in/out sizes + md5 of the output bytes) so the oracle can
+    verify the produced bytes, not just their count."""
+    import hashlib
+
+    for pdf in batches:
+        outs = [resize_payload(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes_in": [len(p) for p in pdf["payload"]],
+                "n_bytes_out": [len(o) for o in outs],
+                "out_md5": [hashlib.md5(o).hexdigest() for o in outs],
+            }
+        )

@@ -6,18 +6,23 @@ opaque binary column (utf-8 bytes of the text — at production it's
 image/audio bytes; the engine treats it opaquely either way) with a
 typed metadata struct alongside. Three surfaces:
 
-* mm_pack_inline  — struct/array shaping: pack doc+embedding records
-                    into array<struct>, inline back, flatten (oracle:
-                    plain join — agreement proves the round-trip is
-                    lossless).
-* mm_binary_stats — per-source stats over the binary column (byte
-                    lengths, distinct content hashes) without ever
-                    decoding it: the scan never leaves the JVM.
-* mm_decode_meta  — the python path: mapInPandas + Arrow batches
-                    running the (stubbed) decoder; the DuckDB oracle
-                    reproduces the fake decode arithmetic from the
-                    text twin, so the whole Arrow round-trip is
-                    hash-verified, not just smoke-tested.
+* mm_pack_inline     — struct/array shaping: pack doc+embedding
+                       records into array<struct>, inline back,
+                       flatten (oracle: plain join — agreement proves
+                       the round-trip is lossless).
+* mm_binary_stats    — per-source stats over the binary column (byte
+                       lengths, distinct content hashes) without ever
+                       decoding it: the scan never leaves the JVM.
+* mm_decode_meta     — the python path: mapInPandas + Arrow batches
+                       running the (stubbed) decoder; the DuckDB
+                       oracle reproduces the fake decode arithmetic
+                       from the text twin, so the whole Arrow
+                       round-trip is hash-verified, not smoke-tested.
+* mm_frame_sample    — 1->N frame expansion, bounded per doc.
+* mm_feature_extract — payload -> fixed-length array<long> vector
+                       (the media-embedding contract for ANN/dedup).
+* mm_resize          — binary-in/binary-out transform; output BYTES
+                       md5-verified by the oracle.
 """
 
 from __future__ import annotations
@@ -157,4 +162,61 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "payload").mapInPandas(
         sample_frame_batches, schema=FRAME_SCHEMA
+    )
+
+
+@q(
+    "mm_feature_extract",
+    """SELECT doc_id,
+              list_transform(range(0, 16),
+                  i -> len(list_filter(
+                           list_transform(string_split(text, ''), x -> ascii(x) % 16),
+                           v -> v = i))) AS feature
+       FROM documents""",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> feature-vector extraction through Arrow: mapInPandas
+    runs the (stub) extractor per payload and emits a fixed-length
+    array<long> column — the media analogue of text embedding, and the
+    input shape the ANN/dedup embedding keys consume. Integer byte
+    histogram (not floats) so the oracle comparison is exact. The
+    corpus is ASCII, so the oracle's per-char arithmetic equals the
+    python side's per-byte arithmetic.
+
+    Scale: narrow map, no shuffle; a real extractor (CLIP forward
+    pass) swaps in at functions/multimodal.py:extract_features with
+    the same batch contract."""
+    from ..functions.multimodal import FEATURE_SCHEMA, extract_feature_batches
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        extract_feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+@q(
+    "mm_resize",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes_in,
+              CAST((octet_length(encode(text)) + 1) // 2 AS INT) AS n_bytes_out,
+              md5(array_to_string(
+                    list_transform(range(1, len(text) + 1, 2),
+                                   i -> substr(text, CAST(i AS INT), 1)), '')) AS out_md5
+       FROM documents""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out media transform (the 'resize' slot):
+    mapInPandas produces a downsampled payload (stride-2 byte keep —
+    the stub for an image downscale) plus integrity columns; the
+    oracle recomputes the output bytes from the text twin and matches
+    their md5, so the produced BYTES — not just their count — are
+    verified through the Arrow round-trip.
+
+    Scale: narrow map; real codecs swap in at
+    functions/multimodal.py:resize_payload unchanged."""
+    from ..functions.multimodal import RESIZE_SCHEMA, resize_batches
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
     )
