@@ -663,3 +663,85 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
     return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+# --- incremental ingest / skew profiling -------------------------------
+
+
+@q(
+    "merge_upsert",
+    """WITH updates AS (
+         SELECT o_orderkey, o_totalprice + 1000.0 AS totalprice,
+                'updated' AS status, 2 AS version
+         FROM orders WHERE o_orderkey % 10 = 0
+       ),
+       base AS (
+         SELECT o_orderkey, o_totalprice AS totalprice,
+                'base' AS status, 1 AS version
+         FROM orders
+       ),
+       unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
+       SELECT o_orderkey, totalprice, status FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                      ORDER BY version DESC) AS rn
+         FROM unioned
+       ) WHERE rn = 1""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge (upsert) without a mutable table format: union the
+    base table with an update batch, keep the highest-version row per
+    key via a keyed window. One shuffle on the merge key — the same
+    plan a Delta/Iceberg MERGE compiles to for full-partition rewrites,
+    expressed in pure DataFrame ops. The update batch here is a
+    deterministic 10% slice with bumped prices, so the oracle verifies
+    that updates win and non-updated rows survive.
+    ref: init_db.sql:138-144 (INSERT ... ON CONFLICT) is the
+    reference's single-row version of this."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.lit("base").alias("status"),
+        F.lit(1).alias("version"),
+    )
+    # +1000.0 is an EXACT double op — a rounded multiply here would
+    # hit the Spark-half-away vs DuckDB-half-even tie split
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("totalprice"),
+        F.lit("updated").alias("status"),
+        F.lit(2).alias("version"),
+    )
+    unioned = base.unionByName(updates)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_orderkey", "totalprice", "status")
+    )
+
+
+@q(
+    "key_distribution",
+    """SELECT bucket, COUNT(*) AS n FROM (
+         SELECT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS bucket
+         FROM lineitem
+       ) GROUP BY bucket""",
+)
+def key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profiler: hash every key into 256 md5
+    buckets and count — the pre-flight diagnostic that tells you
+    whether a key needs salting (join_salted) or AQE skew handling
+    before you pay for a lopsided shuffle. md5 (not Spark's
+    murmur3 hash()) so the bucketing is engine-portable and
+    oracle-checkable; one partial-aggregated shuffle of 256 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.substring(
+                F.md5(F.col("l_orderkey").cast("string").cast("binary")), 1, 2
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
