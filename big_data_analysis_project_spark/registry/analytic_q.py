@@ -265,3 +265,52 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@q(
+    "agg_sketch_merge",
+    """SELECT scope, TRUE AS within_5pct FROM (
+         SELECT DISTINCT l_returnflag AS scope FROM lineitem
+         UNION ALL
+         SELECT 'ALL'
+       )""",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the capability that makes
+    approximate aggregation composable at 100 TB: build one
+    HyperLogLog sketch per group (hll_sketch_agg), estimate per group,
+    then hll_union_agg the group sketches into a global estimate
+    WITHOUT rescanning the fact table. That re-aggregation step is
+    exactly what a pre-aggregated daily-sketch table does at scale
+    (store sketches, merge across days at query time). Every estimate
+    is gated within 5% of its exact twin, so the oracle (the literal
+    expectation) verifies sketch accuracy AND merge correctness.
+
+    Two clean aggregation passes joined on the 3-row group key —
+    mixing countDistinct with sketches in one agg plans a
+    multi-distinct Expand (see agg_approx's note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ex")
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("ex")) / F.col("ex")
+        < 0.05
+    )
+    per_group = sketches.join(exact, "l_returnflag").select(
+        F.col("l_returnflag").alias("scope"), ok.alias("within_5pct")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_all = li.agg(F.countDistinct("l_partkey").alias("ex"))
+    all_row = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("scope"),
+        (F.abs(F.col("est").cast("double") - F.col("ex")) / F.col("ex") < 0.05).alias(
+            "within_5pct"
+        ),
+    )
+    return per_group.unionByName(all_row)

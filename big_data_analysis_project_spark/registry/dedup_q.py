@@ -1,6 +1,6 @@
 """Deduplication operators over the documents table (Phase E).
 
-Five families, all shuffle-conscious:
+Six families, all shuffle-conscious:
 
 * exact        — hash groupBy on the full text (one shuffle on text).
 * ngram_jaccard— exact near-dup: word-3-gram shingles, shingle-join,
@@ -17,6 +17,8 @@ Five families, all shuffle-conscious:
                  candidate generation.
 * embedding    — cosine near-dup within a blocking key (label), the
                  embedding analogue of exact near-dup.
+* clusters     — connected components over the verified pair set:
+                 the (doc_id, keep_id) drop-list a pipeline consumes.
 
 minhash/simhash have no DuckDB oracle (hash functions aren't portable
 SQL); they get rows-only driver checks plus pytest recall tests
