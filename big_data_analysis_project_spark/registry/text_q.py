@@ -10,7 +10,7 @@ RE2 (DuckDB) so the oracles are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -153,4 +153,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
         rolling.alias("rolling_hash"),
+    )
+
+
+@q(
+    "text_top_terms",
+    """SELECT doc_id, term, tf, rank FROM (
+         SELECT doc_id, term, tf,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tf DESC, term) AS INT) AS rank
+         FROM (
+           SELECT doc_id, t AS term, COUNT(*) AS tf
+           FROM (
+             SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+             FROM documents
+           ) WHERE len(t) >= 4
+           GROUP BY doc_id, t
+         )
+       ) WHERE rank <= 3""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by term frequency
+    (terms < 4 chars dropped as stopword-ish noise; lexicographic
+    tie-break keeps the pick deterministic). One shuffle to count
+    (doc, term) pairs and a doc-partitioned window — no global
+    ordering anywhere, so the plan is embarrassingly parallel at any
+    corpus size. Integer counts only: no TF-IDF float scoring in the
+    oracle-checked surface (the log/division variant lives one
+    withColumn away, but would split engines on last-ulp ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+        )
+        .filter(F.length("term") >= 4)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
     )
