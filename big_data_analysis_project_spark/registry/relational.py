@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rates import per_100k
+from ..operators import cleaning
 from ..operators.cleaning import repair_swapped_columns
 from ..operators.reshape import pivot_indicators, unpivot
 from ..operators.windows import latest_per_key, topk_per_group
@@ -208,6 +209,23 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_returnflag").isin("A", "R")).select(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )
+
+
+@q(
+    "filter_positive",
+    """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+       WHERE l_discount IS NOT NULL AND l_discount > 0
+         AND l_orderkey IS NOT NULL""",
+)
+def filter_positive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: positivity filter (null-safe strict > 0, plus required-col
+    non-null guard). ref: spark_data_processor.py:496-501. The
+    predicate is a plain conjunction over scan columns, so it pushes
+    to the parquet reader like F1-F3."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cleaning.filter_positive(
+        li, "l_discount", required_cols=["l_orderkey"]
+    ).select("l_orderkey", "l_linenumber", "l_discount")
 
 
 @q(
