@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(pushdown, pruning, broadcast, no cartesian blowups) checked against
+Catalyst's actual output, not docstrings.
+
+These guard regressions the row-count oracles can't see: a filter that
+silently stops pushing to the parquet scan, a broadcast hint that
+stops applying, or a join that degenerates to CartesianProduct still
+returns correct rows — it just stops scaling."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_project_spark.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+# Streaming keys execute a query at build time and return a memory-sink
+# frame whose plan is a LocalTableScan — nothing to assert.
+_SKIP = {k for k in QUERIES if k.startswith("stream_")}
+
+# Keys where a BroadcastNestedLoopJoin is the INTENDED plan: a tiny
+# broadcast side (single query vector, probe-shift array, bin edges)
+# against a non-equi or free-form condition. Everything else must not
+# nested-loop.
+_BNLJ_OK = {
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding",
+    "histogram_bins",
+    "quantile_bins",
+    "agg_approx",
+    # seed-rows x year-range generator grid (both sides tiny literals)
+    "gen_synthetic",
+    "derive_rates",
+    # 1-row exact-total scalar frame joined onto the sketch rollup
+    "agg_sketch_merge",
+}
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - _SKIP))
+def test_no_cartesian_product(spark, key):
+    plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
+    if key not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{key} plans a nested-loop join (non-equi or missing join keys)"
+        )
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["filter_valid", "filter_range", "filter_isin", "filter_positive", "filter_eq"],
+)
+def test_filters_push_to_scan(spark, key):
+    plan = _plan(spark, QUERIES[key](spark, SF_SMOKE), "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and all("PushedFilters: []" not in l for l in pushed), (
+        f"{key}: no predicate reached the parquet scan"
+    )
+
+
+def test_projection_prunes_scan(spark):
+    plan = _plan(spark, QUERIES["project"](spark, SF_SMOKE), "formatted")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas
+    # 3-column projection must read exactly 3 columns, not the table
+    assert schemas[0].count(":") - 1 == 3, schemas[0]
+
+
+@pytest.mark.parametrize("key", ["join_broadcast", "flagship", "serve_map_data"])
+def test_small_dims_broadcast(spark, key):
+    plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, f"{key}: dim join is not broadcast"
+
+
+def test_global_rank_not_single_task(spark):
+    """VERDICT r1 #4: the two-phase rank must not funnel the full table
+    through one Window task — the bulk sort happens under a range
+    partitioning, not a SinglePartition exchange feeding the Window."""
+    plan = _plan(spark, QUERIES["window_rank"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower(), plan
