@@ -97,6 +97,97 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+_LLOYD_ITERS = 2
+
+
+def _argmax_cell(vcol: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the max-dot centroid — on unit vectors this
+    is the spherical k-means assignment. Pure codegen: K dot products
+    and an array_position over their max."""
+    dots = F.array(
+        *[_dot(vcol, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def train_ivf_centroids(unit: DataFrame, k: int = N_CENTROIDS, iters: int = _LLOYD_ITERS) -> list[list[float]]:
+    """Spherical k-means over a frame of unit vectors (``vec_id``,
+    ``v``): seeds are the k smallest-id vectors (deterministic — no
+    runtime RNG), then ``iters`` distributed Lloyd passes. Each pass is
+    one narrow assignment scan plus a (cell, pos) average aggregation;
+    only the kxdim centroid matrix is ever collected — model state,
+    not data. At 100 TB you run this on a ~1e6-row sample and assign
+    the full corpus once; the training cost is independent of corpus
+    size."""
+    seeds = unit.orderBy("vec_id").limit(k).select("v").collect()
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = unit.withColumn("cell", _argmax_cell(F.col("v"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for ci, comp in by_cell.items():
+            vec = [comp[p] for p in range(len(comp))]
+            n = sum(x * x for x in vec) ** 0.5
+            if n > 0:  # renormalize the mean back onto the sphere
+                centroids[ci] = [x / n for x in vec]
+    return centroids
+
+
+@q("ann_ivf")  # approximate: rows-only driver check + pytest recall test
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: spherical-k-means coarse quantizer,
+    every vector assigned to its nearest of N_CENTROIDS cells, query
+    probes its N_PROBE nearest cells, exact cosine re-rank inside the
+    probed cells only.
+
+    Scale shape — the complement of the LSH path above: the cell id is
+    a data-layout key. Stored partitioned-by-cell (as sink_partitioned
+    does for dates), the probe filter becomes partition PRUNING — the
+    scan touches N_PROBE/N_CENTROIDS of the corpus and the plan is
+    scan -> filter -> TakeOrderedAndProject with no join or shuffle at
+    query time. The query vector and the kxdim centroid matrix are the
+    only driver-side values (the search argument and the model —
+    constant-size, not data). Recall@10 vs ann_cosine_topk is asserted
+    in tests/test_recall.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = e.withColumn("n", _norm(F.col("raw"))).select(
+        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
+    )
+    # referenced by training passes AND the final probe scan within
+    # separate actions — eager checkpoint materializes the normalize
+    # once (dim doubles per vector, same row count)
+    unit = unit.localCheckpoint(eager=True)
+    centroids = train_ivf_centroids(unit)
+    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
+    # probe-cell selection is pure python over the kxdim model matrix
+    qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
+    probe_cells = sorted(range(len(qdots)), key=lambda i: -qdots[i])[:N_PROBE]
+    assigned = unit.withColumn("cell", _argmax_cell(F.col("v"), centroids))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        # unit vectors: cosine IS the dot product, no norms at probe time
+        .withColumn("cosine_raw", _dot(F.col("v"), qlit))
+    )
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
 @q("ann_lsh_bucketed")  # approximate: rows-only driver check + pytest recall test
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: multi-table random-hyperplane LSH. Each of
