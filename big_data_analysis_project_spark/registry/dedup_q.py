@@ -193,8 +193,7 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
     )
 
 
-@q("dedup_minhash_lsh")  # no portable-SQL oracle: rows-only check + pytest recall test
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact
     Jaccard. Pipeline: shingle -> crc32 -> 64 min-hashes -> 16 band
     keys -> self-join on (band_idx, band_hash) -> exact verify.
@@ -204,7 +203,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     BUCKET_CAP are dropped before the self-join (boilerplate-collision
     guard — at the measured testdata distribution the largest minhash
     bucket is 4, so the cap is a pure safety rail here)."""
-    docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).localCheckpoint(eager=True)  # reused: signatures + exact verify
     sig = minhash_signatures(docs, shingles=sh)
     rows_per_band = N_PERMS // N_BANDS
@@ -277,6 +275,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@q("dedup_minhash_lsh")  # no portable-SQL oracle: rows-only check + pytest recall test
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface for ``minhash_verified_pairs`` (see that
+    docstring for the plan shape); recall/precision vs the exact
+    n-gram oracle is asserted in tests/test_recall.py."""
+    return minhash_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_clusters_lsh")  # no portable-SQL oracle: refinement-tested vs dedup_clusters
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 100 TB dedup path in one key: LSH-banded
+    candidate generation -> exact-Jaccard verify -> connected
+    components -> (doc_id, keep_id) drop-list.
+
+    ``dedup_clusters`` computes the same drop-list from the
+    all-shared-shingle exact pair set — quadratic in the worst case —
+    while this key's edges come from minhash banding, so every join is
+    keyed on band buckets and the cost stays O(candidates) at any
+    corpus size. Because LSH edges are a verified SUBSET of the exact
+    edges, the clustering here is provably a refinement of
+    dedup_clusters' (components can split on a missed edge, never
+    merge wrongly); tests/test_recall.py asserts the refinement
+    property plus a vertex-agreement floor."""
+    edges = minhash_verified_pairs(load_table(spark, sf_dir, "documents"))
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
     )
 
 

@@ -155,14 +155,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine addition — the streaming twin is stream_sessionize."""
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = SESSION_GAP_MIN * 60
+    # exact integer microseconds, NOT unix_timestamp: that truncates
+    # sub-second parts, so a gap of exactly gap+0.7s read as gap+0s
+    # fails the strict > and wrongly merges two sessions (bit us at
+    # sf0.1, user 805: 6h00m00.714s gap vs the 6h threshold)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     flags = ev.withColumn(
         "new_s",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > gap_sec
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
             ),
             1,
         ).otherwise(0),

@@ -41,6 +41,28 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
 
 
+def test_lsh_clusters_refine_exact_clusters(spark):
+    """dedup_clusters_lsh's components must be a refinement of
+    dedup_clusters' (LSH edges are a verified subset of exact edges:
+    splits allowed, wrong merges impossible), with near-total
+    agreement given the measured ~1.0 banding recall."""
+    exact = {
+        r.doc_id: r.keep_id for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        r.doc_id: r.keep_id
+        for r in QUERIES["dedup_clusters_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact clustering empty — test data changed?"
+    for doc, keep in lsh.items():
+        # refinement: every LSH-clustered doc is exact-clustered, and
+        # its LSH representative lives in the same exact component
+        assert doc in exact, f"LSH clustered a non-duplicate doc {doc}"
+        assert exact[keep] == exact[doc], f"wrong merge: {doc} -> {keep}"
+    agree = sum(1 for d in exact if lsh.get(d) == exact[d]) / len(exact)
+    assert agree >= 0.9, f"cluster agreement {agree:.2f} < 0.9"
+
+
 def test_simhash_clusters_vs_bruteforce(spark):
     """dedup_simhash emits (doc_id, keep_id) clusters from capped
     banding + exact hamming verify + connected components. Against a
