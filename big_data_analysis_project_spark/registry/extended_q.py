@@ -59,6 +59,69 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_outer",
+    """WITH a AS (SELECT o_custkey AS custkey, COUNT(*) AS n_1995 FROM orders
+                  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+            b AS (SELECT o_custkey AS custkey, COUNT(*) AS n_1996 FROM orders
+                  WHERE year(o_orderdate) = 1996 GROUP BY 1)
+       SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+              COALESCE(n_1995, 0) AS n_1995,
+              COALESCE(n_1996, 0) AS n_1996
+       FROM a FULL OUTER JOIN b USING (custkey)""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two year-sliced per-customer order counts —
+    unmatched keys on BOTH sides, null-filled to zero. Both inputs are
+    pre-aggregated before the join, so the shuffle carries one row per
+    (customer, year) instead of raw orders; the outer join itself is a
+    plain shuffled hash join on the same key partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(yr: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = year_counts(1995, "n_1995")
+    b = year_counts(1996, "n_1996")
+    return a.join(b, "custkey", "full_outer").select(
+        "custkey",
+        F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+        F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+    )
+
+
+@q(
+    "set_intersect_except",
+    """SELECT 'both' AS tag, k FROM (
+         SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS k FROM orders)
+       UNION ALL
+       SELECT 'segment_only' AS tag, k FROM (
+         SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS k FROM orders)""",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics): BUILDING-segment
+    customers split into those with and without orders. Catalyst plans
+    both as aggregates over a shared key shuffle — same scale shape as
+    a groupBy on the key; no row duplication ever crosses the wire."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    ordered = o.select(F.col("o_custkey").alias("k"))
+    both = seg.intersect(ordered).select(F.lit("both").alias("tag"), "k")
+    only = seg.subtract(ordered).select(F.lit("segment_only").alias("tag"), "k")
+    return both.unionByName(only)
+
+
+@q(
     "join_anti",
     """SELECT c_custkey, c_name FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o
