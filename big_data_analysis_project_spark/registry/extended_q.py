@@ -531,6 +531,32 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "compact_files",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+       FROM events""",
+)
+def compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: fragment events into 64
+    over-parallel part files (what a streaming sink or a 1000-task
+    writer leaves behind), compact to target-sized files via
+    sinks.compact_parquet, and prove the rewrite is lossless by
+    re-aggregating row and key counts from the compacted copy. The
+    file-count reduction itself is asserted in tests/test_sinks.py."""
+    from .. import sinks
+
+    frag = str(_SINK_ROOT / "compact_in")
+    out = str(_SINK_ROOT / "compact_out")
+    load_events(spark, sf_dir).repartition(64).write.mode("overwrite").parquet(frag)
+    sinks.compact_parquet(spark, frag, out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
 # --- second wave: cumulative / argmax / json / ordered concat ---------
 
 

@@ -52,6 +52,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The everyday 100 TB maintenance
+    op — streaming sinks and over-parallel writers leave thousands of
+    KB-sized files whose per-file open/footer cost dominates scans;
+    compaction restores ~target-sized files so the reader's split
+    planning works with maxPartitionBytes instead of file count.
+    Returns (files_before, files_after). Uses repartition (round-robin
+    full shuffle) rather than coalesce: coalesce(n) would also narrow
+    the UPSTREAM computation to n tasks and can skew output sizes;
+    here the shuffle IS the point — uniform target files."""
+    from pathlib import Path as _P
+
+    before = [p for p in _P(src).glob("*.parquet")]
+    total = sum(p.stat().st_size for p in before)
+    n_out = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    after = [p for p in _P(dst).glob("*.parquet")]
+    return len(before), len(after)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -87,3 +87,19 @@ def test_bucketed_join_has_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.findall(r"\bExchange\b", plan), plan
     assert df.count() > 0
+
+
+def test_compact_parquet_reduces_files(spark, orders):
+    from big_data_analysis_project_spark.sinks import compact_parquet
+
+    root = Path(tempfile.mkdtemp())
+    frag = str(root / "frag")
+    out = str(root / "compact")
+    orders.repartition(32).write.mode("overwrite").parquet(frag)
+    before, after = compact_parquet(spark, frag, out)
+    assert before == 32
+    assert after < before  # tiny table -> single target-sized file
+    assert after == 1
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
