@@ -157,6 +157,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_prep_report",
+    """WITH quality AS (
+         SELECT doc_id, text, lang,
+                len(string_split_regex(trim(text), '\\s+')) AS n_words
+         FROM documents WHERE length(text) > 0
+       ),
+       kept AS (SELECT * FROM quality WHERE n_words BETWEEN 20 AND 80),
+       uniq AS (
+         SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+                CAST(COUNT(*) AS BIGINT) AS n_copies,
+                MIN(lang) AS lang, MIN(n_words) AS n_words
+         FROM kept GROUP BY 1
+       )
+       SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+              CAST(SUM(n_copies) AS BIGINT) AS n_docs_incl_dups,
+              CAST(SUM(n_words) AS BIGINT) AS total_words
+       FROM uniq GROUP BY lang""",
+)
+def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation, composed from the
+    family's building blocks: length/word-count quality gate -> exact
+    dedup on a content hash (keep min doc_id) -> per-language corpus
+    report. This is the summary a data curator reads before a training
+    run — and the whole flow is two shuffles (hash groupBy, lang
+    groupBy) regardless of corpus size; the quality gate prunes before
+    the first shuffle so junk never crosses the wire.
+
+    The testdata carries exact duplicates only at sf0.1 (8 docs), so
+    n_docs_incl_dups > n_unique_docs there; at sf0.01 the dedup stage
+    passes everything through (still compared exactly)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    quality = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_words"),
+    ).filter(F.col("n_words").between(20, 80))
+    uniq = quality.groupBy(
+        F.md5(F.encode("text", "UTF-8")).alias("h")
+    ).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+        F.min("n_words").alias("n_words"),
+    )
+    return uniq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique_docs"),
+        F.sum("n_copies").alias("n_docs_incl_dups"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+@q(
     "text_top_terms",
     """SELECT doc_id, term, tf, rank FROM (
          SELECT doc_id, term, tf,
