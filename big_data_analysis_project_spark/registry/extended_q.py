@@ -557,6 +557,44 @@ def compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "schema_evolution",
+    """WITH v1 AS (SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+                   FROM orders WHERE o_orderkey % 2 = 0),
+            v2 AS (SELECT o_orderkey, o_custkey, o_totalprice
+                   FROM orders WHERE o_orderkey % 2 = 1)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+       FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)""",
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written under
+    different schema versions (v1 lacks o_totalprice; v2 added it) are
+    scanned together with mergeSchema=true — legacy rows surface the
+    new column as NULL, exactly the lake contract a years-old 100 TB
+    table accumulates. Footer merging is a planning-time cost; the
+    scan itself stays columnar and per-batch prunable."""
+    o = load_table(spark, sf_dir, "orders")
+    root = _SINK_ROOT / "schema_evo"
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(str(root / "batch_v1"))
+    v2.write.mode("overwrite").parquet(str(root / "batch_v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        str(root / "batch_v1"), str(root / "batch_v2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_legacy_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
 # --- second wave: cumulative / argmax / json / ordered concat ---------
 
 
