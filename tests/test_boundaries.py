@@ -85,6 +85,91 @@ def test_window_tumbling_epoch_alignment(spark, tmp_path):
     assert oracle == got
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics, not just watermark configuration: an
+    append-mode windowed aggregate over a checkpointed file source is
+    run, the watermark finalizes and emits a window, then a SECOND run
+    (checkpoint restart = the next micro-batch at scale) delivers an
+    event for that already-finalized window. The event must be
+    DROPPED: the window is never re-emitted and its aggregate never
+    changes. availableNow+complete-mode twins can't show this — only
+    an across-batch append run can."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    hour_ns = 3_600 * 1_000_000_000
+    t0 = 1_700_000_000_000_000_000 // hour_ns * hour_ns
+
+    def _write_events_file(path, rows):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            _pa.table(
+                {
+                    "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                    "ts": _pa.array([r[1] for r in rows], _pa.timestamp("ns")),
+                    "user_id": _pa.array([1] * len(rows), _pa.int64()),
+                    "event_type": _pa.array(["view"] * len(rows), _pa.string()),
+                    "value": _pa.array([float(r[2]) for r in rows], _pa.float64()),
+                    "props": _pa.array(["{}"] * len(rows), _pa.string()),
+                }
+            ),
+            path,
+            store_schema=False,
+        )
+
+    def run_stream():
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(raw)
+            .format("parquet")
+            .load(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        )
+        q = (
+            agg.select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n", "tv"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    h0 = lambda s: t0 + s * 1_000_000_000  # noqa: E731
+    _write_events_file(src / "b1.parquet", [(1, h0(1), 5.0), (2, h0(2), 7.0), (3, t0 + 3 * hour_ns + 10**9, 1.0)])
+    got1 = run_stream()
+    # hour-0 window finalized by the hour-3 event's watermark advance
+    assert [(r[1], r[2]) for r in got1] == [(2, 12.0)], got1
+
+    # batch 2: a LATE hour-0 event (100.0 — poison value) + an hour-5
+    # event that advances the watermark past hour 3
+    _write_events_file(src / "b2.parquet", [(4, h0(5), 100.0), (5, t0 + 5 * hour_ns + 10**9, 2.0)])
+    got2 = run_stream()
+    # late event dropped: hour-0 unchanged, no 100.0 anywhere;
+    # hour-3 window newly finalized
+    assert [(r[1], r[2]) for r in got2] == [(2, 12.0), (1, 1.0)], got2
+    assert all(r[2] < 100.0 for r in got2)
+
+
 def _uf_components(edges):
     parent = {}
 
