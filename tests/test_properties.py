@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the algebraic laws the
+operators claim, on randomized inputs the fixed-table oracles can't
+vary: pivot/unpivot round-trip identity, upsert idempotence and
+last-writer-wins, equi-depth bin balance.
+
+Examples are kept small and the deadline disabled — each example is a
+real Spark job; the value is input SHAPE diversity (nulls, dup keys,
+single-row frames), not volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_project_spark.operators.reshape import pivot_indicators, unpivot
+
+INDICATORS = ["cases", "deaths", "recoveries"]
+
+_long_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # entity
+        st.sampled_from(INDICATORS),
+        st.one_of(st.none(), st.integers(0, 10**6).map(float)),
+    ),
+    min_size=1,
+    max_size=25,
+).map(
+    # pivot's contract: one row per (entity, indicator) — dedup keeping
+    # the first occurrence, mirroring upstream-dedup precondition
+    lambda rows: list({(e, i): (e, i, v) for e, i, v in rows}.values())
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=_long_rows)
+@_SETTINGS
+def test_pivot_unpivot_roundtrip(spark, rows):
+    """long -> pivot -> melt -> long recovers exactly the non-null
+    input cells (pivot fills absent combinations with 0, which melt
+    re-emits — so compare against the null-dropped input plus fill)."""
+    df = spark.createDataFrame(rows, "entity int, indicator string, value double")
+    wide = pivot_indicators(df, ["entity"], "indicator", values=INDICATORS, fill=None)
+    back = unpivot(wide, ["entity"], INDICATORS, "indicator", "value")
+    got = {
+        (r.entity, r.indicator): r.value
+        for r in back.collect()
+        if r.value is not None
+    }
+    want = {(e, i): v for e, i, v in rows if v is not None}
+    assert got == want
+
+
+_upsert_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=1, max_size=20
+)
+
+
+@given(base=_upsert_rows, delta=_upsert_rows)
+@_SETTINGS
+def test_upsert_idempotent_last_writer_wins(spark, base, delta):
+    """The SCD-1 merge law: applying the same delta twice equals
+    applying it once, and every delta key's value wins over base."""
+    b = spark.createDataFrame(
+        [(k, v, 1) for k, v in {k: v for k, v in base}.items()],
+        "k int, v int, version int",
+    )
+    d_map = {k: v for k, v in delta}
+    d = spark.createDataFrame(
+        [(k, v, 2) for k, v in d_map.items()], "k int, v int, version int"
+    )
+
+    def merge(left, right):
+        w = Window.partitionBy("k").orderBy(F.desc("version"))
+        return (
+            left.unionByName(right)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    once = {(r.k, r.v) for r in merge(b, d).drop("version").collect()}
+    twice = {
+        (r.k, r.v)
+        for r in merge(merge(b, d), d.withColumn("version", F.lit(3)))
+        .drop("version")
+        .collect()
+    }
+    assert once == twice
+    for k, v in d_map.items():
+        assert (k, v) in once
+
+
+@given(
+    values=st.lists(st.integers(0, 10**6), min_size=20, max_size=60, unique=True),
+    n_bins=st.integers(2, 5),
+)
+@_SETTINGS
+def test_ntile_bins_are_equi_depth(spark, values, n_bins):
+    """ntile's law (the basis of quantile_bins): bin sizes differ by
+    at most 1 and every bin is non-empty when rows >= bins."""
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    binned = df.withColumn("bin", F.ntile(n_bins).over(Window.orderBy("v")))
+    counts = [r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == n_bins
+    assert max(counts) - min(counts) <= 1
