@@ -156,6 +156,63 @@ def test_ann_ivf_recall(spark):
     assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
 
 
+def test_ann_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The IVF docstring's scale claim, proven: persist the cell
+    assignments partitioned BY cell, probe with a cell filter, and the
+    scan must hit PartitionFilters (reads nprobe/k of the corpus from
+    disk) while returning exactly the inline key's top-k."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        N_PROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        _argmax_cell,
+        _dot,
+        _norm,
+        train_ivf_centroids,
+    )
+    from big_data_analysis_project_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = (
+        e.withColumn("n", _norm(F.col("raw")))
+        .select("vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    centroids = train_ivf_centroids(unit)
+    index_path = str(tmp_path / "ivf_index")
+    unit.withColumn("cell", _argmax_cell(F.col("v"), centroids)).write.partitionBy(
+        "cell"
+    ).parquet(index_path)
+
+    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
+    qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
+    probe_cells = sorted(range(len(qdots)), key=lambda i: -qdots[i])[:N_PROBE]
+
+    index = spark.read.parquet(index_path)
+    probed = index.filter(F.col("cell").isin(probe_cells)).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:100]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    got = (
+        probed.withColumn("cos", _dot(F.col("v"), qlit))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos", 4).alias("cosine"))
+        .collect()
+    )
+    inline = QUERIES["ann_ivf"](spark, SF_SMOKE).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in inline
+    ]
+
+
 def test_stream_sessionize_equals_batch(spark):
     """The applyInPandasWithState sessionizer must produce exactly the
     batch window-based sessionization: availableNow delivers all
