@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_events, load_table
+from ..sources.readers import (
+    events_raw_ts_type,
+    load_events,
+    load_table,
+    normalize_events_ts,
+)
 
 QUERIES = {}
 ORACLE = {}
@@ -69,14 +74,12 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven to completion with availableNow (the batch-of-files
     trigger). At scale the source swaps to kafka/files-on-arrival and
     the sink to a table — the query body is unchanged."""
-    # ts arrives as TIMESTAMP(NANOS) parquet; stream it as long and
-    # floor-convert to a micros timestamp (same as load_events).
-    # nanosAsLong is set by the session factory; fallback only for
-    # externally-built sessions.
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source needs a user schema matching the on-disk ts
+    # encoding (nanos-as-long or timestamp[us] across testdata
+    # generations); probe it, then normalize like load_events
+    ts_t = events_raw_ts_type(spark, sf_dir)
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
     )
     # FileStreamSource needs a directory; expose the single events file
     # through a symlinked per-process staging dir (at scale this IS the
@@ -89,11 +92,8 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = stage / "events.parquet"
     if not link.exists():
         os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -203,20 +203,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_t = events_raw_ts_type(spark, sf_dir)
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
     )
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_sess_"))
     os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_id", "ts", "value")
-    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+    ).select("user_id", "event_id", "ts", "value")
 
     gap_sec = SESSION_GAP_MIN * 60
 
@@ -327,18 +322,14 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_t = events_raw_ts_type(spark, sf_dir)
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
     )
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_slide_"))
     os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
     )
     agg = (
         stream.withWatermark("ts", "2 hours")

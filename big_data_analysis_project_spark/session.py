@@ -55,10 +55,11 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver testdata's events.parquet carries TIMESTAMP(NANOS),
-        # which the vectorized reader rejects; read nanos as long
-        # (converted in sources.readers.load_events). Set at build time
-        # so no reader mutates session conf as a side effect.
+        # some driver-testdata generations ship events.parquet with
+        # TIMESTAMP(NANOS), which the vectorized reader rejects; read
+        # nanos as long (normalized in sources.readers). Harmless for
+        # micros-encoded generations. Set at build time so no reader
+        # mutates session conf as a side effect.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

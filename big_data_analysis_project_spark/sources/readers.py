@@ -30,22 +30,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz TIMESTAMP
+    regardless of how the parquet encodes it. Two encodings exist
+    across driver testdata generations: TIMESTAMP(NANOS) (read as
+    bigint via the nanosAsLong conf set in session.py) and
+    timestamp[us] (read as TIMESTAMP_NTZ). The session tz is pinned to
+    UTC (session.py), so the NTZ->LTZ cast is value-preserving and both
+    paths agree exactly with DuckDB's native micros timestamps."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer div, NOT (ts / 1000).cast("long"): the double division
+        # loses precision at ~1.7e18 nanos (2^53 mantissa) and lands 1us
+        # off DuckDB's exact truncation on ~2% of rows
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_raw_ts_type(spark: SparkSession, sf_dir: str) -> str:
+    """The Spark dtype ``events.parquet``'s ts column reads as — needed
+    by streaming keys, whose file source requires a user-supplied
+    schema that must match the on-disk encoding."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table loader. The driver's events.parquet carries
-    TIMESTAMP(NANOS) which Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL); nanosAsLong is set in the session factory
-    (session.py) and the long is floor-converted here to a microsecond
-    timestamp — the same truncation DuckDB applies when it reads nanos
-    into its native micros timestamps, so oracle comparisons stay
-    exact. The conf fallback below only fires for sessions built
-    outside get_spark (e.g. the driver's own harness session)."""
+    """Events table loader, tolerant of both ts encodings the driver
+    testdata has shipped (TIMESTAMP(NANOS) and timestamp[us]) — see
+    normalize_events_ts. The conf fallback below only fires for
+    sessions built outside get_spark (e.g. the driver's own harness
+    session)."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer div, NOT (ts / 1000).cast("long"): the double division
-    # loses precision at ~1.7e18 nanos (2^53 mantissa) and lands 1us
-    # off DuckDB's exact truncation on ~2% of rows
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def load_all_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
