@@ -872,3 +872,35 @@ def key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "scd2_history",
+    """SELECT o_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+              COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'),
+                       '9999-12-31') AS valid_to,
+              CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS INT) AS is_current
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: per customer, each order opens a
+    version valid until the next order's date (exclusive); the last
+    version is current (open-ended 9999-12-31 sentinel). The lakehouse
+    companion to merge_upsert's SCD-1: one key-partitioned window, no
+    global ordering, scales with the key cardinality. Dates emitted as
+    strings so the oracle surface stays VARCHAR/BIGINT/INT."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

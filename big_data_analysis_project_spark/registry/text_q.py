@@ -250,3 +250,87 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# LLM-training chunking: 32-token chunks, stride 24 (8-token overlap)
+_CHUNK, _STRIDE = 32, 24
+
+
+@q(
+    "text_chunk",
+    f"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM documents WHERE length(text) > 0
+       )
+       SELECT doc_id,
+              CAST((start - 1) // {_STRIDE} AS INT) AS chunk_idx,
+              CAST(least({_CHUNK}, len(w) - start + 1) AS INT) AS n_chunk_tokens,
+              array_to_string(w[start : least(start + {_CHUNK} - 1, len(w))], ' ') AS chunk
+       FROM toks, UNNEST(range(1, len(w) + 1, {_STRIDE})) AS t(start)""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the core LLM-training
+    prep op (context-window packing input). Each doc explodes into
+    ceil(n/stride) chunks of <=32 whitespace tokens with an 8-token
+    overlap; chunk text is re-joined so downstream tokenizers see
+    plain strings. Pure JVM (split/sequence/explode/slice): a narrow
+    1-to-N flatMap with no shuffle — at 100 TB this is a map-only
+    stage whose output partitioning follows the input's."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    df = d.select("doc_id", F.split(F.trim("text"), "\\s+").alias("w")).select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(_STRIDE))).alias("start"),
+    )
+    return df.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.size("w") - F.col("start") + 1)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("w", F.col("start"), _CHUNK), " ").alias("chunk"),
+    )
+
+
+@q(
+    "text_repetition",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         FROM documents WHERE length(text) > 0
+       ), b AS (
+         SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi
+         FROM t WHERE len(w) >= 2
+       )
+       SELECT doc_id,
+              CAST(len(bi) AS BIGINT) AS n_bigrams,
+              CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams,
+              CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS n_dup_bigrams
+       FROM b""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-style quality rule): duplicate word
+    bigram counts per document — high duplicate-bigram fraction flags
+    boilerplate/spam before training. Integer counts only (the ratio
+    is one exact division away downstream; emitting it here would pit
+    Spark's half-away rounding against DuckDB's half-even on ties).
+    Bigrams are built with transform() over an index sequence —
+    JVM-side, no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    df = (
+        d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+        .withColumn(
+            "bi",
+            F.expr(
+                "transform(sequence(1, size(w)-1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+            ),
+        )
+    )
+    n, nd = F.size("bi"), F.size(F.array_distinct("bi"))
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct_bigrams"),
+        (n - nd).cast("long").alias("n_dup_bigrams"),
+    )
