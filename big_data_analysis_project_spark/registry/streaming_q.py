@@ -349,3 +349,80 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table("bdap_stream_sliding")
+
+
+@q(
+    "events_enrich",
+    """SELECT e.event_id, e.event_type,
+              c.c_mktsegment AS segment,
+              n.n_name AS nation_name
+       FROM events e
+       JOIN customer c ON e.user_id = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)
+def events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event enrichment: fact stream joined through a two-hop
+    dimension chain (customer -> nation), both sides broadcast — the
+    batch twin of stream_enrich. At 100 TB the events side streams
+    through map tasks while the dims ship once per executor; zero
+    shuffle, no float aggregation in the oracle surface."""
+    ev = load_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+@q("stream_enrich")  # rows-only: true streaming, not SQL-expressible
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events file stream joined to
+    the static customer->nation dimension chain — the canonical
+    Structured Streaming lookup pattern (stateless, append-mode; the
+    dim is re-broadcast per micro-batch, so slowly-changing dims are
+    picked up between batches). Equivalence-tested row-for-row against
+    events_enrich (tests/test_recall.py)."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_enrich_"))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", "c_mktsegment", "n_name")
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_stream_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("bdap_stream_enrich")

@@ -289,3 +289,13 @@ def test_stream_dedup_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_enrich_equals_batch(spark):
+    """The stream-static enrichment join must equal the oracle-checked
+    batch events_enrich twin row-for-row (stateless append-mode join;
+    availableNow drains the full file source)."""
+    batch = {tuple(r) for r in QUERIES["events_enrich"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_enrich"](spark, SF_SMOKE).collect()}
+    assert batch, "batch twin returned no rows"
+    assert stream == batch
