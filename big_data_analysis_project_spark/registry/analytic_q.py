@@ -314,3 +314,107 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_group.unionByName(all_row)
+
+
+@q(
+    "date_spine",
+    """WITH bounds AS (
+         SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+       ),
+       spine AS (
+         SELECT CAST(UNNEST(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 DAY)) AS DATE) AS day
+       ),
+       daily AS (
+         SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1
+       )
+       SELECT strftime(s.day, '%Y-%m-%d') AS day,
+              CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders
+       FROM spine s LEFT JOIN daily d ON s.day = d.day""",
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + coverage join: a gapless daily
+    spine from min to max order date (F.sequence over an interval),
+    left-joined to per-day order counts so zero-activity days surface
+    as explicit 0 rows — the standard completeness check before any
+    time-series computation. The fact table aggregates to #days rows
+    BEFORE the join, so the join is tiny-vs-tiny at any input scale
+    (the spine is broadcast; days grow with time, not data volume)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@q(
+    "gapfill_ffill",
+    """WITH daily AS (
+         SELECT n.n_name, o.o_orderdate AS day, MAX(o.o_totalprice) AS day_max
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2
+       ),
+       bounds AS (
+         SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+       ),
+       spine AS (
+         SELECT CAST(UNNEST(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 DAY)) AS DATE) AS day
+       ),
+       grid AS (SELECT n_name, day FROM (SELECT DISTINCT n_name FROM nation), spine)
+       SELECT g.n_name,
+              strftime(g.day, '%Y-%m-%d') AS day,
+              LAST_VALUE(d.day_max IGNORE NULLS)
+                OVER (PARTITION BY g.n_name ORDER BY g.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_max
+       FROM grid g LEFT JOIN daily d ON g.n_name = d.n_name AND g.day = d.day""",
+)
+def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with forward fill (the hypertable
+    interpolation primitive): per-nation daily grid (nation x spine
+    cross join — both sides tiny), left-joined to per-nation daily
+    maxima, then last-non-null carried forward with a key-partitioned
+    window. MAX (order-independent) rather than SUM keeps the double
+    surface bit-exact across engines. The expensive input aggregates
+    down to (#nations x #days) before any window; the window
+    partitions by nation, so no global ordering exists anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").alias("day"))
+        .agg(F.max("o_totalprice").alias("day_max"))
+    )
+    bounds = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    grid = n.select("n_name").distinct().crossJoin(spine)
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(daily), ["n_name", "day"], "left")
+        .withColumn("ffill_max", F.last("day_max", ignorenulls=True).over(w))
+        .select(
+            "n_name",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "ffill_max",
+        )
+    )
