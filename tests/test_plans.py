@@ -35,6 +35,9 @@ _BNLJ_OK = {
     "derive_rates",
     # 1-row exact-total scalar frame joined onto the sketch rollup
     "agg_sketch_merge",
+    # nation x calendar-spine grid: an intended cross of two tiny
+    # dimension frames (#nations x #days), both broadcast-size
+    "gapfill_ffill",
 }
 
 
