@@ -426,3 +426,113 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table("bdap_stream_enrich")
+
+
+@q(
+    "events_attribution",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+              CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (batch twin of stream_pair_join):
+    every purchase paired with each same-user click in the preceding
+    hour. Equi-join on user_id with the time range as a residual
+    condition — shuffles once on the user key, never builds the
+    user-cross-product beyond each user's own events. Gap emitted as
+    exact integer microseconds (unix_micros), no float time math."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+    )
+
+
+@q("stream_pair_join")  # rows-only: true stream-stream join
+def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with watermarks: the click stream
+    joined to the purchase stream on user_id within a 1-hour event-time
+    range — the hardest Structured Streaming shape (both sides buffer
+    state; the watermark + range condition bound it, so state is
+    ~1 hour of events per side regardless of stream length). Same
+    output as events_attribution; equivalence-tested row-for-row in
+    tests/test_recall.py."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
+    )
+
+    def src(tag: str) -> DataFrame:
+        stage = Path(tempfile.mkdtemp(prefix=f"bdap_stream_pair_{tag}_"))
+        os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+        return normalize_events_ts(
+            spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+        )
+
+    clicks = (
+        src("c")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        src("p")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_stream_pair_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("bdap_stream_pair_join")

@@ -299,3 +299,14 @@ def test_stream_enrich_equals_batch(spark):
     stream = {tuple(r) for r in QUERIES["stream_enrich"](spark, SF_SMOKE).collect()}
     assert batch, "batch twin returned no rows"
     assert stream == batch
+
+
+def test_stream_pair_join_equals_batch(spark):
+    """The stream-stream watermarked interval join must equal the
+    oracle-checked batch events_attribution twin row-for-row
+    (availableNow drains both sources; the watermark outlives the
+    join window, so no pair is dropped)."""
+    batch = {tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_pair_join"](spark, SF_SMOKE).collect()}
+    assert batch, "batch twin returned no rows"
+    assert stream == batch
