@@ -418,3 +418,75 @@ def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ffill_max",
         )
     )
+
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+_PROFILE_TS = ["o_orderdate"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name,
+               (SELECT COUNT(*) FROM orders) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {f"CAST(MIN({c}) AS DOUBLE)" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"} AS min_num,
+               {f"CAST(MAX({c}) AS DOUBLE)" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"} AS max_num,
+               {f"strftime(MIN({c}), '%Y-%m-%d')" if c in _PROFILE_TS else (f"MIN({c})" if c in _PROFILE_STR else "CAST(NULL AS VARCHAR)")} AS min_str,
+               {f"strftime(MAX({c}), '%Y-%m-%d')" if c in _PROFILE_TS else (f"MAX({c})" if c in _PROFILE_STR else "CAST(NULL AS VARCHAR)")} AS max_str
+        FROM orders"""
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS
+)
+
+
+@q("profile_table", _PROFILE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profiler (Deequ-style data quality
+    snapshot): row count, null count, exact distinct count, and
+    min/max for every column of `orders`, emitted one row per column.
+
+    Scale shape: a SINGLE wide aggregation pass computes every
+    statistic (the per-column rows are exploded from the one agg row
+    in-plan — no collect, no per-column scans). The exact
+    COUNT(DISTINCT) over several columns expands the input via
+    Spark's Expand operator (one replica per distinct agg); at 100 TB
+    swap count_distinct -> approx_count_distinct (HLL, single pass,
+    no expand) — exact kept here so the DuckDB oracle can match
+    bit-for-bit. Mirrors the profiling the reference does per-load in
+    pandas (ref: spark_data_processor.py quality checks) as one
+    distributed pass."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+    for c in _PROFILE_STR:
+        aggs.append(F.min(c).alias(f"{c}__min_str"))
+        aggs.append(F.max(c).alias(f"{c}__max_str"))
+    for c in _PROFILE_TS:
+        aggs.append(F.date_format(F.min(c), "yyyy-MM-dd").alias(f"{c}__min_str"))
+        aggs.append(F.date_format(F.max(c), "yyyy-MM-dd").alias(f"{c}__max_str"))
+    one = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__min_num") if c in _PROFILE_NUM else null_d).alias("min_num"),
+            (F.col(f"{c}__max_num") if c in _PROFILE_NUM else null_d).alias("max_num"),
+            (null_s if c in _PROFILE_NUM else F.col(f"{c}__min_str")).alias("min_str"),
+            (null_s if c in _PROFILE_NUM else F.col(f"{c}__max_str")).alias("max_str"),
+        )
+        for c in cols
+    ]
+    return one.select(
+        F.col("n_rows"), F.explode(F.array(*structs)).alias("p")
+    ).select(
+        "p.col_name", "n_rows", "p.n_null", "p.n_distinct",
+        "p.min_num", "p.max_num", "p.min_str", "p.max_str",
+    )
