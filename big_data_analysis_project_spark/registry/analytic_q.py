@@ -490,3 +490,53 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.col_name", "n_rows", "p.n_null", "p.n_distinct",
         "p.min_num", "p.max_num", "p.min_str", "p.max_str",
     )
+
+
+_RANGE_30D_US = 30 * 86400 * 1_000_000
+
+
+@q(
+    "window_range_30d",
+    """SELECT o_orderkey, o_custkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""",
+)
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling window: per customer, the count and total
+    (exact integer cents) of their orders in the trailing 30 days of
+    each order — the interval-based frame ``window_rolling``'s
+    rows-based frame can't express (a customer with 5 orders in one
+    week vs 5 in a year gets very different frames here).
+
+    Scale shape: partitioned by customer, ordered by exact epoch
+    micros (``unix_micros`` — ``unix_timestamp`` truncates sub-second
+    parts), so frames are per-customer and the window never
+    single-tasks. Money stays exact: FLOOR to integer cents on both
+    engines BEFORE summing (double sums over sliding frames differ in
+    accumulation order between engines; bigint sums can't — and
+    CAST(double AS BIGINT) alone truncates in Spark but rounds in
+    DuckDB, hence FLOOR first)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ).withColumn(
+        # parquet TIMESTAMP may surface as TIMESTAMP_NTZ; unix_micros
+        # requires TIMESTAMP — cast is offset-free (session tz is UTC)
+        "us",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("us")
+        .rangeBetween(-_RANGE_30D_US, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.sum("cents").over(w).alias("cents_30d"),
+    )

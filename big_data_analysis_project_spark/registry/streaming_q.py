@@ -536,3 +536,36 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table("bdap_stream_pair_join")
+
+
+@q("sessionize_builtin", _SESSIONIZE_ORACLE)
+def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    idiomatic one-operator form of ``sessionize`` (which builds the
+    same thing from lag-flag + running sum). One groupBy, fully
+    JVM-side, and the operator is streaming-ready as-is (the same
+    expression works under readStream + watermark).
+
+    Boundary contract matches the lag-based key exactly (verified, not
+    assumed: ``session_window``'s merge is INCLUSIVE of the session
+    end, so a gap of exactly SESSION_GAP_MIN stays in the session and
+    one microsecond more splits — the same ``>`` semantics as
+    ``sessionize``, hence the shared oracle).
+    tests/test_boundaries.py pins both sides of the edge."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -63,6 +63,33 @@ def test_sessionize_exact_gap_boundary(spark, tmp_path):
     assert oracle == got
 
 
+def test_sessionize_builtin_exact_gap_boundary(spark, tmp_path):
+    """Native session_window shares the lag-based key's boundary
+    contract (its merge is inclusive of the session end): exactly GAP
+    apart -> same session, GAP + 1us -> new. Same fixture and
+    expectations as test_sessionize_exact_gap_boundary, so the two
+    implementations are pinned to one contract."""
+    t0 = 1_700_000_000_000_000_000  # ns epoch
+    rows = [
+        (1, t0, 42, 1.0),
+        (2, t0 + GAP_US * 1000, 42, 2.0),  # exactly GAP -> same session
+        (3, t0 + GAP_US * 1000 * 2 + 1000, 42, 4.0),  # GAP + 1us -> new
+    ]
+    _write_events(tmp_path, rows)
+    sdf = QUERIES["sessionize_builtin"](spark, str(tmp_path))
+    got = sorted((r.n_events, r.total_value) for r in sdf.collect())
+    assert got == [(1, 4.0), (2, 3.0)], got
+
+    conn = duckdb.connect()
+    conn.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = sorted(
+        (r[2], r[3]) for r in conn.execute(ORACLE["sessionize_builtin"]).fetchall()
+    )
+    assert oracle == got
+
+
 def test_window_tumbling_epoch_alignment(spark, tmp_path):
     """An event exactly on an hour boundary belongs to the window it
     starts ([start, end) semantics) in both engines."""
