@@ -200,6 +200,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -216,23 +217,46 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_sec = SESSION_GAP_MIN * 60
 
     def sessionize_user(key, pdfs, state: GroupState):
+        # the per-group body is the hot path: it runs once per user per
+        # micro-batch (~15k calls/batch at sf0.1), so constant per-call
+        # pandas overhead dominates the stage. Everything here is numpy
+        # (lexsort + flatnonzero/reduceat segmentation) — the pandas
+        # sort_values + per-row Python loop variant measured ~2x slower
+        # end-to-end
         (user_id,) = key
         # state tuple: (last_ts_epoch, start_epoch, n_events, total_value)
         sess = list(state.get) if state.exists else None
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        out = []
-        for ts, value in zip(rows["ts"], rows["value"]):
-            epoch = ts.timestamp()
-            if sess is None:
-                sess = [epoch, epoch, 0, 0.0]
-            elif epoch - sess[0] > gap_sec:
-                out.append(sess)
-                sess = [epoch, epoch, 0, 0.0]
-            sess[0] = epoch
-            sess[2] += 1
-            sess[3] += float(value)
-        state.update(tuple(sess))
-        out.append(sess)  # open session: emitted now, updated next batch
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts_raw = rows["ts"].to_numpy()
+        order = np.lexsort((rows["event_id"].to_numpy(), ts_raw))
+        # datetime64[us or ns] -> float posix seconds (what .timestamp()
+        # yields row-wise); normalize to ns first so both parquet
+        # encodings land on the same scale
+        epoch = ts_raw[order].astype("datetime64[ns]").astype("int64") / 1e9
+        val = rows["value"].to_numpy()[order]
+        n = len(epoch)
+        new_flag = np.empty(n, dtype=bool)
+        new_flag[0] = sess is None or (epoch[0] - sess[0]) > gap_sec
+        new_flag[1:] = (epoch[1:] - epoch[:-1]) > gap_sec
+        starts = np.flatnonzero(new_flag)
+        seg = (
+            starts
+            if starts.size and starts[0] == 0
+            else np.concatenate(([0], starts))
+        )
+        counts = np.diff(np.append(seg, n))
+        totals = np.add.reduceat(val, seg)
+        seg_start = epoch[seg]
+        seg_last = epoch[np.append(seg[1:], n) - 1]
+        out = [
+            [seg_last[i], seg_start[i], int(counts[i]), float(totals[i])]
+            for i in range(len(seg))
+        ]
+        if sess is not None and not new_flag[0]:
+            # first segment continues the carried open session
+            out[0] = [out[0][0], sess[1], sess[2] + out[0][2], sess[3] + out[0][3]]
+        state.update(tuple(out[-1]))  # open session: emitted now, updated next batch
         return iter(
             [
                 pd.DataFrame(
