@@ -593,3 +593,128 @@ def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q("stream_session_builtin")  # rows-only: native streaming session windows
+def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sessionize_builtin``'s body run as a REAL streaming query —
+    the point of the native operator: the identical
+    groupBy(session_window) expression moves from batch to
+    readStream + watermark unchanged (vs stream_sessionize, whose
+    custom applyInPandasWithState needed its own state plumbing).
+    Streaming session windows reject update mode (sessions can merge,
+    which re-keys the group), so the sink runs in COMPLETE mode —
+    fine against the test-only memory sink, while a production sink
+    uses append mode, where the watermark closes sessions and only
+    finished sessions emit. Equivalence vs the batch key is asserted
+    row-for-row in tests/test_recall.py."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_sessb_"))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bdap_stream_session_builtin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("bdap_stream_session_builtin")
+
+
+@q("stream_foreach_batch")  # rows-only: foreachBatch durable-sink bridge
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming -> batch-sink bridge every production pipeline
+    ends in: the hourly aggregate streamed in update mode into a
+    ``foreachBatch`` MERGE against a durable parquet mart. Each batch
+    upserts its updated groups (anti-join out the stale rows, union
+    the fresh ones) and commits a NEW versioned snapshot directory,
+    then flips a pointer file — the poor man's transaction log, which
+    is exactly what Delta/Iceberg's MERGE INTO + commit log replace at
+    scale (snapshots stay atomic and readers never see a half-written
+    mart). The memory-sink keys above are test-only; this one writes
+    the real files. Final mart equals the batch ``window_tumbling``
+    output row-for-row (tests/test_recall.py)."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_src_"))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    mart = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_mart_"))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        pointer = mart / "_LATEST"
+        prev = int(pointer.read_text()) if pointer.exists() else -1
+        fresh = batch_df.select(
+            "window_start", "event_type", "n_events", "total_value"
+        )
+        if prev >= 0:
+            current = sess.read.parquet(str(mart / f"v{prev}"))
+            kept = current.join(
+                fresh.select("window_start", "event_type"),
+                ["window_start", "event_type"],
+                "left_anti",
+            )
+            fresh = kept.unionByName(fresh)
+        fresh.write.mode("overwrite").parquet(str(mart / f"v{prev + 1}"))
+        pointer.write_text(str(prev + 1))
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    latest = int((mart / "_LATEST").read_text())
+    return spark.read.parquet(str(mart / f"v{latest}"))

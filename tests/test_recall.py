@@ -343,3 +343,29 @@ def test_pagerank_matches_reference(spark):
     assert set(got) == set(rank)
     for v in rank:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+def test_stream_session_builtin_equals_batch(spark):
+    """Native session_window under readStream must equal the
+    oracle-checked sessionize_builtin batch key row-for-row (the same
+    expression body; availableNow single batch completes every
+    session)."""
+    batch = {tuple(r) for r in QUERIES["sessionize_builtin"](spark, SF_SMOKE).collect()}
+    stream = {
+        tuple(r) for r in QUERIES["stream_session_builtin"](spark, SF_SMOKE).collect()
+    }
+    assert batch, "batch twin returned no rows"
+    assert stream == batch
+
+
+def test_stream_foreach_batch_equals_batch(spark):
+    """The foreachBatch versioned-snapshot mart must equal the
+    oracle-checked window_tumbling batch aggregate row-for-row after
+    the stream drains (single-batch upsert into an empty mart, read
+    back through the _LATEST pointer)."""
+    batch = {tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect()}
+    mart = {
+        tuple(r) for r in QUERIES["stream_foreach_batch"](spark, SF_SMOKE).collect()
+    }
+    assert batch, "batch twin returned no rows"
+    assert mart == batch
