@@ -26,6 +26,7 @@ from . import (
     similarity_q,
     streaming_q,
     text_q,
+    udf_q,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -44,6 +45,7 @@ for mod in (
     similarity_q,
     streaming_q,
     multimodal_q,
+    udf_q,
 ):
     overlap = set(QUERIES) & set(mod.QUERIES)
     assert not overlap, f"duplicate query keys: {overlap}"

@@ -1,0 +1,144 @@
+"""The Python UDF surface, one key per API tier (SURVEY §2.11: the
+reference is UDF-free; these are engine additions demonstrating where
+custom Python logic plugs in when no built-in exists — and the cost
+ladder between the tiers):
+
+* ``udf_pandas_tokens`` — Arrow-vectorized ``@pandas_udf`` scalar.
+  The SAME semantic as the JVM-side ``text_tokens`` key, so the two
+  are directly benchmarkable: this is the 10-100x-faster-than-row-UDF
+  tier, still slower than built-ins (serialize out + back).
+* ``udaf_momentum`` — batch grouped-map ``applyInPandas`` (the batch
+  twin of stream_sessionize's applyInPandasWithState): per-group
+  custom aggregation in numpy over Arrow batches.
+* ``udtf_word_freq`` — a Python UDTF in a LATERAL join, the 1->N
+  row-generator tier (row-at-a-time Python; the LAST resort — fine
+  off the hot path, never on it).
+
+Every key keeps integer/string outputs so the DuckDB oracle compares
+hash-exactly (no float tolerance games).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..sources.readers import load_events, load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "udf_pandas_tokens",
+    r"""SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+       FROM documents""",
+)
+def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count via an Arrow-batched ``@pandas_udf`` —
+    semantically identical to the JVM path in ``text_tokens``
+    (text_q.py), kept as a separate key so the Python-UDF tier has
+    its own oracle row and its cost is visible next to the built-in
+    in BENCH output. Plan shape: scan -> one Arrow round trip ->
+    project; no shuffle. (Defined inside the key: DDL-string return
+    types resolve against the active session, so module-import-time
+    decoration would need a session that doesn't exist yet.)"""
+
+    @pandas_udf("long")
+    def ws_tokens(s: pd.Series) -> pd.Series:
+        # tokens = whitespace runs + 1 on the trimmed string — the
+        # exact semantics of size(split(trim(text), '\\s+'))
+        return s.str.strip().str.count(r"\s+") + 1
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ws_tokens(F.col("text")).alias("n_ws_tokens"))
+
+
+@q(
+    "udaf_momentum",
+    """SELECT user_id, COUNT(*) AS n_events,
+              CAST(SUM(CASE WHEN value > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+       FROM (SELECT user_id, value,
+                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events)
+       GROUP BY user_id""",
+)
+def udaf_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event momentum (how many events increased on the
+    previous value, in event-time order) as a batch grouped-map
+    ``applyInPandas`` — the UDAF tier: one shuffle on the group key,
+    then arbitrary per-group numpy. This particular statistic IS
+    lag-expressible (the oracle does exactly that), which is the
+    point: the key verifies the Arrow grouped-map plumbing against a
+    built-in restatement, so the harness catches ordering or batching
+    bugs in the custom tier. State shape at 100 TB: groups stream
+    through workers one at a time; nothing driver-side."""
+    import numpy as np
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def momentum(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+        vals = pdf["value"].to_numpy()[order]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vals)],
+                "n_up": [int((np.diff(vals) > 0).sum())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        momentum, "user_id bigint, n_events bigint, n_up bigint"
+    )
+
+
+@q(
+    "udtf_word_freq",
+    r"""SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT doc_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             FROM documents)
+       WHERE word <> ''
+       GROUP BY doc_id, word""",
+)
+def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word frequencies through a Python UDTF in a
+    LATERAL join — the 1->N generator tier of the UDF surface.
+    Row-at-a-time Python: correct, composable, and the slowest tier
+    (the oracle restates it with unnest + GROUP BY; `text_top_terms`
+    does related work fully JVM-side — prefer that shape on hot
+    paths). The UDTF itself is per-row/stateless so the plan stays
+    embarrassingly parallel: scan -> pythonUDTF -> project, no
+    shuffle."""
+
+    @udtf(returnType="word string, n bigint")
+    class WordFreq:
+        def eval(self, text: str):
+            from collections import Counter
+
+            if text is None:
+                return
+            for w, n in Counter(t for t in text.strip().lower().split()).items():
+                yield w, n
+
+    spark.udtf.register("bdap_word_freq", WordFreq)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bdap_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, w.word, w.n
+           FROM bdap_udtf_docs d, LATERAL bdap_word_freq(d.text) w"""
+    )
