@@ -104,6 +104,46 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, out, schema="c_custkey bigint, c_name string, acctbal double")
 
 
+@q(
+    "sink_orc",
+    "SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal FROM supplier",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-scan (engine addition: second columnar format,
+    Spark-native reader/writer — same predicate-pushdown and
+    column-pruning story as parquet, relevant where the lake already
+    standardized on ORC). Round-trips the same projection as
+    sink_parquet so the two formats share one oracle shape."""
+    out = str(_SINK_ROOT / "sink_orc")
+    (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal"))
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return spark.read.orc(out)
+
+
+@q(
+    "sink_jsonl",
+    "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer",
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd re-scan (engine addition — the
+    interchange format LLM-corpus pipelines actually emit/ingest).
+    Distributed line-delimited write; the re-read pins an explicit
+    schema, never inference (schema inference is a full extra pass at
+    100 TB and type-unstable across batches)."""
+    out = str(_SINK_ROOT / "sink_jsonl")
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return spark.read.schema("c_custkey bigint, c_name string, acctbal double").json(out)
+
+
 _SYN_DIM = ", ".join(
     f"('{iso3}', {rate}, {float(_POPULATIONS[iso3])})" for iso3, rate in _BASE_RATES.items()
 )
