@@ -334,3 +334,69 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("long").alias("n_distinct_bigrams"),
         (n - nd).cast("long").alias("n_dup_bigrams"),
     )
+
+
+_CONTAM_EVAL_MAX_ID = 20  # docs below this id play the held-out eval set
+_CONTAM_MIN_SHARED = 3  # >=3 shared 3-gram shingles => contaminated
+
+
+@q(
+    "text_contamination",
+    rf"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM words WHERE len(w) >= 3),
+       ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id < {_CONTAM_EVAL_MAX_ID}),
+       tr AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id >= {_CONTAM_EVAL_MAX_ID})
+       SELECT train_doc, eval_doc, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared
+       FROM tr JOIN ev ON tr.s = ev.s
+       GROUP BY train_doc, eval_doc
+       HAVING COUNT(DISTINCT tr.s) >= {_CONTAM_MIN_SHARED}""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: find training documents sharing >=
+    _CONTAM_MIN_SHARED distinct 3-gram word shingles with any held-out
+    eval document (here: the _CONTAM_EVAL_MAX_ID smallest doc_ids
+    stand in for the benchmark set). The op every serious pretraining
+    pipeline runs before training — eval questions leaking into the
+    corpus inflate benchmarks silently.
+
+    Scale shape: the eval side is tiny by construction (a benchmark is
+    KBs, the corpus is TBs), so it BROADCASTS and the whole check is
+    one map-side join over the corpus shingle stream plus one groupBy
+    on the surviving (train, eval) pairs — no corpus self-join, no
+    shuffle of the corpus text. Shingles stay inline (no
+    materialization); at 100 TB you'd hash them (crc32, as the
+    minhash path does) to shrink the broadcast and the groupBy keys."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                    F.element_at("w", i + 3),
+                ),
+            )
+        ).alias("s"),
+    )
+    ev = sh.filter(F.col("doc_id") < _CONTAM_EVAL_MAX_ID).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = sh.filter(F.col("doc_id") >= _CONTAM_EVAL_MAX_ID).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
