@@ -87,3 +87,36 @@ def test_global_rank_not_single_task(spark):
     partitioning, not a SinglePartition exchange feeding the Window."""
     plan = _plan(spark, QUERIES["window_rank"](spark, SF_SMOKE))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_profile_table_single_pass(spark):
+    """The profiler's claim is ONE aggregation pass: exactly one
+    parquet scan of orders in the plan (the per-column rows are
+    exploded from the single agg row in-plan, never re-scanned)."""
+    plan = _plan(spark, QUERIES["profile_table"](spark, SF_SMOKE))
+    scans = [l for l in plan.splitlines() if "orders.parquet" in l and "FileScan" in l]
+    assert len(scans) == 1, plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """Decontamination must join the corpus against a BROADCAST eval
+    set — a sort-merge join here would shuffle the whole corpus
+    shingle stream at 100 TB."""
+    plan = _plan(spark, QUERIES["text_contamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pandas_udf_is_arrow_vectorized(spark):
+    """The pandas_udf tier must plan as ArrowEvalPython (vectorized
+    Arrow batches), not BatchEvalPython (row-pickling) — the whole
+    point of the tier."""
+    plan = _plan(spark, QUERIES["udf_pandas_tokens"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_window_range_30d_partitioned_window(spark):
+    """The interval RANGE window must run under a per-customer hash
+    partitioning, never a SinglePartition exchange."""
+    plan = _plan(spark, QUERIES["window_range_30d"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
