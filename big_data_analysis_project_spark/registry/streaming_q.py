@@ -39,6 +39,26 @@ def q(key: str, oracle: str | None = None):
     return deco
 
 
+_STREAM_STATE_PARTITIONS = 8
+
+
+def _drain(spark: SparkSession, writer) -> None:
+    """Start + drain a streaming query with a bounded state-partition
+    count. Every stateful streaming op instantiates ONE state store
+    per shuffle partition, each paying per-batch delta-file and
+    maintenance cost — so state partitions should be sized to state
+    VOLUME, not cluster cores (32 stores for a few MB of state
+    measured 3x slower than 8 on the sf0.1 suite). The conf only
+    affects queries STARTED under it; restored after the drain so
+    batch keys keep the session default."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    try:
+        writer.start().awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @q(
     "window_tumbling",
     """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -109,14 +129,13 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    query = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("bdap_stream_hourly")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_hourly")
 
 
@@ -280,14 +299,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
+    _drain(
+        spark,
         result.writeStream.outputMode("update")
         .format("memory")
         .queryName("bdap_stream_sessionize")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     # update-mode memory sink: latest emission per (user, session_start)
     tbl = spark.table("bdap_stream_sessionize")
     wlast = Window.partitionBy("user_id", "session_start").orderBy(
@@ -324,14 +342,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"))
         .dropDuplicates(["h"])
     )
-    query = (
+    _drain(
+        spark,
         stream.writeStream.outputMode("append")
         .format("memory")
         .queryName("bdap_stream_dedup")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_dedup")
 
 
@@ -364,14 +381,13 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    query = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("bdap_stream_sliding")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_sliding")
 
 
@@ -441,14 +457,13 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
     )
-    query = (
+    _drain(
+        spark,
         enriched.writeStream.outputMode("append")
         .format("memory")
         .queryName("bdap_stream_enrich")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_enrich")
 
 
@@ -551,14 +566,13 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    query = (
+    _drain(
+        spark,
         joined.writeStream.outputMode("append")
         .format("memory")
         .queryName("bdap_stream_pair_join")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_pair_join")
 
 
@@ -638,14 +652,13 @@ def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    query = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("bdap_stream_session_builtin")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     return spark.table("bdap_stream_session_builtin")
 
 
@@ -709,12 +722,11 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.write.mode("overwrite").parquet(str(mart / f"v{prev + 1}"))
         pointer.write_text(str(prev + 1))
 
-    query = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    query.awaitTermination()
     latest = int((mart / "_LATEST").read_text())
     return spark.read.parquet(str(mart / f"v{latest}"))
