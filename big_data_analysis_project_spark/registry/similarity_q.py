@@ -102,14 +102,39 @@ N_PROBE = 4
 _LLOYD_ITERS = 2
 
 
-def _argmax_cell(vcol: Column, centroids: list[list[float]]) -> Column:
-    """Index (0-based) of the max-dot centroid — on unit vectors this
-    is the spherical k-means assignment. Pure codegen: K dot products
-    and an array_position over their max."""
-    dots = F.array(
-        *[_dot(vcol, F.array(*[F.lit(x) for x in c])) for c in centroids]
+def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, cell): nearest-centroid (max-dot)
+    assignment with the MODEL AS BROADCAST DATA, not literals. An
+    inline k x dim literal-array argmax expression costs seconds of
+    codegen per compile and grows with k*dim (hopeless at real
+    embedding dims like 1024); this is one posexplode + broadcast
+    join on pos + two narrow aggregations — constant compile cost at
+    any k/dim, and the same shape you'd use when the model lives in a
+    table instead of the driver. Ties break to the LOWEST cell id
+    (the struct-max's negated-cell tiebreak), matching argmax-first
+    semantics."""
+    cent_rows = [
+        (ci, pos, float(m))
+        for ci, c in enumerate(centroids)
+        for pos, m in enumerate(c)
+    ]
+    cdf = unit.sparkSession.createDataFrame(cent_rows, "cell int, pos int, m double")
+    ex = unit.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    dots = (
+        ex.join(F.broadcast(cdf), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
     )
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    best = (
+        dots.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("dot"), (-F.col("cell")).cast("int").alias("nc"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.nc")).cast("int").alias("cell"))
+    )
+    return unit.join(best, "vec_id")
 
 
 def train_ivf_centroids(unit: DataFrame, k: int = N_CENTROIDS, iters: int = _LLOYD_ITERS) -> list[list[float]]:
@@ -124,7 +149,7 @@ def train_ivf_centroids(unit: DataFrame, k: int = N_CENTROIDS, iters: int = _LLO
     seeds = unit.orderBy("vec_id").limit(k).select("v").collect()
     centroids = [list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = unit.withColumn("cell", _argmax_cell(F.col("v"), centroids))
+        assigned = assign_cells(unit, centroids)
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -173,7 +198,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe-cell selection is pure python over the kxdim model matrix
     qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
     probe_cells = sorted(range(len(qdots)), key=lambda i: -qdots[i])[:N_PROBE]
-    assigned = unit.withColumn("cell", _argmax_cell(F.col("v"), centroids))
+    assigned = assign_cells(unit, centroids)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     scored = (
         assigned.filter(F.col("cell").isin(probe_cells))

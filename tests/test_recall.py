@@ -167,9 +167,9 @@ def test_ann_ivf_persisted_index_prunes_partitions(spark, tmp_path):
         N_PROBE,
         QUERY_VEC_ID,
         TOP_K,
-        _argmax_cell,
         _dot,
         _norm,
+        assign_cells,
         train_ivf_centroids,
     )
     from big_data_analysis_project_spark.sources.readers import load_table
@@ -184,9 +184,7 @@ def test_ann_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     )
     centroids = train_ivf_centroids(unit)
     index_path = str(tmp_path / "ivf_index")
-    unit.withColumn("cell", _argmax_cell(F.col("v"), centroids)).write.partitionBy(
-        "cell"
-    ).parquet(index_path)
+    assign_cells(unit, centroids).write.partitionBy("cell").parquet(index_path)
 
     qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
     qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
