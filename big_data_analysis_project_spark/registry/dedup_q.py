@@ -149,6 +149,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — registry surface over the
+    per-session memoized pair list (``ngram_pairs_cached``): the graph
+    consumers (dedup_clusters, graph_degree, graph_pagerank) and this
+    key share one materialization of the corpus-snapshot artifact."""
+    return ngram_pairs_cached(spark, sf_dir)
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
     join, not an all-pairs cross join: pairs only materialize where a
     shingle is shared)."""
@@ -651,7 +659,7 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     models that shape (same pattern as pipeline_q.synthetic_marts)."""
     key = (id(spark), sf_dir)
     if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(
+        _PAIRS_CACHE[key] = _ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(
             eager=True
         )
     return _PAIRS_CACHE[key]
