@@ -802,3 +802,39 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("side", F.lit("supplier"))
     )
     return c.unionByName(s).select("nationkey", "side", "n")
+
+
+@q("scan_csv_permissive")  # rows-only: contract pinned in tests/test_boundaries.py
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with corrupt-record capture: malformed
+    lines land in ``_corrupt_record`` instead of killing the load —
+    on a 100 TB ingest a handful of mangled lines is a certainty, and
+    the three Spark modes (PERMISSIVE / DROPMALFORMED / FAILFAST)
+    are the engine's answer to it. Returns (n_good, n_corrupt) so the
+    split is assertable; the dirty fixture derives deterministically
+    from the nation dim (25 rows, built driver-side — a tiny-dim
+    fixture, not a data-path collect) plus two injected bad lines
+    (wrong arity; unparseable int)."""
+    rows = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).collect()
+    out = _SINK_ROOT / "scan_csv_permissive"
+    out.mkdir(parents=True, exist_ok=True)
+    lines = [f"{r.n_nationkey},{r.n_name},{r.n_regionkey}" for r in rows]
+    lines.insert(3, "999,TOOFEW")  # wrong arity
+    lines.insert(7, "notanint,BADLAND,xyz")  # unparseable ints
+    (out / "dirty.csv").write_text("\n".join(lines) + "\n")
+    df = spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(str(out))
+    # cache() before splitting on _corrupt_record: Spark documents that
+    # the corrupt column is only reliably populated when the parsed
+    # batch is materialized (referencing it alone on a lazy scan can
+    # return nulls)
+    df = df.cache()
+    return df.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
+    )

@@ -21,6 +21,8 @@ from big_data_analysis_project_spark.operators.graphs import connected_component
 from big_data_analysis_project_spark.registry import ORACLE, QUERIES
 from big_data_analysis_project_spark.registry.streaming_q import SESSION_GAP_MIN
 
+from .conftest import SF_SMOKE
+
 GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
@@ -239,3 +241,11 @@ def test_distributed_cc_random_graphs(spark, seed):
     }
     want = _uf_components([e for e in edges])
     assert got == want
+
+
+def test_scan_csv_permissive_split(spark):
+    """PERMISSIVE ingest must separate exactly the two injected
+    malformed lines from the 25 clean nation rows — bad lines are
+    captured, never dropped silently, never fatal."""
+    row = QUERIES["scan_csv_permissive"](spark, SF_SMOKE).collect()[0]
+    assert (row.n_good, row.n_corrupt) == (25, 2), row
