@@ -540,3 +540,31 @@ def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_30d"),
         F.sum("cents").over(w).alias("cents_30d"),
     )
+
+
+@q(
+    "events_transitions",
+    """SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+       FROM (SELECT event_type,
+                    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             FROM events)
+       WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, next_type""",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    event-type sequence (the sequence-mining primitive behind
+    next-action models and funnel discovery). One user-partitioned
+    lag window + one small groupBy — the window never single-tasks
+    (per-user frames) and the output is bounded by |event_type|^2
+    regardless of corpus size."""
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

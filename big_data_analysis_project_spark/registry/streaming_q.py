@@ -2,15 +2,17 @@
 
 The reference has no streaming (batch + a 30-day scheduler loop,
 ``tb_data_collection.py:352-393``); these are the engine additions a
-stream-shaped events table implies:
-
-* ``window_tumbling`` — hourly tumbling-window aggregate expressed in
-  batch (oracle-checkable; identical groupBy(window(...)) semantics).
-* ``stream_hourly`` — the same aggregate run through a REAL
-  Structured Streaming query (readStream + watermark + availableNow
-  trigger + memory sink). No SQL oracle: streaming semantics aren't
-  DuckDB-expressible; rows-only driver check + pytest equivalence
-  against the batch twin.
+stream-shaped events table implies. The family pattern: every
+streaming shape ships as a PAIR — an oracle-checked batch twin
+(tumbling/sliding/session windows, enrichment join, interval join)
+plus the same body as a REAL Structured Streaming query (readStream +
+watermark + availableNow + memory/foreachBatch sink), equivalence-
+tested row-for-row against the twin in tests/test_recall.py because
+streaming semantics aren't DuckDB-expressible. Stateful coverage:
+windowed aggs, native session_window (batch + streaming),
+applyInPandasWithState custom sessionization, dropDuplicates dedup,
+stream-static broadcast enrichment, watermarked stream-stream
+interval join, and a foreachBatch versioned-snapshot mart sink.
 """
 
 from __future__ import annotations
