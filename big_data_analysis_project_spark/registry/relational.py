@@ -838,3 +838,39 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias("n_good"),
         F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
     )
+
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {datefmt} AS orderdate
+    FROM bdap_customer c
+    JOIN bdap_orders o ON c.c_custkey = o.o_custkey
+    JOIN bdap_lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@q(
+    "sql_tpch_q3",
+    _Q3_SQL.format(datefmt="strftime(o_orderdate, '%Y-%m-%d')")
+    .replace("bdap_customer c", "customer c")
+    .replace("bdap_orders o", "orders o")
+    .replace("bdap_lineitem l", "lineitem l"),
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) adapted to the testdata schema,
+    run as PURE ``spark.sql`` text over registered temp views — the
+    SQL-first face of the engine: identical text modulo the date
+    formatter runs on DuckDB as the oracle, and Catalyst plans the
+    3-table join exactly as it does the DataFrame composition
+    (pushed-down segment/date predicates, broadcast or SMJ by stats).
+    Declarative parity between the two APIs is the point of the key."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"bdap_{t}")
+    return spark.sql(_Q3_SQL.format(datefmt="date_format(o_orderdate, 'yyyy-MM-dd')"))
