@@ -874,3 +874,35 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"bdap_{t}")
     return spark.sql(_Q3_SQL.format(datefmt="date_format(o_orderdate, 'yyyy-MM-dd')"))
+
+
+@q(
+    "sink_table",
+    "SELECT p_partkey, p_name, p_brand, ROUND(p_retailprice, 2) AS price FROM part",
+)
+def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed CATALOG table: saveAsTable into the session warehouse,
+    read back through ``spark.table`` — the catalog face of the sink
+    surface (path-based parquet/orc/jsonl keys above are the other).
+    A managed table is what downstream SQL users actually query: it
+    survives in the metastore with schema + stats, and at scale it is
+    where table-format layers (Delta/Iceberg) plug in. Idempotence
+    needs BOTH a catalog drop and a location cleanup: the default
+    in-memory catalog forgets the table between sessions while its
+    warehouse directory persists, and saveAsTable refuses a fresh
+    managed table over a leftover location."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bdap_sink_table")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(Path(wh) / "bdap_sink_table", ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name", "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable("bdap_sink_table")
+    )
+    return spark.table("bdap_sink_table")
