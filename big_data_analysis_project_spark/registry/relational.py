@@ -906,3 +906,23 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable("bdap_sink_table")
     )
     return spark.table("bdap_sink_table")
+
+
+@q("scan_python_datasource", ORACLE_GEN_SYNTHETIC)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 re-expressed on the Spark-4 PYTHON DATA SOURCE API: a
+    custom registered source (one InputPartition per country — the
+    parallel-fetch shape a real REST collector needs) yields the same
+    deterministic grid as ``gen_synthetic``, so the two scan paths
+    share one oracle (the source yields raw doubles; rounding happens
+    here, JVM-side, where the mode is known to match the oracle).
+    See sources/synthetic.py:SyntheticTBDataSource."""
+    from ..sources.synthetic import register_synthetic_datasource
+
+    fmt = register_synthetic_datasource(spark)
+    return spark.read.format(fmt).load().select(
+        "iso3",
+        "year",
+        F.round("raw_100k", 2).alias("e_inc_100k"),
+        F.round("raw_num", 0).alias("e_inc_num"),
+    )

@@ -85,3 +85,72 @@ def generate_tb_long(
         valueColumnName="value",
     )
     return long.withColumn("g_whoregion", F.lit("SEA"))
+
+
+# --- Python Data Source API (Spark 4) ----------------------------------
+
+
+class SyntheticTBDataSource:
+    """Custom PYTHON DATA SOURCE producing the synthetic TB grid —
+    the Spark-4 Python DataSource API is the idiomatic home for the
+    reference's REST collectors (ref: tb_data_collection.py:128-233):
+    instead of staging API responses to files, the source yields rows
+    directly into the scan, partitioned for parallel fetch (here one
+    InputPartition per country; a real REST source partitions by page
+    or shard and each executor pulls its own partition).
+
+    Deterministic arithmetic noise identical to ``gen_synthetic``'s
+    column expressions, so both share one DuckDB oracle. The source
+    emits RAW doubles and leaves rounding to the consuming query's
+    JVM-side ``F.round`` — Python's ``round()`` half-evens where
+    Spark/DuckDB agreed on half-up for this grid (bit us on exactly
+    one of 60 values: LAO 2018, 154.535), and a source shouldn't bake
+    presentation rounding into the data anyway."""
+
+    # real import deferred: pyspark.sql.datasource exists only where
+    # the runtime supports the API, and this module must import
+    # everywhere
+    @classmethod
+    def _impl(cls):
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
+
+        class _Reader(DataSourceReader):
+            def partitions(self):
+                return [InputPartition(iso3) for iso3 in sorted(_BASE_RATES)]
+
+            def read(self, partition):
+                iso3 = partition.value
+                rate0 = _BASE_RATES[iso3]
+                pop = float(_POPULATIONS[iso3])
+                for year in range(2018, 2024):
+                    noise = (
+                        0.9
+                        + ((year * 37 + ord(iso3[0]) * 11 + ord(iso3[2]) * 5) % 200)
+                        / 1000.0
+                    )
+                    rate = rate0 * (0.98 ** (year - 2018)) * noise
+                    yield (iso3, year, rate, rate * pop / 100_000.0)
+
+        class _Source(DataSource):
+            @classmethod
+            def name(cls):
+                return "bdap_synth"
+
+            def schema(self):
+                return "iso3 string, year int, raw_100k double, raw_num double"
+
+            def reader(self, schema):
+                return _Reader()
+
+        return _Source
+
+
+def register_synthetic_datasource(spark) -> str:
+    """Register the custom source under its format name and return it."""
+    src = SyntheticTBDataSource._impl()
+    spark.dataSource.register(src)
+    return src.name()
