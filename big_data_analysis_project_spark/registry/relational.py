@@ -926,3 +926,30 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_100k", 2).alias("e_inc_100k"),
         F.round("raw_num", 0).alias("e_inc_num"),
     )
+
+
+@q(
+    "scan_pyds_pushdown",
+    f"SELECT * FROM ({ORACLE_GEN_SYNTHETIC}) WHERE iso3 = 'IDN'",
+)
+def scan_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN into the custom Python data source: the
+    iso3 = 'IDN' predicate reaches the reader's ``pushFilters``, which
+    prunes the partition list to ONE country before any row is
+    produced — the REST-source analogue of parquet partition pruning
+    (fetch one endpoint, not ten). tests/test_plans.py asserts the
+    scan plans exactly one input partition."""
+    from ..sources.synthetic import register_synthetic_datasource
+
+    fmt = register_synthetic_datasource(spark)
+    return (
+        spark.read.format(fmt)
+        .load()
+        .filter(F.col("iso3") == "IDN")
+        .select(
+            "iso3",
+            "year",
+            F.round("raw_100k", 2).alias("e_inc_100k"),
+            F.round("raw_num", 0).alias("e_inc_num"),
+        )
+    )

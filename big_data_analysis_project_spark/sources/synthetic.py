@@ -115,12 +115,32 @@ class SyntheticTBDataSource:
         from pyspark.sql.datasource import (
             DataSource,
             DataSourceReader,
+            EqualTo,
             InputPartition,
         )
 
         class _Reader(DataSourceReader):
+            """Supports FILTER PUSHDOWN on iso3: an accepted EqualTo
+            prunes source partitions (the REST analogue: fetch one
+            country's endpoint instead of all ten) — Spark re-applies
+            only the filters yielded back as unsupported."""
+
+            def __init__(self):
+                self._iso3 = None
+
+            def pushFilters(self, filters):
+                for f in filters:
+                    if isinstance(f, EqualTo) and f.attribute in (("iso3",), "iso3"):
+                        self._iso3 = f.value
+                    else:
+                        yield f
+
             def partitions(self):
-                return [InputPartition(iso3) for iso3 in sorted(_BASE_RATES)]
+                if self._iso3 is not None:
+                    keys = [self._iso3] if self._iso3 in _BASE_RATES else []
+                else:
+                    keys = sorted(_BASE_RATES)
+                return [InputPartition(iso3) for iso3 in keys]
 
             def read(self, partition):
                 iso3 = partition.value
@@ -150,7 +170,12 @@ class SyntheticTBDataSource:
 
 
 def register_synthetic_datasource(spark) -> str:
-    """Register the custom source under its format name and return it."""
+    """Register the custom source under its format name and return it.
+    Python-source filter pushdown sits behind a conf that defaults
+    OFF (and a reader implementing pushFilters FAILS outright when
+    it's off) — runtime-settable, so enable it here rather than
+    depending on how the consuming session was built."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     src = SyntheticTBDataSource._impl()
     spark.dataSource.register(src)
     return src.name()

@@ -120,3 +120,12 @@ def test_window_range_30d_partitioned_window(spark):
     partitioning, never a SinglePartition exchange."""
     plan = _plan(spark, QUERIES["window_range_30d"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan, plan
+
+
+def test_python_datasource_filter_prunes_partitions(spark):
+    """The pushed iso3 EqualTo must prune the custom Python source to
+    ONE input partition (of ten countries) — pushdown at the source,
+    not a post-scan filter."""
+    df = QUERIES["scan_pyds_pushdown"](spark, SF_SMOKE)
+    assert df.rdd.getNumPartitions() == 1, df.rdd.getNumPartitions()
+    assert df.count() == 6  # six years for the one country
