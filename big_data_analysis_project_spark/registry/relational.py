@@ -953,3 +953,34 @@ def scan_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_num", 0).alias("e_inc_num"),
         )
     )
+
+
+@q(
+    "sink_python_datasource",
+    "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through a CUSTOM Python Data Source SINK (two-phase
+    commit: per-partition temp files renamed into place only after
+    every partition succeeded — see sinks.make_jsonl_sink_datasource)
+    then re-read with a pinned schema. Same projection/oracle as
+    sink_jsonl, so the custom-writer path is verified against the
+    built-in writer's contract."""
+    import shutil
+
+    from ..sinks import make_jsonl_sink_datasource
+
+    spark.dataSource.register(make_jsonl_sink_datasource())
+    out = str(_SINK_ROOT / "sink_python_datasource")
+    # the custom sink only implements append; per-run isolation is the
+    # caller's job (the sf0.01 run's files otherwise pollute sf0.1's)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .write.format("bdap_jsonl_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return spark.read.schema("c_custkey bigint, c_name string, acctbal double").json(out)

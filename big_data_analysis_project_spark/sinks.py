@@ -122,3 +122,64 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def make_jsonl_sink_datasource():
+    """Custom Python Data Source SINK (the writer face of the Spark-4
+    API whose reader face is sources/synthetic.SyntheticTBDataSource):
+    each partition streams its rows to a private temp file and returns
+    a WriterCommitMessage; the driver's ``commit`` renames every temp
+    file into place only after ALL partitions succeeded (``abort``
+    deletes them) — the same two-phase contract FileOutputCommitter
+    gives JVM sinks, here implemented in ~30 lines of Python. At scale
+    this is how you write to a system Spark has no connector for
+    (a feature store API, a vector DB) without losing task-retry
+    atomicity."""
+    import json as _json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Commit(WriterCommitMessage):
+        tmp: str
+        final: str
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, path: str):
+            self._path = path
+
+        def write(self, iterator):
+            os.makedirs(self._path, exist_ok=True)
+            token = uuid.uuid4().hex
+            tmp = os.path.join(self._path, f"_tmp_{token}.jsonl")
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+            return _Commit(tmp=tmp, final=os.path.join(self._path, f"part-{token}.jsonl"))
+
+        def commit(self, messages):
+            for m in messages:
+                if m is not None:
+                    os.replace(m.tmp, m.final)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp):
+                    os.remove(m.tmp)
+
+    class _Sink(DataSource):
+        @classmethod
+        def name(cls):
+            return "bdap_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options["path"])
+
+    return _Sink
