@@ -288,3 +288,49 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@q("ann_mllib_lsh")  # approximate: rows-only driver check + pytest recall test
+def ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-interop ANN path: ``BucketedRandomProjectionLSH``
+    (pyspark.ml) over unit-normalized vectors — on the unit sphere
+    euclidean NN ordering IS cosine NN ordering (cos = 1 - d^2/2), so
+    the fitted model's ``approxNearestNeighbors`` answers the same
+    query as ann_cosine_topk and the hand-rolled LSH/IVF keys, but
+    with the library estimator/model machinery (persistable model,
+    approxSimilarityJoin for the pair-join form) instead of
+    hand-built signatures. Kept alongside the hand-rolled paths
+    deliberately: the library owns amplification/probing internals,
+    the custom keys expose them — an engine should offer both.
+    Recall vs the exact top-k asserted in tests/test_recall.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = (
+        e.withColumn("n", _norm(F.col("raw")))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("raw", lambda x: x / F.col("n"))
+            ).alias("features"),
+        )
+        .localCheckpoint(eager=True)  # model fit + query + knn reuse it
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,  # ~unit-vector scale; knee of the recall curve
+        numHashTables=4,
+        seed=7,
+    ).fit(unit)
+    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0].features
+    knn = model.approxNearestNeighbors(
+        unit.filter(F.col("vec_id") != QUERY_VEC_ID), qv, TOP_K
+    )
+    return knn.select(
+        "vec_id",
+        F.round(1 - (F.col("distCol") * F.col("distCol")) / 2, 4).alias("cosine"),
+    )
