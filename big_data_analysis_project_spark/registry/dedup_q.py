@@ -663,3 +663,40 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     return _PAIRS_CACHE[key]
+
+
+@q("dedup_mllib_minhash")  # approximate: rows-only driver check + pytest recall test
+def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-interop near-dup path: shingle sets binarized with
+    ``HashingTF(binary=True)`` and fed to ``MinHashLSH``'s
+    ``approxSimilarityJoin`` at Jaccard distance <= 1-JACCARD_THRESHOLD
+    — the library twin of the hand-rolled ``dedup_minhash_lsh``
+    (which exposes its banding; the estimator owns it here). Jaccard
+    recomputed by the library on the HASHED feature space, so values
+    can differ from exact shingle Jaccard by TF bucket collisions
+    (2^18 buckets keeps that rare); tests/test_recall.py asserts pair
+    recall against the exact oracle and score agreement to 0.05."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = (
+        _shingles(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+    )
+    feats = HashingTF(
+        inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
+    ).transform(sets).localCheckpoint(eager=True)  # fit + self-join reuse
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jd"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jd"), 4).alias("jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

@@ -380,3 +380,23 @@ def test_ann_mllib_lsh_recall(spark):
     assert overlap >= 7, f"MLlib LSH recall@10 {overlap}/10 < 7"
     # 1 - d^2/2 on unit vectors is a genuine cosine: never above exact best
     assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
+
+
+def test_dedup_mllib_minhash_matches_exact(spark):
+    """MLlib MinHashLSH approxSimilarityJoin vs the exact Jaccard
+    pairs: full recall at the 0.5 threshold on this corpus, no false
+    pairs, and the library's hashed-space Jaccard within 0.05 of the
+    exact shingle Jaccard (2^18 TF buckets make collisions rare)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_mllib_minhash"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact oracle produced no pairs"
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"MLlib minhash recall {recall:.2f} < 0.9"
+    for p in set(got) & set(exact):
+        assert abs(got[p] - exact[p]) <= 0.05, (p, got[p], exact[p])
