@@ -1,6 +1,6 @@
 """Deduplication operators over the documents table (Phase E).
 
-Six families, all shuffle-conscious:
+Seven families, all shuffle-conscious:
 
 * exact        — hash groupBy on the full text (one shuffle on text).
 * ngram_jaccard— exact near-dup: word-3-gram shingles, shingle-join,
@@ -19,6 +19,9 @@ Six families, all shuffle-conscious:
                  embedding analogue of exact near-dup.
 * clusters     — connected components over the verified pair set:
                  the (doc_id, keep_id) drop-list a pipeline consumes.
+* mllib_minhash— MLlib MinHashLSH approxSimilarityJoin interop: the
+                 library twin of minhash_lsh (estimator owns the
+                 banding; recall-tested vs the exact pairs).
 
 minhash/simhash have no DuckDB oracle (hash functions aren't portable
 SQL); they get rows-only driver checks plus pytest recall tests
