@@ -961,3 +961,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+@q(
+    "join_hint_shuffle_hash",
+    """SELECT o_orderkey, c_name
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_totalprice > 400000""",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-STRATEGY control: the same equi-join the planner would
+    sort-merge, pinned to a shuffled hash join with the SHUFFLE_HASH
+    hint. At scale this is the right call whenever one side fits a
+    per-task hash map but not a broadcast — it skips BOTH sort passes
+    (SMJ's dominant cost on wide rows) at the price of building the
+    map. The hint surface (BROADCAST / MERGE / SHUFFLE_HASH /
+    SHUFFLE_REPLICATE_NL) is how a user overrides stats-driven
+    strategy when they know better; plan-asserted in
+    tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+
+
+@q(
+    "sink_sorted",
+    "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price FROM orders",
+)
+def sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-CLUSTERED parquet layout (the CLUSTER BY of lake tables):
+    repartitionByRange on the key + sortWithinPartitions before the
+    write, so every output file owns a DISJOINT o_orderkey range and
+    its parquet footer min/max become zone maps — a point or range
+    predicate on the key prunes to one file at planning time, the
+    file-level analogue of sink_partitioned's directory pruning (which
+    only works for low-cardinality keys; range-clustering handles the
+    high-cardinality ones). File-range disjointness is footer-verified
+    in tests/test_boundaries.py."""
+    import tempfile as _tf
+    from pathlib import Path as _P
+
+    out = str(_P(_tf.mkdtemp(prefix="bdap_sink_sorted_")) / "orders_sorted")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

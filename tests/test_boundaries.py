@@ -249,3 +249,27 @@ def test_scan_csv_permissive_split(spark):
     captured, never dropped silently, never fatal."""
     row = QUERIES["scan_csv_permissive"](spark, SF_SMOKE).collect()[0]
     assert (row.n_good, row.n_corrupt) == (25, 2), row
+
+
+def test_sink_sorted_files_have_disjoint_ranges(spark):
+    """The range-clustered writer's scale claim, footer-verified:
+    each parquet file's (min, max) o_orderkey interval must be
+    disjoint from every other file's — that is what makes footer
+    stats usable as zone maps for file-level pruning."""
+    import pyarrow.parquet as pq
+
+    df = QUERIES["sink_sorted"](spark, SF_SMOKE)
+    files = sorted({r[0] for r in df.select(F.input_file_name()).distinct().collect()})
+    assert len(files) >= 2, "expected multiple range-partitioned files"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f.removeprefix("file://")).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # o_orderkey
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"

@@ -129,3 +129,11 @@ def test_python_datasource_filter_prunes_partitions(spark):
     df = QUERIES["scan_pyds_pushdown"](spark, SF_SMOKE)
     assert df.rdd.getNumPartitions() == 1, df.rdd.getNumPartitions()
     assert df.count() == 6  # six years for the one country
+
+
+def test_shuffle_hash_hint_applies(spark):
+    """The SHUFFLE_HASH hint must actually produce a ShuffledHashJoin
+    (a silently-ignored hint degenerates to sort-merge and the key's
+    scale rationale evaporates)."""
+    plan = _plan(spark, QUERIES["join_hint_shuffle_hash"](spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan, plan
