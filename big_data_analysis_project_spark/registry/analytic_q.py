@@ -568,3 +568,36 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "observe_audit",
+    """SELECT l_returnflag, COUNT(*) AS n,
+              CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty_floor
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``observe()`` metrics API: audit counters (rows seen, null
+    values seen) ride ALONG the query as observed metrics — no second
+    pass over the data, which is the only affordable way to audit a
+    100 TB pipeline run. The returned aggregate is oracle-checked; the
+    observation itself (rows_seen == table count, consistent with the
+    aggregate) is asserted in tests/test_boundaries.py via
+    ``Observation.get`` after the action."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("bdap_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("null_qty_seen"),
+    )
+    result = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("l_quantity")).cast("bigint").alias("qty_floor"),
+    )
+    # stash the live Observation so callers (tests) can read the
+    # metrics after they materialize the frame
+    result._bdap_observation = obs  # type: ignore[attr-defined]
+    return result

@@ -273,3 +273,15 @@ def test_sink_sorted_files_have_disjoint_ranges(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_observe_audit_metrics_ride_along(spark):
+    """observe() metrics must report the audit counters from the SAME
+    single pass that produced the aggregate: rows_seen equals the
+    table count and the per-group counts sum to it."""
+    df = QUERIES["observe_audit"](spark, SF_SMOKE)
+    rows = df.collect()  # action materializes the observation
+    obs = df._bdap_observation
+    n_table = sum(r.n for r in rows)
+    assert obs.get["rows_seen"] == n_table, (obs.get, n_table)
+    assert obs.get["null_qty_seen"] == 0
