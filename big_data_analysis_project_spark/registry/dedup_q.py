@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graphs import connected_components
 from ..sources.readers import load_table
+from ._memo import session_memo
 
 QUERIES = {}
 ORACLE = {}
@@ -299,12 +300,14 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and the cluster key consume it, and a real pipeline
     materializes it once per snapshot rather than re-signing the
     corpus per query."""
-    key = (id(spark), sf_dir)
-    if key not in _MINHASH_CACHE:
-        _MINHASH_CACHE[key] = minhash_verified_pairs(
+    return session_memo(
+        _MINHASH_CACHE,
+        spark,
+        sf_dir,
+        lambda: minhash_verified_pairs(
             load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-    return _MINHASH_CACHE[key]
+        ).localCheckpoint(eager=True),
+    )
 
 
 @q("dedup_minhash_lsh")  # no portable-SQL oracle: rows-only check + pytest recall test
@@ -660,12 +663,12 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus snapshot and serves every downstream graph query
     off it, rather than re-shingling the corpus per query — the memo
     models that shape (same pattern as pipeline_q.synthetic_marts)."""
-    key = (id(spark), sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = _ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-    return _PAIRS_CACHE[key]
+    return session_memo(
+        _PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 @q("dedup_mllib_minhash")  # approximate: rows-only driver check + pytest recall test

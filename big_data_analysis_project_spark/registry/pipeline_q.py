@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..plans.tb_pipeline import run_tb_pipeline, summarize
 from ..sources.synthetic import _BASE_RATES, _POPULATIONS
+from ._memo import session_memo
 from .relational import _SYN_DIM
 
 QUERIES = {}
@@ -121,7 +122,7 @@ def synthetic_tb_inputs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return tb_raw, pop_raw
 
 
-_MARTS_CACHE: dict[int, object] = {}
+_MARTS_CACHE: dict = {}
 
 
 def synthetic_marts(spark: SparkSession):
@@ -134,8 +135,7 @@ def synthetic_marts(spark: SparkSession):
     localCheckpoint-ed: the data is mart-scale tiny (60 rows) and
     checkpointing cuts the pivot's value-discovery job from every
     downstream query plan."""
-    sid = id(spark)
-    if sid not in _MARTS_CACHE:
+    def build():
         tb_raw, pop_raw = synthetic_tb_inputs(spark)
         marts = run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
         # checkpoint the shared FINAL table once (one pipeline
@@ -146,8 +146,9 @@ def synthetic_marts(spark: SparkSession):
         marts.country_summary, marts.yearly_trends, marts.country_trends = summarize(
             marts.final
         )
-        _MARTS_CACHE[sid] = marts
-    return _MARTS_CACHE[sid]
+        return marts
+
+    return session_memo(_MARTS_CACHE, spark, None, build)
 
 
 @q("tb_pipeline", ORACLE_TB_PIPELINE)

@@ -714,21 +714,17 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: top-3 per group (the frontend's declared-but-unimplemented
     rankings surface). ref: ComparisonTable.jsx:42-64."""
     c = load_table(spark, sf_dir, "customer")
-    ranked = topk_per_group(
+    # tiebreak_cols matches the oracle's ROW_NUMBER tie-break on
+    # c_custkey, keeping row_number deterministic on equal acctbal
+    return topk_per_group(
         c.select("c_nationkey", "c_custkey", "c_acctbal"),
         group_cols=("c_nationkey",),
         order_col="c_acctbal",
         k=3,
         alias="nation_rank",
-    )
-    # ROW_NUMBER ties on equal acctbal are broken by c_custkey in the
-    # oracle; re-rank deterministically here too
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    c2 = c.select("c_nationkey", "c_custkey", "c_acctbal")
-    return (
-        c2.withColumn("nation_rank", F.row_number().over(w))
-        .filter(F.col("nation_rank") <= 3)
-        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "nation_rank")
+        tiebreak_cols=("c_custkey",),
+    ).select(
+        "c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "nation_rank"
     )
 
 
@@ -804,7 +800,13 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).select("nationkey", "side", "n")
 
 
-@q("scan_csv_permissive")  # rows-only: contract pinned in tests/test_boundaries.py
+@q(
+    "scan_csv_permissive",
+    # the split is two deterministic constants (25 nation rows + 2
+    # injected bad lines), so the oracle is the constant itself —
+    # stricter than the former rows-only check
+    "SELECT CAST(25 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt",
+)
 def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE CSV ingest with corrupt-record capture: malformed
     lines land in ``_corrupt_record`` instead of killing the load —
@@ -840,18 +842,30 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# revenue is summed in EXACT integer cents (FLOOR(x*100) per row is the
+# same value on both engines; BIGINT addition is order-independent) so
+# the ORDER BY / LIMIT 10 boundary can never flip on a .005-adjacent
+# group the way a raw double sum — whose accumulation order differs
+# between Spark and DuckDB — could. Cents divide back to a double only
+# after the cut, where the same IEEE division runs on both engines.
 _Q3_SQL = """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           {datefmt} AS orderdate
-    FROM bdap_customer c
-    JOIN bdap_orders o ON c.c_custkey = o.o_custkey
-    JOIN bdap_lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey
+           CAST(revenue_cents AS DOUBLE) / 100 AS revenue,
+           orderdate
+    FROM (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   AS revenue_cents,
+               {datefmt} AS orderdate
+        FROM bdap_customer c
+        JOIN bdap_orders o ON c.c_custkey = o.o_custkey
+        JOIN bdap_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+    ) AS g
+    ORDER BY revenue_cents DESC, l_orderkey
     LIMIT 10
 """
 

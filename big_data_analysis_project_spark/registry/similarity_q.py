@@ -112,7 +112,15 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     any k/dim, and the same shape you'd use when the model lives in a
     table instead of the driver. Ties break to the LOWEST cell id
     (the struct-max's negated-cell tiebreak), matching argmax-first
-    semantics."""
+    semantics.
+
+    Determinism caveat (inherent to this shape): the per-(vec, cell)
+    dot is an F.sum over shuffled partials, so float accumulation
+    order — and therefore a near-tie centroid assignment — can vary
+    between runs, unlike a single-expression fold. Acceptable for ANN
+    (assignment quality is unchanged, recall tests bound the effect);
+    if exact run-to-run stability ever matters, sort by pos and fold
+    per-vector with aggregate() instead."""
     cent_rows = [
         (ci, pos, float(m))
         for ci, c in enumerate(centroids)

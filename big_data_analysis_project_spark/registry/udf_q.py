@@ -59,9 +59,12 @@ def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def ws_tokens(s: pd.Series) -> pd.Series:
-        # tokens = whitespace runs + 1 on the trimmed string — the
-        # exact semantics of size(split(trim(text), '\\s+'))
-        return s.str.strip().str.count(r"\s+") + 1
+        # trim SPACES only, matching SQL trim() — pandas .str.strip()
+        # also eats \n/\t, which would undercount by one vs the oracle
+        # on text with leading/trailing non-space whitespace — then
+        # tokens = whitespace runs + 1, the exact semantics of
+        # size(split(trim(text), '\\s+'))
+        return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", ws_tokens(F.col("text")).alias("n_ws_tokens"))

@@ -134,7 +134,15 @@ def make_jsonl_sink_datasource():
     gives JVM sinks, here implemented in ~30 lines of Python. At scale
     this is how you write to a system Spark has no connector for
     (a feature store API, a vector DB) without losing task-retry
-    atomicity."""
+    atomicity.
+
+    Shared-filesystem caveat: ``commit`` runs on the DRIVER and
+    ``os.replace``s temp files the EXECUTORS wrote, which is atomic
+    only when both see one filesystem (local mode, NFS). Against a
+    remote system, route the rename/finalize through the same storage
+    client the writers used (e.g. a server-side move or a
+    manifest-commit), or the two-phase guarantee silently degrades to
+    per-task visibility."""
     import json as _json
     import os
     import uuid
