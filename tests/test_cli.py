@@ -1,0 +1,55 @@
+"""E3: the thin CLI orchestrator, smoke-tested as a real subprocess
+(the driver-facing contract is the command line, not the functions).
+ref: main_orchestrator.py:599-708."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_cli_full_pipeline(tmp_path):
+    env = dict(os.environ, PYTHONPATH=str(REPO), SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_analysis_project_spark", "full",
+         "--data", str(tmp_path / "data")],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    by_mode = {d["mode"]: d for d in lines}
+    assert set(by_mode) == {"collect", "process", "serve"}
+
+    assert by_mode["collect"]["rows"] == {"tb_raw": 120, "population_raw": 60}
+    assert by_mode["process"]["rows"] == {
+        "tb_final": 60, "country_summary": 10,
+        "yearly_trends": 6, "country_trends": 60,
+    }
+    endpoints = by_mode["serve"]["endpoints"]
+    assert set(endpoints) == {
+        "health", "countries", "stats", "map_data", "comparison",
+        "trends", "yearly_trends", "rankings",
+    }
+    assert endpoints["health"] == [{"status": "healthy", "service": "TB Data API"}]
+    assert endpoints["stats"][0]["total_records"] == 10
+    assert len(endpoints["rankings"]) == 9  # 3 metrics x top-3
+    # parquet + csv marts landed on disk
+    for mart in ("tb_final", "country_summary", "yearly_trends", "country_trends"):
+        assert (tmp_path / "data" / "processed" / f"{mart}.parquet").exists()
+        assert (tmp_path / "data" / "processed" / f"{mart}_csv").exists()
+
+
+def test_cli_serve_requires_process(tmp_path):
+    env = dict(os.environ, PYTHONPATH=str(REPO), SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_analysis_project_spark", "serve",
+         "--data", str(tmp_path / "empty")],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "run process first" in proc.stderr
