@@ -12,7 +12,9 @@ streaming semantics aren't DuckDB-expressible. Stateful coverage:
 windowed aggs, native session_window (batch + streaming),
 applyInPandasWithState custom sessionization, dropDuplicates dedup,
 stream-static broadcast enrichment, watermarked stream-stream
-interval join, and a foreachBatch versioned-snapshot mart sink.
+interval join, a foreachBatch versioned-snapshot mart sink, and a
+checkpoint-sharing incremental re-run over newly-arrived files
+(stream_incremental — the §2.10 scheduler contract).
 """
 
 from __future__ import annotations
@@ -732,3 +734,115 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = int((mart / "_LATEST").read_text())
     return spark.read.parquet(str(mart / f"v{latest}"))
+
+
+def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
+    """Two ``trigger(availableNow=True)`` RUNS of one hourly-aggregate
+    query over a landing directory that gains files between runs,
+    sharing a single checkpoint — the file-arrival re-run contract of
+    the reference's 30-day scheduler loop (ref:
+    tb_data_collection.py:352-393, main_orchestrator.py 'schedule'
+    mode), done incrementally instead of as a full recompute.
+
+    Run 1 sees batch-1 files; batch-2 files then land; run 2 restarts
+    from the checkpoint and reads ONLY the new files (the file-source
+    log remembers batch 1) while the aggregation state carries the old
+    groups — so the final complete-mode snapshot equals a full
+    recompute over everything. Returns ``(mart_df, stats)`` where
+    stats carries per-run input-row counts so tests can assert the
+    second run was genuinely incremental, and batch row counts so they
+    can assert coverage. total_value sums exact integer cents (FLOOR
+    x100) — incremental state merge changes double accumulation order,
+    so a raw double sum could round differently from the one-shot
+    oracle at .005 boundaries.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
+    )
+    root = Path(tempfile.mkdtemp(prefix="bdap_incremental_"))
+    landing, ckpt, mart = root / "landing", root / "ckpt", root / "mart"
+    landing.mkdir()
+
+    # deterministic 2-way split of the events feed, written in the raw
+    # on-disk schema so the file stream reads both batches identically
+    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    batches = []
+    for i in (0, 1):
+        bdir = root / f"batch{i}"
+        raw.filter(F.pmod("event_id", F.lit(2)) == i).write.parquet(str(bdir))
+        batches.append(bdir)
+    batch_rows = [
+        spark.read.schema(raw_schema).parquet(str(b)).count() for b in batches
+    ]
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(landing))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+    def snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode: every micro-batch carries the FULL state, so
+        # overwriting yields an always-consistent mart snapshot
+        batch_df.write.mode("overwrite").parquet(str(mart))
+
+    def land(bdir: Path) -> None:
+        for f in bdir.glob("part-*"):
+            shutil.copy(f, landing / f"{bdir.name}-{f.name}")
+
+    stats = {"batch_rows": batch_rows, "run_input_rows": []}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    try:
+        for bdir in batches:
+            land(bdir)
+            query = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(snapshot)
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+            stats["run_input_rows"].append(
+                int(sum(p["numInputRows"] for p in query.recentProgress))
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(str(mart)), stats
+
+
+@q(
+    "stream_incremental",
+    """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+       FROM events
+       GROUP BY 1, 2""",
+)
+def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 scheduler parity as an INCREMENTAL run: the oracle is a
+    full recompute over all events, the key produces the same mart via
+    two checkpoint-sharing availableNow runs where the second processes
+    only newly-arrived files (incrementality itself is pinned by
+    tests/test_recall.py::test_incremental_second_run_reads_only_new).
+    """
+    mart, _stats = incremental_hourly_runs(spark, sf_dir)
+    return mart

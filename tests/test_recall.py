@@ -400,3 +400,42 @@ def test_dedup_mllib_minhash_matches_exact(spark):
     assert recall >= 0.9, f"MLlib minhash recall {recall:.2f} < 0.9"
     for p in set(got) & set(exact):
         assert abs(got[p] - exact[p]) <= 0.05, (p, got[p], exact[p])
+
+
+def test_incremental_second_run_reads_only_new(spark):
+    """The §2.10 incremental-run contract: two availableNow runs over
+    one checkpoint — run 2 must read ONLY the newly-landed batch-2
+    files (file-source log remembers batch 1), and the final mart must
+    equal the full one-shot recompute (window_tumbling twin, with the
+    same exact-cents value sum)."""
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        incremental_hourly_runs,
+    )
+
+    mart, stats = incremental_hourly_runs(spark, SF_SMOKE)
+    b0, b1 = stats["batch_rows"]
+    assert b0 > 0 and b1 > 0, stats
+    assert stats["run_input_rows"] == [b0, b1], stats
+
+    got = {tuple(r) for r in mart.collect()}
+    # full recompute twin: same agg over the undivided feed
+    from pyspark.sql import functions as F
+    from big_data_analysis_project_spark.sources.readers import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    batch = {
+        tuple(r)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == batch
