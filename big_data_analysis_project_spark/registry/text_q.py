@@ -400,3 +400,63 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("s").alias("n_shared"))
         .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no \d / \b / lookarounds, char-class-only, no bounded
+# quantifiers
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PHONE_RE = "[+][0-9][0-9-]+[0-9]"
+
+
+@q(
+    "text_pii_scrub",
+    f"""WITH pii AS (
+         SELECT doc_id,
+                text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1-555-01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     || ' now.' AS t
+         FROM documents
+       )
+       SELECT doc_id,
+              len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+              len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+              md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+       FROM pii""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance gate every training-data pipeline
+    runs before anything else: emails and phone numbers replaced with
+    typed placeholders, per-doc match counts emitted for the audit
+    trail. Pure JVM regexp_replace/regexp_extract_all, one narrow map —
+    scales like a scan, and at 100 TB this is exactly the op you cannot
+    afford to run through a Python UDF.
+
+    The synthetic corpus carries no PII, so a deterministic
+    PII-bearing suffix (email + E.164-ish phone derived from doc_id)
+    is injected identically on both engines first — the scrub then has
+    a guaranteed non-vacuous match set, and the md5 of the SCRUBBED
+    text pins the actual redaction output, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now."),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
