@@ -183,19 +183,20 @@ def main(argv: list[str] | None = None) -> None:
 
     data_dir = Path(args.data)
     spark = get_spark(app_name=f"bdap-{args.mode}", master=args.master)
-    t0 = time.perf_counter()
     try:
-        results = []
+        steps = []
         if args.mode in ("collect", "full"):
-            results.append(cmd_collect(spark, data_dir))
+            steps.append(lambda: cmd_collect(spark, data_dir))
         if args.mode in ("process", "full"):
-            results.append(cmd_process(spark, data_dir))
+            steps.append(lambda: cmd_process(spark, data_dir))
         if args.mode in ("serve", "full"):
-            results.append(
-                cmd_serve(spark, data_dir, args.endpoint,
-                          args.iso3, args.start_year, args.end_year)
+            steps.append(
+                lambda: cmd_serve(spark, data_dir, args.endpoint,
+                                  args.iso3, args.start_year, args.end_year)
             )
-        for r in results:
+        for step in steps:
+            t0 = time.perf_counter()
+            r = step()
             r["sec"] = round(time.perf_counter() - t0, 2)
             # marts carry decimal(12,2) rate columns (reference parity);
             # JSON has no decimal, serve them as numbers
