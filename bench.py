@@ -75,8 +75,11 @@ def main() -> None:
         "failures": failures,
     }
     full_path = Path(__file__).resolve().parent / "bench_full.json"
-    full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
-    print(f"[bench] full detail -> {full_path}", file=sys.stderr)
+    try:
+        full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+        print(f"[bench] full detail -> {full_path}", file=sys.stderr)
+    except OSError as exc:  # read-only dir / full disk must not cost the stdout line
+        print(f"[bench] full-detail write failed: {exc}", file=sys.stderr)
 
     # the stdout line stays small (< ~1.5 KB): headline queries only,
     # 2-dp timings, nothing printed after it

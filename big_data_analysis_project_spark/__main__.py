@@ -172,7 +172,15 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--data", default="data", help="data zone root (default ./data)")
     parser.add_argument("--endpoint", choices=sorted(ENDPOINTS), default=None,
                         help="serve mode: emit one endpoint instead of all")
-    parser.add_argument("--iso3", default="IDN", help="trends endpoint country")
+    def _iso3(v: str) -> str:
+        # interpolated into endpoint SQL — pin the shape so a stray
+        # quote can neither crash the parser nor widen the filter
+        if not (len(v) == 3 and v.isalpha()):
+            raise argparse.ArgumentTypeError("iso3 must be three letters")
+        return v.upper()
+
+    parser.add_argument("--iso3", type=_iso3, default="IDN",
+                        help="trends endpoint country (three-letter code)")
     parser.add_argument("--start-year", type=int, default=2019)
     parser.add_argument("--end-year", type=int, default=2023)
     parser.add_argument("--master", default=None,

@@ -825,6 +825,12 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # both runs have terminated: only the mart (read lazily by the
+        # returned DataFrame) must outlive the call — drop the two feed
+        # copies and the checkpoint so repeated bench/test cycles don't
+        # accumulate /tmp usage
+        for d in (landing, ckpt, *batches):
+            shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(str(mart)), stats
 
 

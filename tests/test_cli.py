@@ -38,6 +38,9 @@ def test_cli_full_pipeline(tmp_path):
     assert endpoints["health"] == [{"status": "healthy", "service": "TB Data API"}]
     assert endpoints["stats"][0]["total_records"] == 10
     assert len(endpoints["rankings"]) == 9  # 3 metrics x top-3
+    # stash the payloads for the registry cross-check test (module-level
+    # so the expensive subprocess run happens once)
+    _PAYLOADS.update(endpoints)
     # parquet + csv marts landed on disk
     for mart in ("tb_final", "country_summary", "yearly_trends", "country_trends"):
         assert (tmp_path / "data" / "processed" / f"{mart}.parquet").exists()
@@ -53,3 +56,39 @@ def test_cli_serve_requires_process(tmp_path):
     )
     assert proc.returncode != 0
     assert "run process first" in proc.stderr
+
+
+_PAYLOADS: dict = {}
+
+
+def test_cli_serve_matches_registry_serving(spark):
+    """The CLI ENDPOINTS SQL and the registry's serve_* keys are two
+    surfaces over the SAME marts; this pins them together so an edit
+    to one cannot silently drift from the other (both derive from the
+    synthetic pipeline, so values must agree row-for-row)."""
+    import pytest
+
+    from big_data_analysis_project_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    if not _PAYLOADS:
+        pytest.skip("test_cli_full_pipeline did not run first")
+    cli = {d["iso3"]: d for d in _PAYLOADS["comparison"]}
+    reg = {
+        r.iso3: r.asDict()
+        for r in QUERIES["serve_comparison"](spark, SF_SMOKE).collect()
+    }
+    assert set(cli) == set(reg)
+    for iso3, r in reg.items():
+        c = cli[iso3]
+        for k in ("total_cases", "new_cases", "deaths", "population"):
+            assert float(c[k]) == float(r[k]), (iso3, k, c[k], r[k])
+        for k in ("total_cases_per_100k", "deaths_per_100k", "case_fatality_rate"):
+            assert abs(float(c[k]) - float(r[k])) < 0.005, (iso3, k, c[k], r[k])
+    cli_rank = {(d["ranking"], d["rank"]): d["iso3"] for d in _PAYLOADS["rankings"]}
+    reg_rank = {
+        (r.ranking, r.rank): r.iso3
+        for r in QUERIES["serve_rankings"](spark, SF_SMOKE).collect()
+    }
+    assert cli_rank == reg_rank
