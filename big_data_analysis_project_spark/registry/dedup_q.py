@@ -769,3 +769,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard"))
     )
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, c) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.c FROM reach r JOIN edges e ON e.a = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(c) AS component FROM reach GROUP BY v),
+best AS (
+  SELECT component, doc_id AS keep_id,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM comp JOIN documents USING (doc_id)
+)
+SELECT c.doc_id, b.keep_id
+FROM comp c JOIN best b ON c.component = b.component AND b.rn = 1
+"""
+
+
+@q("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: the same near-dup clusters as
+    ``dedup_clusters``, but each cluster keeps its LONGEST member
+    (n_chars, ties to the lowest doc_id) instead of the smallest id —
+    what a real corpus pipeline does, since near-dup groups usually
+    contain one full document and several truncated/boilerplate
+    variants. One extra broadcast-scale aggregation over the cluster
+    labels (argmax via max-of-struct, no window over the corpus); the
+    drop-list contract (doc_id, keep_id) is unchanged, so downstream
+    consumers swap policies freely."""
+    labels = connected_components(ngram_pairs_cached(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.select(
+        F.col("vertex").alias("doc_id"), "component"
+    ).join(docs, "doc_id")
+    best = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+            ).alias("b")
+        )
+        .select("component", (-F.col("b.nd")).alias("keep_id"))
+    )
+    return (
+        labels.select(F.col("vertex").alias("doc_id"), "component")
+        .join(best, "component")
+        .select("doc_id", "keep_id")
+    )

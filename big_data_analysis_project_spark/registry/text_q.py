@@ -460,3 +460,47 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias("n_phones"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+@q(
+    "corpus_mix_balance",
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       m AS (SELECT MIN(n) AS m FROM counts),
+       ranked AS (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents
+       )
+       SELECT doc_id, lang, rk FROM ranked, m WHERE rk <= m.m""",
+)
+def corpus_mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing — the data-mixing step of a training-data
+    pipeline: every language downsampled to the SMALLEST language's
+    size, so the corpus mixture is uniform. Selection is a
+    deterministic pseudo-random rank (md5 of doc_id orders each
+    language's docs) so the sample is reproducible across runs and
+    engines — no RNG, no seed drift.
+
+    Scale shape: one window shuffle partitioned by lang. Language
+    cardinality is small, so at 100 TB the big languages skew their
+    partitions; the production variant broadcasts per-language keep
+    RATES (m/n_lang) and filters md5(doc_id) under the rate threshold —
+    one narrow pass, no per-group sort — trading exact counts for
+    binomial-exact ones. The rank-exact form here is the oracle-able
+    contract both implement."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mmin = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(mmin))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "rk")
+    )
