@@ -26,6 +26,7 @@ from . import (
     similarity_q,
     streaming_q,
     text_q,
+    training_q,
     udf_q,
 )
 
@@ -46,6 +47,7 @@ for mod in (
     streaming_q,
     multimodal_q,
     udf_q,
+    training_q,
 ):
     overlap = set(QUERIES) & set(mod.QUERIES)
     assert not overlap, f"duplicate query keys: {overlap}"

@@ -145,19 +145,38 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return unit.join(best, "vec_id")
 
 
-def train_ivf_centroids(unit: DataFrame, k: int = N_CENTROIDS, iters: int = _LLOYD_ITERS) -> list[list[float]]:
+_TRAIN_SAMPLE_TARGET = 2_000
+
+
+def train_ivf_centroids(
+    unit: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = _LLOYD_ITERS,
+    sample_target: int = _TRAIN_SAMPLE_TARGET,
+) -> list[list[float]]:
     """Spherical k-means over a frame of unit vectors (``vec_id``,
     ``v``): seeds are the k smallest-id vectors (deterministic — no
     runtime RNG), then ``iters`` distributed Lloyd passes. Each pass is
     one narrow assignment scan plus a (cell, pos) average aggregation;
     only the kxdim centroid matrix is ever collected — model state,
-    not data. At 100 TB you run this on a ~1e6-row sample and assign
-    the full corpus once; the training cost is independent of corpus
-    size."""
-    seeds = unit.orderBy("vec_id").limit(k).select("v").collect()
+    not data.
+
+    Training runs on a deterministic modulus sample of ~``sample_target``
+    vectors when the corpus is larger (``vec_id % m == 0`` — no RNG, so
+    centroids are reproducible): the coarse quantizer needs cluster
+    STRUCTURE, not every row, so training cost is independent of corpus
+    size — the exact discipline the 100 TB deployment uses (train on a
+    ~1e6-row sample, assign the full corpus once). Below the target the
+    full frame trains, keeping small-SF recall tests deterministic."""
+    n = unit.count()  # count over a checkpointed frame: metadata-cheap
+    train = unit
+    if sample_target and n > sample_target:
+        m = n // sample_target
+        train = unit.filter((F.col("vec_id") % m) == 0).localCheckpoint(eager=True)
+    seeds = train.orderBy("vec_id").limit(k).select("v").collect()
     centroids = [list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = assign_cells(unit, centroids)
+        assigned = assign_cells(train, centroids)
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")

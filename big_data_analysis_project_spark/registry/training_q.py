@@ -1,0 +1,293 @@
+"""Training-data assembly operators (Phase E): the last mile of an
+LLM data pipeline — after cleaning/dedup/mixing, the corpus has to be
+SHUFFLED, SHARDED, PACKED into fixed-token-budget training sequences,
+and its embeddings QUANTIZED for storage. The reference pipeline stops
+at serving marts (ref: spark_data_processor.py ends at aggregation);
+these keys extend the engine to the shapes a 100 TB pre-training run
+actually feeds the trainer.
+
+Engine-portability conventions (same as the rest of the registry):
+deterministic pseudo-randomness via md5 (no RNG, no seed drift between
+Spark and DuckDB), exact-integer output surfaces (token counts,
+FLOOR(x*1e4) fixed-point sums) so the oracle compare is hash-exact
+with no float-tolerance games.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(key: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+# tokens per packed training sequence. Small enough that sf0.001's
+# ~100-token docs produce multi-doc sequences, large enough that no
+# document exceeds it at any test SF (docs cap out well under 2048).
+PACK_BUDGET = 2048
+
+# portable whitespace token count — the exact expression pair proven
+# hash-equal by the text_tokens key (text_q.py:40/50)
+_TOK_SQL = r"len(string_split_regex(trim(text), '\s+'))"
+
+
+@q(
+    "pack_chunks",
+    f"""WITH toks AS (
+         SELECT doc_id, {_TOK_SQL} AS n_tok FROM documents
+       ),
+       offsets AS (
+         SELECT doc_id, n_tok,
+                SUM(n_tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS start_off
+         FROM toks
+       )
+       SELECT CAST(FLOOR(COALESCE(start_off, 0) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+              COUNT(*) AS n_docs,
+              SUM(n_tok) AS n_tokens,
+              MIN(doc_id) AS first_doc,
+              MAX(doc_id) AS last_doc
+       FROM offsets
+       GROUP BY seq_id""",
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style training
+    layout: conceptually concatenate every document's tokens in
+    doc_id order and slice the stream into fixed {PACK_BUDGET}-token
+    sequences; a document belongs to the sequence its FIRST token
+    lands in (documents may straddle boundaries — that is the point
+    of this packing: zero padding waste). Output is the per-sequence
+    manifest (doc count, token mass, doc-id span) a loader would use
+    to materialize each training sequence.
+
+    Plan shape: one scan -> running-sum window -> hash aggregation.
+    The global running sum is a single-partition window at test SF; at
+    100 TB you compute per-shard offsets first (shuffle_shard below
+    gives the shard key), prefix-sum the ~1e4 shard totals on the
+    driver, and broadcast the base offsets back — the standard
+    two-level scan pattern. The per-shard form is `pack_greedy`; this
+    key is the oracle-able global contract."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        offsets.withColumn(
+            "seq_id",
+            F.floor(F.col("start_off") / F.lit(float(PACK_BUDGET))).cast("bigint"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+N_PACK_SHARDS = 8
+
+
+@q("pack_greedy")  # no portable-SQL oracle: sequential fold; property-tested in tests/test_training.py
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-preserving greedy packing — the no-straddle variant
+    used when sequences must not split documents (SFT / instruction
+    data): walk each shard's documents in doc_id order, open a new
+    bin whenever the running total would exceed {PACK_BUDGET} tokens
+    (an oversized document gets a bin of its own). Emits the
+    (doc_id, shard, bin_id, bin_pos) assignment the writer consumes.
+
+    The sequential fold is genuinely non-SQL (bin boundary depends on
+    every previous row), so it runs as an Arrow-batched
+    ``applyInPandas`` per shard — embarrassingly parallel across
+    shards, O(shard size) within. Shard = doc_id % {N_PACK_SHARDS}
+    keeps the demo deterministic; production uses the md5 shard of
+    shuffle_shard so bins are i.i.d. samples of the corpus.
+    Correctness properties (every bin <=budget unless singleton,
+    doc order preserved within shards, every doc packed exactly once)
+    are asserted in tests/test_training.py."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, pos = [], []
+        cur_bin, cur_pos, cur_tok = 0, 0, 0
+        for t in pdf["n_tok"]:
+            if cur_pos > 0 and cur_tok + t > PACK_BUDGET:
+                cur_bin += 1
+                cur_pos, cur_tok = 0, 0
+            bins.append(cur_bin)
+            pos.append(cur_pos)
+            cur_pos += 1
+            cur_tok += t
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_pos"] = pd.Series(pos, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tok", "bin_id", "bin_pos"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard int, n_tok int, bin_id long, bin_pos long"
+    )
+
+
+@q(
+    "shuffle_shard",
+    """WITH h AS (
+         SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hx
+         FROM documents
+       )
+       SELECT doc_id,
+              substr(hx, 1, 1) AS shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY substr(hx, 1, 1)
+                                      ORDER BY hx, doc_id) AS BIGINT) AS pos
+       FROM h""",
+)
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + sharding: every doc
+    hashes to one of 16 shards (first hex digit of md5(doc_id:seed))
+    and gets a within-shard position by md5 order — a reproducible
+    permutation with no RNG, so re-running the pipeline (or running it
+    on a different engine) yields byte-identical training order.
+    Changing the seed string re-shuffles everything.
+
+    Scale shape: one narrow hash pass, then a window per shard —
+    the shuffle is keyed on the 16 shard values, each window sorts
+    only its shard. At 100 TB you use 2 hex digits (256 shards) or
+    more so each shard fits an executor's sort buffer; the hash is
+    uniform so there is no skew by construction. This is the
+    repartition-by-range + sort-within-partitions layout that
+    sink_sorted writes, expressed as an oracle-able assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("hx"),
+    )
+    w = Window.partitionBy(F.substring("hx", 1, 1)).orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        F.substring("hx", 1, 1).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@q(
+    "embed_quantize",
+    """SELECT vec_id,
+              CAST(len(embedding) AS BIGINT) AS n_dims,
+              CAST(FLOOR(amax * 10000) AS BIGINT) AS amax_e4,
+              list_aggregate(
+                list_transform(v, x -> CAST(FLOOR(x * (127.0 / amax) + 0.5) AS BIGINT)),
+                'sum') AS q_sum,
+              list_max(
+                list_transform(v, x -> abs(CAST(FLOOR(x * (127.0 / amax) + 0.5) AS BIGINT)))
+              ) AS q_max_abs
+       FROM (
+         SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v,
+                list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+         FROM embeddings
+       )
+       WHERE amax > 0""",
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth cut every 100 TB vector corpus takes before
+    ANN serving: per-vector scale = 127/max|x|, each component
+    rounded to [-127, 127]. Output surface is exact-integer
+    (quantized sums, fixed-point scale) so the oracle compares
+    hash-exactly; the full quantized vector would just be
+    list_transform of the same expression into a sink.
+
+    Plan shape: one narrow pass, all JVM higher-order functions
+    (transform/aggregate/array_max) inside whole-stage codegen — no
+    shuffle, no Python. float->double casts are exact, and both
+    engines fold the integer sum in array order, so the compare has
+    no accumulation-order hazard."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.size("embedding").cast("bigint").alias("n_dims"),
+    )
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("amax")
+    qvec = F.transform(
+        "v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+    )
+    return (
+        e.withColumn("amax", amax)
+        .filter(F.col("amax") > 0)
+        .select(
+            "vec_id",
+            "n_dims",
+            F.floor(F.col("amax") * 10000).cast("bigint").alias("amax_e4"),
+            F.aggregate(
+                qvec, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_max(F.transform(qvec, lambda x: F.abs(x))).alias("q_max_abs"),
+        )
+    )
+
+
+@q(
+    "embed_label_centroids",
+    """SELECT label,
+              CAST(i AS INT) AS pos,
+              SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS sum_e4,
+              COUNT(*) AS n_vecs
+       FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+       GROUP BY label, i""",
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid accumulation — the vector
+    aggregation every class-prototype / cluster-refinement step
+    needs, done the way that scales: posexplode to (label, pos, x)
+    rows, hash-aggregate on the (label, pos) composite key. No
+    driver-side vectors, no collect — k x dim result rows regardless
+    of corpus size, and the shuffle key has label x dim cardinality
+    so there is no skew even when one label dominates the corpus.
+
+    Sums are fixed-point FLOOR(x*1e4) BIGINTs: integer addition is
+    order-independent, so Spark's shuffled partial aggregation and
+    DuckDB's sequential scan agree hash-exactly — the same convention
+    as window_range_30d's exact cents. (A float avg here would be
+    accumulation-order-dependent across engines.) The caller divides
+    sum_e4 by n_vecs for the actual centroid; pos is 1-based to match
+    SQL array indexing."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos0", "x"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.sum(F.floor(F.col("x") * 10000).cast("bigint")).alias("sum_e4"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -35,6 +35,8 @@ _BNLJ_OK = {
     "derive_rates",
     # 1-row exact-total scalar frame joined onto the sketch rollup
     "agg_sketch_merge",
+    # 1-row min-language-count scalar broadcast onto the ranked corpus
+    "corpus_mix_balance",
     # nation x calendar-spine grid: an intended cross of two tiny
     # dimension frames (#nations x #days), both broadcast-size
     "gapfill_ffill",

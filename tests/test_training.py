@@ -1,0 +1,90 @@
+"""Properties of the training-data assembly keys whose semantics are
+not SQL-expressible (pack_greedy's sequential fold), plus cross-key
+invariants tying the packing variants together. The oracle-backed
+training keys (pack_chunks, shuffle_shard, embed_quantize,
+embed_label_centroids) are covered by test_registry_oracle*."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_project_spark.registry import QUERIES
+from big_data_analysis_project_spark.registry.training_q import (
+    N_PACK_SHARDS,
+    PACK_BUDGET,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_pack_greedy_properties(spark):
+    out = QUERIES["pack_greedy"](spark, SF_SMOKE).cache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    # every document packed exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+    # bins respect the budget unless they hold a single oversized doc
+    bins = out.groupBy("shard", "bin_id").agg(
+        F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    bad = bins.filter((F.col("tot") > PACK_BUDGET) & (F.col("n") > 1)).count()
+    assert bad == 0
+
+    # greedy is maximal: within a shard, bin k+1's first doc would NOT
+    # have fit in bin k (otherwise greedy would have kept filling) —
+    # check via: every non-final bin's total + next bin's first doc
+    # tokens > budget
+    first_next = (
+        out.filter(F.col("bin_pos") == 0)
+        .select("shard", (F.col("bin_id") - 1).alias("bin_id"), F.col("n_tok").alias("next_first"))
+        .filter(F.col("bin_id") >= 0)
+    )
+    overfull = (
+        bins.join(first_next, ["shard", "bin_id"])
+        .filter(F.col("tot") + F.col("next_first") <= PACK_BUDGET)
+        .count()
+    )
+    assert overfull == 0
+
+    # doc order preserved within a shard: (bin_id, bin_pos) ascending
+    # follows doc_id ascending
+    rows = (
+        out.orderBy("shard", "doc_id")
+        .select("shard", "doc_id", "bin_id", "bin_pos")
+        .collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.bin_id, r.bin_pos))
+    for seq in by_shard.values():
+        assert seq == sorted(seq)
+    assert set(by_shard) == set(range(N_PACK_SHARDS))
+    out.unpersist()
+
+
+def test_pack_chunks_conservation(spark):
+    """Chunk packing conserves the corpus: sequence token masses sum
+    to the corpus token total, doc counts sum to the corpus size, and
+    every sequence except the last carries at least a full budget of
+    STARTING mass plus straddle (n_tokens can exceed the budget —
+    straddling docs count toward their starting sequence)."""
+    chunks = QUERIES["pack_chunks"](spark, SF_SMOKE).cache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus_toks = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).collect()[0].t
+
+    agg = chunks.agg(
+        F.sum("n_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    ).collect()[0]
+    assert agg.tok == corpus_toks
+    assert agg.docs == docs.count()
+
+    # seq_ids are the contiguous prefix 0..ceil(total/budget)-1 of the
+    # token stream — no gaps, no overshoot
+    ids = sorted(r.seq_id for r in chunks.select("seq_id").collect())
+    assert ids == list(range(len(ids)))
+    assert ids[-1] == (corpus_toks - 1) // PACK_BUDGET
+    chunks.unpersist()
