@@ -890,6 +890,70 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q3_SQL.format(datefmt="date_format(o_orderdate, 'yyyy-MM-dd')"))
 
 
+# Q1/Q6 share Q3's engine-exactness discipline: every money/quantity
+# measure is summed as FLOOR(x*100) BIGINT cents (per-row FLOOR of the
+# same IEEE double product is engine-identical; integer addition is
+# order-independent), so the grouped sums hash-match with no float
+# tolerance. Averages would be cents/count doubles — derivable by the
+# caller, left out of the compare surface.
+_Q1_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
+           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS sum_disc_e2,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                    AS BIGINT)) AS sum_charge_e2,
+           COUNT(*) AS count_order
+    FROM bdap_lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q(
+    "sql_tpch_q1",
+    _Q1_SQL.replace("bdap_lineitem", "lineitem"),
+)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) as pure ``spark.sql`` text — the
+    canonical one-table scan-heavy aggregation: whole-stage-codegen
+    expression evaluation into a 4-group hash aggregate with map-side
+    partials, the plan shape that dominates 100 TB fact-table scans.
+    Identical SQL runs on DuckDB as the oracle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bdap_lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+_Q6_SQL = """
+    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS revenue_e2,
+           COUNT(*) AS n_rows
+    FROM bdap_lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@q(
+    "sql_tpch_q6",
+    _Q6_SQL.replace("bdap_lineitem", "lineitem"),
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue) as pure ``spark.sql`` text: the
+    selective-scan benchmark — every predicate (ship-date range,
+    discount band, quantity cap) must reach the parquet scan as a
+    pushed filter plus row-group min/max pruning, then a single global
+    sum with no shuffle beyond the final 1-row reduce. The date
+    window is shifted to 1996 to overlap the testdata's 1995-2001
+    shipdate range."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bdap_lineitem")
+    return spark.sql(_Q6_SQL)
+
+
 @q(
     "sink_table",
     "SELECT p_partkey, p_name, p_brand, ROUND(p_retailprice, 2) AS price FROM part",

@@ -145,3 +145,52 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, w.word, w.n
            FROM bdap_udtf_docs d, LATERAL bdap_word_freq(d.text) w"""
     )
+
+
+@q(
+    "udf_arrow_norm",
+    """SELECT vec_id,
+              CAST(FLOOR(sqrt(list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                     'sum')) * 10000) AS BIGINT) AS norm_e4
+       FROM embeddings""",
+)
+def udf_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector L2 norms through ``mapInArrow`` — the zero-copy tier of
+    the UDF ladder: Arrow RecordBatches flow into Python with NO
+    pandas materialization, the list<float> column is consumed as its
+    flat values buffer + offsets (one `np.add.reduceat` per batch),
+    and a new batch flows back. This is the tier for numeric kernels
+    over array columns where even the pandas_udf Series boxing is
+    measurable waste.
+
+    Engine-exactness: values are upcast float32->float64 (exact),
+    squared and summed IN ARRAY ORDER (reduceat is a sequential C
+    loop; DuckDB's list_aggregate folds in order too — identical IEEE
+    operation sequence), then FLOOR(x*1e4) fixes the point. Plan:
+    scan -> ArrowEvalPython(mapInArrow) -> project; no shuffle."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch if isinstance(batch, pa.RecordBatch) else batch
+            vec_ids = tbl.column(0)
+            emb = tbl.column(1)
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            sq = flat * flat
+            sums = np.add.reduceat(sq, offsets[:-1])
+            # an empty list would make reduceat grab the next segment;
+            # the testdata has none, but guard the general contract
+            lens = np.diff(offsets)
+            sums = np.where(lens > 0, sums, 0.0)
+            norm_e4 = np.floor(np.sqrt(sums) * 10000).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(norm_e4, type=pa.int64())],
+                names=["vec_id", "norm_e4"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, "vec_id bigint, norm_e4 bigint")

@@ -59,7 +59,8 @@ def test_no_cartesian_product(spark, key):
 
 @pytest.mark.parametrize(
     "key",
-    ["filter_valid", "filter_range", "filter_isin", "filter_positive", "filter_eq"],
+    ["filter_valid", "filter_range", "filter_isin", "filter_positive", "filter_eq",
+     "sql_tpch_q6"],
 )
 def test_filters_push_to_scan(spark, key):
     plan = _plan(spark, QUERIES[key](spark, SF_SMOKE), "formatted")
