@@ -601,3 +601,65 @@ def observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metrics after they materialize the frame
     result._bdap_observation = obs  # type: ignore[attr-defined]
     return result
+
+
+@q(
+    "stats_corr",
+    """WITH m AS (
+         SELECT l_returnflag,
+                CAST(FLOOR(l_quantity * 100) AS BIGINT) AS x,
+                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem
+       ),
+       s AS (
+         SELECT l_returnflag,
+                COUNT(*) AS n,
+                SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         FROM m GROUP BY l_returnflag
+       )
+       SELECT l_returnflag, n, sx, sy,
+              CAST(FLOOR(
+                (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                * 1000000) AS BIGINT) AS corr_e6
+       FROM s""",
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs extended price) as
+    single-pass MOMENT SUMS — the only correlation shape that scales:
+    five exact-integer accumulators per group (sum x, y, x2, y2, xy
+    over fixed-point cents), combined into r by one closed-form
+    expression AFTER aggregation. No second centering pass, no
+    per-group collect, and the BIGINT partial sums are
+    order-independent so map-side combine is exact — unlike a
+    streaming float covariance whose result depends on partition
+    order (F.corr is fine numerically but not hash-reproducible
+    across engines; this surface is). corr_e6 is the correlation in
+    micro-units; the moments cap at ~5e3 cents x 2^31 rows per group
+    well inside BIGINT at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.floor(cov / F.sqrt(vx * vy) * 1000000).cast("bigint").alias("corr_e6"),
+    )

@@ -361,3 +361,180 @@ def ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(1 - (F.col("distCol") * F.col("distCol")) / 2, 4).alias("cosine"),
     )
+
+
+# --- product quantization ----------------------------------------------
+
+_PQ_M = 8       # subvectors per vector (64-dim -> 8x8)
+_PQ_K = 16      # centroids per sub-codebook (4-bit codes)
+_PQ_ITERS = 2
+_PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
+
+
+def _pq_subvectors(unit: DataFrame, dim: int, m: int = _PQ_M) -> DataFrame:
+    """(vec_id, v[dim]) -> (vec_id, sub, sv[dim/m]): slice every
+    vector into m contiguous subvectors. One narrow pass; the
+    (vec_id, sub) row key is what lets ALL m codebooks train in a
+    single distributed aggregation instead of m sequential jobs."""
+    d = dim // m
+    return unit.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * d + 1, d).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+
+def _pq_assign(subs: DataFrame, codebooks: dict[int, list[list[float]]]) -> DataFrame:
+    """(vec_id, sub, sv) -> (vec_id, sub, cell): nearest-centroid (L2)
+    per subspace, model as broadcast DATA keyed on (sub, pos) — the
+    same constant-compile-cost shape as assign_cells, with ||c||^2
+    precomputed driver-side so the distributed side only needs the
+    cross term (argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c)."""
+    spark = subs.sparkSession
+    rows = [
+        (s, ci, pos, float(mv))
+        for s, cents in codebooks.items()
+        for ci, c in enumerate(cents)
+        for pos, mv in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(rows, "sub int, cell int, pos int, m double")
+    c2 = [
+        (s, ci, float(sum(x * x for x in c)))
+        for s, cents in codebooks.items()
+        for ci, c in enumerate(cents)
+    ]
+    c2df = spark.createDataFrame(c2, "sub int, cell int, c2 double")
+    ex = subs.select("vec_id", "sub", F.posexplode("sv").alias("pos", "x"))
+    scores = (
+        ex.join(F.broadcast(cdf), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "cell")
+        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
+        .join(F.broadcast(c2df), ["sub", "cell"])
+        .withColumn("dist2", F.col("c2") - 2 * F.col("dot"))
+    )
+    return (
+        scores.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("dist2"), F.col("cell"))).alias("b"))
+        .select("vec_id", "sub", F.col("b.cell").alias("cell"))
+    )
+
+
+def train_pq_codebooks(
+    unit: DataFrame,
+    dim: int,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    sample_target: int = _TRAIN_SAMPLE_TARGET,
+) -> dict[int, list[list[float]]]:
+    """All m sub-codebooks trained TOGETHER: the (vec_id, sub) keying
+    makes each Lloyd pass one assignment aggregation + one
+    (sub, cell, pos) mean aggregation for every codebook at once —
+    m-way training parallelism for free instead of m driver-sequenced
+    jobs. Same deterministic modulus sampling and smallest-id seeding
+    as train_ivf_centroids; only the m*k*(dim/m) codebook matrix is
+    ever collected."""
+    n = unit.count()
+    train = unit
+    if sample_target and n > sample_target:
+        mod = n // sample_target
+        train = unit.filter((F.col("vec_id") % mod) == 0).localCheckpoint(eager=True)
+    subs = _pq_subvectors(train, dim, m).localCheckpoint(eager=True)
+    seed_rows = (
+        subs.filter(F.col("vec_id").isin(
+            [r.vec_id for r in train.orderBy("vec_id").limit(k).select("vec_id").collect()]
+        ))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    for r in sorted(seed_rows, key=lambda r: (r.sub, r.vec_id)):
+        if len(codebooks[r.sub]) < k:
+            codebooks[r.sub].append(list(r.sv))
+    for _ in range(iters):
+        assigned = _pq_assign(subs, codebooks).join(subs, ["vec_id", "sub"])
+        means = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r.sub, r.cell), {})[r.pos] = r.mn
+        for (s, ci), comp in acc.items():
+            codebooks[s][ci] = [comp[p] for p in range(len(comp))]
+    return codebooks
+
+
+@q("ann_pq")  # approximate: rows-only driver check + pytest recall test
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bound scale path: every
+    unit vector compresses to m={_PQ_M} 4-bit codes (16x smaller than
+    float32, 32x smaller than the double working form), the query
+    scores the WHOLE corpus from a broadcast m x k lookup table of
+    precomputed subspace distances (ADC — one small-int join + sum,
+    never touching raw vectors), and only the {_PQ_SHORTLIST}-row ADC
+    shortlist is re-ranked with exact cosine against raw vectors.
+
+    At 100 TB this is the decisive trade: the code table is ~2 bytes/
+    vector so the ADC scan is RAM/cache-resident where raw vectors are
+    not, and exact math is confined to shortlist-row lookups. On unit
+    vectors L2 ordering IS cosine ordering (d^2 = 2 - 2cos), so the
+    ADC shortlist chases the same neighbors as ann_cosine_topk;
+    recall@10 vs that exact baseline is asserted in
+    tests/test_recall.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    dim = len(e.select("raw").first().raw)
+    unit = (
+        e.withColumn("n", _norm(F.col("raw")))
+        .select("vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    codebooks = train_pq_codebooks(unit, dim)
+    # encode the corpus: m 4-bit codes per vector (stored form)
+    codes = _pq_assign(_pq_subvectors(unit, dim), codebooks).localCheckpoint(eager=True)
+
+    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
+    d = dim // _PQ_M
+    # ADC lookup table: ||q_s - c||^2 for every (sub, cell) — m*k
+    # doubles computed driver-side from the model, broadcast as data
+    lut = [
+        (
+            s,
+            ci,
+            float(sum((qv[s * d + p] - c[p]) ** 2 for p in range(d))),
+        )
+        for s, cents in codebooks.items()
+        for ci, c in enumerate(cents)
+    ]
+    lutdf = spark.createDataFrame(lut, "sub int, cell int, dist double")
+    shortlist = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(lutdf), ["sub", "cell"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rerank = (
+        unit.join(shortlist.select("vec_id"), "vec_id")
+        .withColumn("cosine_raw", _dot(F.col("v"), qlit))
+    )
+    return (
+        rerank.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
