@@ -26,6 +26,7 @@ from . import (
     similarity_q,
     streaming_q,
     text_q,
+    tpch_q,
     training_q,
     udf_q,
 )
@@ -37,6 +38,7 @@ ORACLE: dict[str, str] = {}
 
 for mod in (
     relational,
+    tpch_q,
     pipeline_q,
     serving_q,
     analytic_q,
