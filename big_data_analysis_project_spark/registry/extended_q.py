@@ -792,6 +792,53 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
 
 
+@q(
+    "graph_triangles",
+    """WITH pairs AS (
+"""
+    + _NGRAM_PAIR_SQL
+    + """
+       ),
+       e AS (SELECT doc_a, doc_b FROM pairs)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM e xy
+       JOIN e xz ON xz.doc_a = xy.doc_a AND xz.doc_b > xy.doc_b
+       JOIN e yz ON yz.doc_a = xy.doc_b AND yz.doc_b = xz.doc_b""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup similarity graph — the density
+    probe that tells CLIQUE boilerplate (template families, where
+    transitive dedup is safe) from CHAIN drift (A~B~C with A!~C, where
+    connected-component dedup over-merges). Degree and triangle count
+    together are the standard pre-clustering diagnostic.
+
+    Algorithm: edges arrive oriented (doc_a < doc_b from the pair
+    pipeline), so each triangle x<y<z is counted exactly once by the
+    wedge join (x,y)+(x,z: z>y) closed by the (y,z) edge probe — two
+    shuffle joins on vertex keys, no DISTINCT, no double counting. At
+    100 TB-graph scale the refinement is degree-ordered orientation
+    (orient each edge toward the higher-degree endpoint) so hub
+    vertices never fan out their full adjacency; id-ordering is the
+    honest small-graph variant and the join shape is identical.
+    Rides the per-snapshot memoized pair list like the other graph
+    consumers."""
+    from .dedup_q import ngram_pairs_cached
+
+    e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    xy, xz, yz = e.alias("xy"), e.alias("xz"), e.alias("yz")
+    wedges = xy.join(
+        xz,
+        (F.col("xz.doc_a") == F.col("xy.doc_a"))
+        & (F.col("xz.doc_b") > F.col("xy.doc_b")),
+    )
+    closed = wedges.join(
+        yz,
+        (F.col("yz.doc_a") == F.col("xy.doc_b"))
+        & (F.col("yz.doc_b") == F.col("xz.doc_b")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 # --- incremental ingest / skew profiling -------------------------------
 
 

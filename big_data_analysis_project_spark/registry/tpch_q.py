@@ -75,6 +75,48 @@ _Q5_SQL = f"""
     GROUP BY n_name
 """
 
+_Q7_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(cents) AS revenue_e2
+    FROM (SELECT n1.n_name AS supp_nation,
+                 n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 {_CENTS} AS cents
+          FROM {{p}}supplier, {{p}}lineitem, {{p}}orders, {{p}}customer,
+               {{p}}nation n1, {{p}}nation n2
+          WHERE s_suppkey = l_suppkey
+            AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_nationkey < 13 AND n2.n_nationkey >= 13)
+                 OR (n1.n_nationkey >= 13 AND n2.n_nationkey < 13))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_SQL = f"""
+    SELECT l_year,
+           SUM(CASE WHEN supp_nationkey < 13 THEN cents
+                    ELSE CAST(0 AS BIGINT) END) AS low_nation_rev_e2,
+           SUM(cents) AS total_rev_e2
+    FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+                 s_nationkey AS supp_nationkey,
+                 {_CENTS} AS cents
+          FROM {{p}}part, {{p}}supplier, {{p}}lineitem, {{p}}orders,
+               {{p}}customer, {{p}}nation n1, {{p}}region
+          WHERE p_partkey = l_partkey
+            AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey
+            AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA'
+            AND p_type = 'ECONOMY') all_nations
+    GROUP BY l_year
+"""
+
 _Q10_SQL = f"""
     SELECT c_custkey, c_name, n_name,
            ROUND(c_acctbal, 2) AS acctbal,
@@ -160,6 +202,31 @@ _register(
     lineitem⨝orders⨝customer equi-joins on their natural keys. The
     c_nationkey = s_nationkey cross-dimension equality rides the
     broadcast side. Revenue in exact integer cents.""",
+)
+
+_register(
+    "sql_tpch_q7",
+    _Q7_SQL,
+    """TPC-H Q7 (volume shipping) adapted: the two-sided nation-pair
+    predicate is restated on nation-key HALVES (low<13 vs high>=13 in
+    either direction) because the testdata assigns nations uniformly —
+    a single named pair is empty at small SF. The shape it pins is the
+    double-aliased dimension: nation broadcasts TWICE (supplier leg n1,
+    customer leg n2) with the disjunctive cross-leg predicate evaluated
+    after both broadcasts — no shuffle is keyed on it. Revenue per
+    (supp_nation, cust_nation, ship-year) in exact cents.""",
+)
+
+_register(
+    "sql_tpch_q8",
+    _Q8_SQL,
+    """TPC-H Q8 (national market share) adapted: share of AMERICA-
+    region ECONOMY-part revenue supplied by low-keyed nations, per
+    order-year. The compare surface is the exact-cents NUMERATOR and
+    DENOMINATOR per year (two conditional sums, one pass) — the caller
+    divides; emitting the double ratio would reintroduce sum-order
+    float noise. Plan: part + supplier + nation + region broadcast,
+    lineitem⨝orders⨝customer shuffle on natural keys.""",
 )
 
 _register(

@@ -140,3 +140,36 @@ def test_shuffle_hash_hint_applies(spark):
     scale rationale evaporates)."""
     plan = _plan(spark, QUERIES["join_hint_shuffle_hash"](spark, SF_SMOKE))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """Q5's star join must broadcast the dimension legs (supplier /
+    nation / region) — the only shuffles at 100 TB are the fact-side
+    lineitem/orders/customer equi-joins."""
+    plan = _plan(spark, QUERIES["sql_tpch_q5"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("key", ["sql_tpch_q4", "sql_tpch_q18"])
+def test_tpch_semi_joins(spark, key):
+    """Q4's EXISTS and Q18's IN-subquery must plan as LEFT SEMI joins:
+    no fact duplication, no distinct, orderkeys-only shuffle."""
+    plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q10_take_ordered(spark):
+    """Q10's top-20 must run as TakeOrderedAndProject (per-partition
+    heads merged on the driver), never a global sort + limit."""
+    plan = _plan(spark, QUERIES["sql_tpch_q10"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q14_single_lineitem_scan(spark):
+    """Q14's promo and total revenue are two conditional sums in ONE
+    aggregation pass — exactly one lineitem scan in the plan."""
+    plan = _plan(spark, QUERIES["sql_tpch_q14"](spark, SF_SMOKE), "formatted")
+    # formatted mode puts the scan node and its Location on separate
+    # lines — count Location lines naming the table
+    scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert len(scans) == 1, plan
