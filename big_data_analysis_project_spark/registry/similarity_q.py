@@ -1,10 +1,20 @@
 """Similarity search over the embeddings table (Phase E): brute-force
-cosine top-k as the exactness baseline, and a random-hyperplane
-LSH-bucketed variant as the scale path.
+cosine top-k as the exactness baseline, random-hyperplane LSH, IVF,
+and PQ/ADC as the scale paths.
 
-The dot products are pure JVM higher-order functions
-(zip_with/aggregate) — no Python in the hot path; at real scale the
-same plan shape applies with the query side broadcast.
+Two execution tiers, chosen by shape:
+* expression-shaped work (one dot per row against a constant query)
+  stays in JVM higher-order functions (zip_with/aggregate) inside
+  whole-stage codegen;
+* matmul-shaped work (score every vector against a k-centroid MODEL)
+  runs as zero-copy ``mapInArrow`` BLAS kernels — Spark has no native
+  dense matmul, and both declarative restatements (k x dim literal
+  expressions, posexplode + broadcast-join re-agg) lose by an order of
+  magnitude (measured; see assign_cells / pq_encode). The kernels are
+  embarrassingly parallel: scan -> ArrowEvalPython -> rows, no shuffle.
+Model training (k-means / PQ codebooks) runs driver-side in numpy on a
+deterministically-sampled, size-BOUNDED training set — model-sized
+work on model-sized data; only assignment touches the corpus.
 """
 
 from __future__ import annotations
@@ -104,45 +114,50 @@ _LLOYD_ITERS = 2
 
 def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, cell): nearest-centroid (max-dot)
-    assignment with the MODEL AS BROADCAST DATA, not literals. An
-    inline k x dim literal-array argmax expression costs seconds of
-    codegen per compile and grows with k*dim (hopeless at real
-    embedding dims like 1024); this is one posexplode + broadcast
-    join on pos + two narrow aggregations — constant compile cost at
-    any k/dim, and the same shape you'd use when the model lives in a
-    table instead of the driver. Ties break to the LOWEST cell id
-    (the struct-max's negated-cell tiebreak), matching argmax-first
-    semantics.
+    assignment as a ``mapInArrow`` BLAS kernel — each Arrow batch's
+    vectors reshape zero-copy into an (n x dim) matrix, one matmul
+    against the broadcast (k x dim) centroid matrix scores every
+    (vector, cell) pair, and a row-wise argmax picks the cell. The
+    model rides the task closure (k x dim doubles — model-sized, not
+    data-sized).
 
-    Determinism caveat (inherent to this shape): the per-(vec, cell)
-    dot is an F.sum over shuffled partials, so float accumulation
-    order — and therefore a near-tie centroid assignment — can vary
-    between runs, unlike a single-expression fold. Acceptable for ANN
-    (assignment quality is unchanged, recall tests bound the effect);
-    if exact run-to-run stability ever matters, sort by pos and fold
-    per-vector with aggregate() instead."""
-    cent_rows = [
-        (ci, pos, float(m))
-        for ci, c in enumerate(centroids)
-        for pos, m in enumerate(c)
-    ]
-    cdf = unit.sparkSession.createDataFrame(cent_rows, "cell int, pos int, m double")
-    ex = unit.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    dots = (
-        ex.join(F.broadcast(cdf), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
+    Why this shape: Spark has no native dense matmul, and the two
+    declarative alternatives both lose at scale — a k x dim
+    literal-array argmax expression costs codegen that grows with
+    k*dim, and a posexplode + broadcast-join + re-agg restatement
+    shuffles n*k narrow rows (61M at a mere 60k x 16 — measured 8.5s
+    where this kernel is sub-second). Embarrassingly parallel:
+    scan -> ArrowEvalPython -> done, NO shuffle and no join-back (the
+    vectors pass through the same batch). Each row's dot products are
+    a sequential C loop over its own values, so assignment is
+    deterministic run-to-run regardless of partitioning — unlike any
+    distributed-sum restatement. np.argmax ties break to the FIRST
+    (lowest) cell id, matching argmax-first semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            v = batch.column("v")
+            n = len(ids)
+            if n == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            dots = flat.reshape(n, dim) @ cmat.T  # (n, k)
+            cell = np.argmax(dots, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, v, pa.array(cell, type=pa.int32())],
+                names=["vec_id", "v", "cell"],
+            )
+
+    return unit.select("vec_id", "v").mapInArrow(
+        kernel, "vec_id bigint, v array<double>, cell int"
     )
-    best = (
-        dots.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("dot"), (-F.col("cell")).cast("int").alias("nc"))
-            ).alias("b")
-        )
-        .select("vec_id", (-F.col("b.nc")).cast("int").alias("cell"))
-    )
-    return unit.join(best, "vec_id")
 
 
 _TRAIN_SAMPLE_TARGET = 2_000
@@ -162,36 +177,39 @@ def train_ivf_centroids(
     not data.
 
     Training runs on a deterministic modulus sample of ~``sample_target``
-    vectors when the corpus is larger (``vec_id % m == 0`` — no RNG, so
-    centroids are reproducible): the coarse quantizer needs cluster
-    STRUCTURE, not every row, so training cost is independent of corpus
-    size — the exact discipline the 100 TB deployment uses (train on a
-    ~1e6-row sample, assign the full corpus once). Below the target the
-    full frame trains, keeping small-SF recall tests deterministic."""
+    vectors (``vec_id % m == 0`` — no RNG, so centroids are
+    reproducible): the coarse quantizer needs cluster STRUCTURE, not
+    every row, so training cost is independent of corpus size — the
+    exact discipline the 100 TB deployment uses (train on a ~1e6-row
+    sample, assign the full corpus once). The BOUNDED sample collects
+    to the driver and Lloyd runs as numpy matmuls there — model
+    training on model-sized data (sample_target x dim doubles, ~1 MB
+    here, ~0.5 GB even at 1e6 x 64); a distributed restatement of the
+    same passes spends seconds of per-job overhead shuffling a frame
+    that fits in L3. Only the k x dim matrix leaves the function.
+    Deterministic end to end: modulus sample, smallest-id seeds,
+    numpy's fixed reduction order."""
+    import numpy as np
+
     n = unit.count()  # count over a checkpointed frame: metadata-cheap
     train = unit
     if sample_target and n > sample_target:
         m = n // sample_target
-        train = unit.filter((F.col("vec_id") % m) == 0).localCheckpoint(eager=True)
-    seeds = train.orderBy("vec_id").limit(k).select("v").collect()
-    centroids = [list(r.v) for r in seeds]
+        train = unit.filter((F.col("vec_id") % m) == 0)
+    rows = train.select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    x = np.asarray([r.v for r in rows], dtype=np.float64)  # (n, dim)
+    cents = x[:k].copy()  # smallest-id seeds (rows sorted by vec_id)
     for _ in range(iters):
-        assigned = assign_cells(train, centroids)
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.m
-        for ci, comp in by_cell.items():
-            vec = [comp[p] for p in range(len(comp))]
-            n = sum(x * x for x in vec) ** 0.5
-            if n > 0:  # renormalize the mean back onto the sphere
-                centroids[ci] = [x / n for x in vec]
-    return centroids
+        cell = np.argmax(x @ cents.T, axis=1)
+        for ci in range(k):
+            members = x[cell == ci]
+            if len(members):  # empty cells keep their previous centroid
+                mean = members.mean(axis=0)
+                norm = float(np.sqrt((mean * mean).sum()))
+                if norm > 0:  # renormalize the mean back onto the sphere
+                    cents[ci] = mean / norm
+    return [list(map(float, c)) for c in cents]
 
 
 @q("ann_ivf")  # approximate: rows-only driver check + pytest recall test
@@ -371,60 +389,86 @@ _PQ_ITERS = 2
 _PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
 
 
-def _pq_subvectors(unit: DataFrame, dim: int, m: int = _PQ_M) -> DataFrame:
-    """(vec_id, v[dim]) -> (vec_id, sub, sv[dim/m]): slice every
-    vector into m contiguous subvectors. One narrow pass; the
-    (vec_id, sub) row key is what lets ALL m codebooks train in a
-    single distributed aggregation instead of m sequential jobs."""
+def pq_encode(
+    unit: DataFrame, codebooks: dict[int, list[list[float]]], dim: int
+) -> DataFrame:
+    """(vec_id, v) -> (vec_id, codes array<int>): encode every vector
+    to its m 4-bit codes in ONE ``mapInArrow`` pass — the batch's
+    vectors reshape zero-copy to (n, m, d) subvectors, a single einsum
+    against the (m, k, d) codebook tensor scores all m subspaces at
+    once (argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c, the cross-term
+    trick), and the (n, m) code matrix lands as one packed array row
+    per vector — the layout PQ indexes actually store (m nibbles per
+    vector, not m rows).
+
+    Replaces a posexplode + broadcast-join + double re-agg restatement
+    that shuffled n*m*k narrow rows (7.7M groups at 60k x 8 x 16 —
+    measured ~9s where this kernel is sub-second): scan ->
+    ArrowEvalPython -> rows, NO shuffle, model in the task closure.
+    np.argmin ties to the lowest cell id; per-row math is a
+    deterministic sequential loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(codebooks)
     d = dim // m
-    return unit.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.slice("v", s * d + 1, d).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    cmat = np.asarray(
+        [codebooks[s] for s in range(m)], dtype=np.float64
+    )  # (m, k, d)
+    c2 = (cmat * cmat).sum(axis=2)  # (m, k)
 
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            v = batch.column("v")
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            subv = flat.reshape(n, m, d)
+            # (n, m, k) cross terms in one einsum; argmin over cells
+            dots = np.einsum("nmd,mkd->nmk", subv, cmat)
+            cells = np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)
+            codes = pa.FixedSizeListArray.from_arrays(
+                pa.array(cells.reshape(-1).astype(np.int32)), m
+            ).cast(pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays([ids, codes], names=["vec_id", "codes"])
 
-def _pq_assign(subs: DataFrame, codebooks: dict[int, list[list[float]]]) -> DataFrame:
-    """(vec_id, sub, sv) -> (vec_id, sub, cell): nearest-centroid (L2)
-    per subspace, model as broadcast DATA keyed on (sub, pos) — the
-    same constant-compile-cost shape as assign_cells, with ||c||^2
-    precomputed driver-side so the distributed side only needs the
-    cross term (argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c)."""
-    spark = subs.sparkSession
-    rows = [
-        (s, ci, pos, float(mv))
-        for s, cents in codebooks.items()
-        for ci, c in enumerate(cents)
-        for pos, mv in enumerate(c)
-    ]
-    cdf = spark.createDataFrame(rows, "sub int, cell int, pos int, m double")
-    c2 = [
-        (s, ci, float(sum(x * x for x in c)))
-        for s, cents in codebooks.items()
-        for ci, c in enumerate(cents)
-    ]
-    c2df = spark.createDataFrame(c2, "sub int, cell int, c2 double")
-    ex = subs.select("vec_id", "sub", F.posexplode("sv").alias("pos", "x"))
-    scores = (
-        ex.join(F.broadcast(cdf), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "cell")
-        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
-        .join(F.broadcast(c2df), ["sub", "cell"])
-        .withColumn("dist2", F.col("c2") - 2 * F.col("dot"))
+    return unit.select("vec_id", "v").mapInArrow(
+        kernel, "vec_id bigint, codes array<int>"
     )
-    return (
-        scores.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("dist2"), F.col("cell"))).alias("b"))
-        .select("vec_id", "sub", F.col("b.cell").alias("cell"))
+
+
+def pq_adc_scores(codes: DataFrame, lut) -> DataFrame:
+    """(vec_id, codes) -> (vec_id, adc): asymmetric-distance scan —
+    each vector's approximate distance is m table lookups + a sum,
+    vectorized per Arrow batch (``lut[sub, code]`` fancy-index over the
+    (n, m) code matrix). The LUT is m x k doubles in the task closure;
+    the scan output is one double per vector, so the downstream top-N
+    is a TakeOrdered over ids + scores — the full-corpus score pass
+    never shuffles anything wider than 16 bytes/vector."""
+    import numpy as np
+    import pyarrow as pa
+
+    lut = np.asarray(lut, dtype=np.float64)  # (m, k)
+    m = lut.shape[0]
+    subs = np.arange(m)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            codes_col = batch.column("codes")
+            n = len(ids)
+            if n == 0:
+                continue
+            cm = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+            adc = lut[subs[None, :], cm].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(adc, type=pa.float64())], names=["vec_id", "adc"]
+            )
+
+    return codes.select("vec_id", "codes").mapInArrow(
+        kernel, "vec_id bigint, adc double"
     )
 
 
@@ -436,44 +480,37 @@ def train_pq_codebooks(
     iters: int = _PQ_ITERS,
     sample_target: int = _TRAIN_SAMPLE_TARGET,
 ) -> dict[int, list[list[float]]]:
-    """All m sub-codebooks trained TOGETHER: the (vec_id, sub) keying
-    makes each Lloyd pass one assignment aggregation + one
-    (sub, cell, pos) mean aggregation for every codebook at once —
-    m-way training parallelism for free instead of m driver-sequenced
-    jobs. Same deterministic modulus sampling and smallest-id seeding
-    as train_ivf_centroids; only the m*k*(dim/m) codebook matrix is
-    ever collected."""
+    """All m sub-codebooks trained TOGETHER on the driver: the bounded
+    modulus sample collects once (same discipline and size bound as
+    ``train_ivf_centroids``), reshapes to (n, m, d) subvectors, and
+    each Lloyd pass is one einsum assignment + per-(sub, cell) means —
+    every codebook updated at once. Smallest-id seeding; empty cells
+    keep their previous centroid; only the m*k*d codebook matrix
+    leaves the function. Deterministic end to end."""
+    import numpy as np
+
     n = unit.count()
     train = unit
     if sample_target and n > sample_target:
         mod = n // sample_target
-        train = unit.filter((F.col("vec_id") % mod) == 0).localCheckpoint(eager=True)
-    subs = _pq_subvectors(train, dim, m).localCheckpoint(eager=True)
-    seed_rows = (
-        subs.filter(F.col("vec_id").isin(
-            [r.vec_id for r in train.orderBy("vec_id").limit(k).select("vec_id").collect()]
-        ))
-        .orderBy("vec_id")
-        .collect()
-    )
-    codebooks: dict[int, list[list[float]]] = {s: [] for s in range(m)}
-    for r in sorted(seed_rows, key=lambda r: (r.sub, r.vec_id)):
-        if len(codebooks[r.sub]) < k:
-            codebooks[r.sub].append(list(r.sv))
+        train = unit.filter((F.col("vec_id") % mod) == 0)
+    rows = train.select("vec_id", "v").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    d = dim // m
+    x = np.asarray([r.v for r in rows], dtype=np.float64).reshape(-1, m, d)
+    cmat = x[:k].transpose(1, 0, 2).copy()  # (m, k, d) smallest-id seeds
     for _ in range(iters):
-        assigned = _pq_assign(subs, codebooks).join(subs, ["vec_id", "sub"])
-        means = (
-            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cell", "pos")
-            .agg(F.avg("x").alias("mn"))
-            .collect()
-        )
-        acc: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            acc.setdefault((r.sub, r.cell), {})[r.pos] = r.mn
-        for (s, ci), comp in acc.items():
-            codebooks[s][ci] = [comp[p] for p in range(len(comp))]
-    return codebooks
+        c2 = (cmat * cmat).sum(axis=2)  # (m, k)
+        dots = np.einsum("nmd,mkd->nmk", x, cmat)
+        cells = np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)  # (n, m)
+        for s in range(m):
+            for ci in range(k):
+                members = x[cells[:, s] == ci, s, :]
+                if len(members):
+                    cmat[s, ci] = members.mean(axis=0)
+    return {
+        s: [list(map(float, c)) for c in cmat[s]] for s in range(m)
+    }
 
 
 @q("ann_pq")  # approximate: rows-only driver check + pytest recall test
@@ -496,41 +533,42 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
     )
-    dim = len(e.select("raw").first().raw)
-    unit = (
-        e.withColumn("n", _norm(F.col("raw")))
-        .select("vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v"))
-        .localCheckpoint(eager=True)
+    # the query row doubles as the dim probe — one 1-row job instead of
+    # a dim job plus a later query-vector collect
+    qraw = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("raw").collect()[0].raw
+    dim = len(qraw)
+    qn = sum(x * x for x in qraw) ** 0.5
+    qv = [x / qn for x in qraw]
+    # no checkpoint: normalize is narrow per-row math recomputed inside
+    # each consumer's scan (training-sample collect, encode, re-rank) —
+    # cheaper than materializing 2x-width vectors once to save it, and
+    # deterministic per row so every consumer sees identical values
+    unit = e.withColumn("n", _norm(F.col("raw"))).select(
+        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
     )
     codebooks = train_pq_codebooks(unit, dim)
-    # encode the corpus: m 4-bit codes per vector (stored form)
-    codes = _pq_assign(_pq_subvectors(unit, dim), codebooks).localCheckpoint(eager=True)
+    # encode the corpus: m packed 4-bit codes per vector (stored form)
+    codes = pq_encode(unit, codebooks, dim)
 
-    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
     d = dim // _PQ_M
     # ADC lookup table: ||q_s - c||^2 for every (sub, cell) — m*k
-    # doubles computed driver-side from the model, broadcast as data
+    # doubles computed driver-side from the model
     lut = [
-        (
-            s,
-            ci,
-            float(sum((qv[s * d + p] - c[p]) ** 2 for p in range(d))),
-        )
-        for s, cents in codebooks.items()
-        for ci, c in enumerate(cents)
+        [
+            float(sum((qv[s * d + p] - c[p]) ** 2 for p in range(d)))
+            for c in codebooks[s]
+        ]
+        for s in range(_PQ_M)
     ]
-    lutdf = spark.createDataFrame(lut, "sub int, cell int, dist double")
     shortlist = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(lutdf), ["sub", "cell"])
-        .groupBy("vec_id")
-        .agg(F.sum("dist").alias("adc"))
+        pq_adc_scores(codes, lut)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(_PQ_SHORTLIST)
     )
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     rerank = (
-        unit.join(shortlist.select("vec_id"), "vec_id")
+        unit.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
         .withColumn("cosine_raw", _dot(F.col("v"), qlit))
     )
     return (

@@ -439,3 +439,21 @@ def test_incremental_second_run_reads_only_new(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_ann_pq_recall(spark):
+    """PQ/ADC (8 subspaces x 16 cells, 50-candidate exact re-rank) vs
+    the exact cosine top-10. The near-random synthetic embeddings are
+    PQ's worst case (no subspace structure to quantize), so — as with
+    hyperplane LSH above — set-recall is inherently modest and the
+    stable metric is the ANN quality ratio: measured overlap 5/10 and
+    ratio 0.914 at sf0.001, 8/10 and 0.967 at sf0.01."""
+    exact = [(r.vec_id, r.cosine) for r in QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()]
+    approx = [(r.vec_id, r.cosine) for r in QUERIES["ann_pq"](spark, SF_SMOKE).collect()]
+    assert len(exact) == 10 and len(approx) == 10
+    overlap = len({v for v, _ in exact} & {v for v, _ in approx})
+    assert overlap >= 3, f"PQ recall@10 {overlap}/10 < 3"
+    ratio = (sum(c for _, c in approx) / 10) / (sum(c for _, c in exact) / 10)
+    assert ratio >= 0.85, f"PQ quality ratio {ratio:.3f} < 0.85"
+    # re-ranked cosines are genuine cosines of real corpus vectors
+    assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
