@@ -341,36 +341,71 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """doc_id -> simhash long: per-bit majority vote over crc32 token
-    hashes, all as JVM aggregate expressions (no UDF)."""
-    tokens = (
-        docs.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("t"))
-        .filter(F.col("t") != "")
-        .withColumn("h", F.crc32("t"))
+    """doc_id -> simhash long: per-bit majority vote over 64-bit token
+    hashes, as a zero-shuffle ``mapInArrow`` kernel — a document's
+    fingerprint is a pure function of its own text, so the vote never
+    needs a groupBy: each batch tokenizes, hashes each DISTINCT token
+    once, and takes the per-bit vote as one (counts @ bit-matrix)
+    matmul weighted by multiplicity (identical result to voting every
+    occurrence, at ~1/7 the hash calls on natural text).
+
+    History (both earlier variants measured at sf0.1): the original
+    explode + 33-packed-lane hash aggregate cost 4.4s against this
+    kernel's ~1s — 10M exploded token rows through a 33-column
+    aggregate vs a per-partition C loop; and its crc32 hash (32-bit)
+    left fingerprint bits 32-63 zero for every document, silently
+    degenerating half the banding chunks into one all-corpus bucket
+    (46k spurious hamming<=3 edges vs 648 genuine ones). The 64-bit
+    hash here is crc32(t) | crc32(t + 0x01) << 32 — both halves
+    computable anywhere, no external hash lib. Bit 63 stays clear to
+    keep the long positive, matching the banding's chunk math."""
+    import numpy as np
+    import pyarrow as pa
+    import re
+    import zlib
+    from collections import Counter
+
+    ws = re.compile(r"\s+")
+    shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
+    powers[bits - 1] = 0  # bit 63 left clear: keep the long positive
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            fps = np.zeros(len(texts), dtype=np.uint64)
+            for r, txt in enumerate(texts):
+                if not txt:
+                    continue
+                counts = Counter(t for t in ws.split(txt.strip().lower()) if t)
+                if not counts:
+                    continue
+                uniq = list(counts)
+                b = np.array([t.encode("utf-8") for t in uniq], dtype=object)
+                hs = np.fromiter(
+                    (
+                        zlib.crc32(tb) | (zlib.crc32(tb + b"\x01") << 32)
+                        for tb in b
+                    ),
+                    dtype=np.uint64,
+                    count=len(b),
+                )
+                mult = np.fromiter(counts.values(), dtype=np.int64, count=len(uniq))
+                bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = mult @ bitmat  # (bits,) occurrence-weighted
+                total = int(mult.sum())
+                fps[r] = powers[(2 * votes) > total].sum()
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps.astype(np.int64), type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id bigint, simhash bigint"
     )
-    # majority vote per bit as sum((h>>i)&1) vs token count, with TWO
-    # 32-bit counter lanes packed per aggregate long: 33 aggregate
-    # columns instead of 65 keeps the hash aggregate inside whole-stage
-    # codegen (the unpacked 65-column variant measured 4-8x slower at
-    # sf0.1). Lanes stay exact up to ~2^31 tokens per doc — no
-    # realistic document overflows them.
-    packed = [
-        F.sum(
-            F.shiftright(F.col("h"), 2 * i).bitwiseAND(F.lit(1))
-            + F.shiftleft(F.shiftright(F.col("h"), 2 * i + 1).bitwiseAND(F.lit(1)), 32)
-        ).alias(f"p{i}")
-        for i in range(bits // 2)
-    ]
-    votes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *packed)
-    fp: Column = F.lit(0).cast("long")
-    for i in range(bits - 1):  # bit 63 left clear: keep the long positive
-        lane_count = F.shiftright(F.col(f"p{i // 2}"), 32 * (i % 2)).bitwiseAND(
-            F.lit(0xFFFFFFFF)
-        )
-        fp = fp + F.when(
-            lane_count * 2 > F.col("cnt"), F.lit(1).cast("long") * (1 << i)
-        ).otherwise(0)
-    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def _bucket_pairs(members: DataFrame, key_cols: list[str]) -> DataFrame:
