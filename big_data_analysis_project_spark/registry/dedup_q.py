@@ -102,9 +102,12 @@ def _shingles(docs: DataFrame) -> DataFrame:
             " ", *[F.element_at("w", (i + k).cast("int")) for k in range(NGRAM)]
         ),
     )
-    return (
-        words.select("doc_id", F.explode(shingle_arr).alias("s"))
-        .distinct()
+    # distinct-per-doc is LOCAL (the doc's shingles live in one array):
+    # array_distinct before the explode replaces a 10M-row string
+    # shuffle (a global .distinct() on (doc_id, s) — measured 4.2s of
+    # this frame's 4.3s at sf0.1) with a zero-shuffle narrow pass
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("s")
     )
 
 
@@ -148,6 +151,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")
+    )
+
+
+_CONTAIN_NUM = 7  # containment >= 7/10 of the smaller shingle set
+_CONTAIN_DEN = 10
+
+_CONTAINMENT_ORACLE = (
+    _NGRAM_ORACLE.split("SELECT doc_a, doc_b")[0]
+    + f"""SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS na,
+       CAST(sb.n AS BIGINT) AS nb
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * LEAST(sa.n, sb.n)
+"""
+)
+
+
+@q("dedup_containment", _CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET pairs by shingle containment: |A∩B| / min(|A|,|B|)
+    >= 0.7. The asymmetric complement of Jaccard dedup — a short
+    document quoted or embedded inside a long one scores high
+    containment but low Jaccard (the union is dominated by the long
+    doc), so a Jaccard-only pipeline ships the training set with the
+    quote duplicated. Same inverted-index join shape as the Jaccard
+    key; the threshold compares as pure integers (n_common * 10 >=
+    7 * least(na, nb)) and the output is the integer evidence triple
+    (n_common, na, nb), so the oracle hash-matches with no float
+    anywhere."""
+    sh = _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("n_common") * _CONTAIN_DEN
+            >= _CONTAIN_NUM * F.least("na", "nb")
+        )
+        .select("doc_a", "doc_b", "n_common", "na", "nb")
     )
 
 

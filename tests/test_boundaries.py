@@ -285,3 +285,33 @@ def test_observe_audit_metrics_ride_along(spark):
     n_table = sum(r.n for r in rows)
     assert obs.get["rows_seen"] == n_table, (obs.get, n_table)
     assert obs.get["null_qty_seen"] == 0
+
+
+def test_containment_catches_subset_pair_jaccard_misses(spark):
+    """The asymmetric case dedup_containment exists for: a short doc
+    fully quoted inside a long one has containment 1.0 but Jaccard
+    well under the 0.5 threshold — a Jaccard-only pipeline keeps the
+    duplicate, the containment key flags it."""
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        JACCARD_THRESHOLD,
+        _shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} w{i + 1} w{i + 2}" for i in range(0, 120, 3))
+    long_doc = short + " " + filler
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id bigint, text string"
+    )
+
+    sh = _shingles(docs)
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    a, b = sh.alias("a"), sh.alias("b")
+    n_common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    containment = n_common / min(sizes[1], sizes[2])
+    jaccard = n_common / (sizes[1] + sizes[2] - n_common)
+    assert containment >= 0.7, containment           # flagged by the containment key
+    assert jaccard < JACCARD_THRESHOLD, jaccard      # invisible to the Jaccard key
