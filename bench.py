@@ -86,7 +86,9 @@ def main() -> None:
     headline = [
         "tb_pipeline", "flagship", "sql_tpch_q3", "quality_report",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed",
+        "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed", "ann_pq",
+        "sql_tpch_q1", "sql_tpch_q5", "sql_tpch_q18",
+        "dedup_containment", "graph_triangles",
         "text_tokens", "corpus_prep_report", "text_contamination",
         "mm_feature_extract", "udf_pandas_tokens", "window_rank",
         "groupby_agg", "join_broadcast", "topk", "pivot_first",

@@ -173,3 +173,28 @@ def test_tpch_q14_single_lineitem_scan(spark):
     # lines — count Location lines naming the table
     scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
     assert len(scans) == 1, plan
+
+
+def test_ann_kernels_are_arrow_map(spark):
+    """The ANN matmul stages (centroid assignment / PQ ADC) must plan
+    as a map-shaped ArrowEvalPython under the scan — one Python stage,
+    no Exchange between the scan and the kernel (the whole point of
+    replacing the posexplode + broadcast-join restatement)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        assign_cells,
+        _norm,
+    )
+    from big_data_analysis_project_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = e.withColumn("n", _norm(F.col("raw"))).select(
+        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
+    )
+    df = assign_cells(unit, [[0.1] * 64, [0.2] * 64])
+    plan = _plan(spark, df)
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
