@@ -852,3 +852,96 @@ def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     mart, _stats = incremental_hourly_runs(spark, sf_dir)
     return mart
+
+
+@q("stream_outer_join")  # rows-only: outer emission is watermark-gated
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM **LEFT OUTER** interval join — the semantics the
+    inner pair join can't express: clicks that never converted still
+    emit, null-extended, once the watermark proves no purchase can
+    arrive inside their 1-hour window. The distinctive mechanics:
+    a left row is held in state with a matched flag; its null row is
+    emitted only at state EVICTION (watermark past c_ts + join window
+    + delay), so unmatched output arrives delayed by design, and rows
+    near end-of-stream stay withheld when the final watermark never
+    passes them (bounded-input caveat asserted in tests/test_recall.py:
+    matched rows equal the batch inner join exactly; null rows are a
+    non-empty, correct subset of the batch anti-join side).
+
+    To make eviction actually happen under ``availableNow``, the
+    events are staged as 4 time-quartile files with ascending mtimes
+    and replayed with ``maxFilesPerTrigger=1`` — each micro-batch
+    advances the watermark ~7.5 days, closing the prior batch's state.
+    State per side stays bounded by (join window + delay) of events,
+    independent of stream length — the 100 TB property."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    b = ev.select(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    n_files = 4
+    span = (hi - lo) // n_files + 1
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_outer_"))
+    for i in range(n_files):
+        part = ev.filter(
+            (F.unix_micros("ts") >= lo + i * span)
+            & (F.unix_micros("ts") < lo + (i + 1) * span)
+        )
+        tmp = stage / f"_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        pf = next(tmp.glob("part-*.parquet"))
+        dst = stage / f"batch_{i}.parquet"
+        shutil.move(str(pf), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+    sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    raw = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage))
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    _drain(
+        spark,
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_stream_outer_join")
+        .trigger(availableNow=True),
+    )
+    return spark.table("bdap_stream_outer_join")

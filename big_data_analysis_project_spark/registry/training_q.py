@@ -291,3 +291,87 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+_ASSEMBLE_MIN_TOK = 10
+_ASSEMBLE_MAX_CHARS = 20_000
+_ASSEMBLE_SHARDS = 8
+
+
+@q(
+    "corpus_assemble",
+    f"""WITH toks AS (
+         SELECT doc_id, md5(text) AS h, {_TOK_SQL} AS n_tok, n_chars
+         FROM documents
+       ),
+       gated AS (
+         SELECT * FROM toks
+         WHERE n_tok BETWEEN {_ASSEMBLE_MIN_TOK} AND {PACK_BUDGET}
+           AND n_chars <= {_ASSEMBLE_MAX_CHARS}
+       ),
+       kept AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY h),
+       kd AS (SELECT g.doc_id, g.n_tok FROM gated g JOIN kept k ON g.doc_id = k.doc_id),
+       offsets AS (
+         SELECT doc_id, n_tok,
+                COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS start_off
+         FROM kd
+       ),
+       seqs AS (
+         SELECT doc_id, n_tok,
+                CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+         FROM offsets
+       )
+       SELECT CAST(seq_id % {_ASSEMBLE_SHARDS} AS INT) AS shard_id,
+              CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+              COUNT(*) AS n_docs,
+              SUM(n_tok) AS n_tokens
+       FROM seqs
+       GROUP BY shard_id""",
+)
+def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus assembly manifest — the composition
+    the individual keys exist for, in one lazy DAG Catalyst plans as a
+    whole: quality gate (token/char bounds) -> exact dedup (min-id per
+    content hash, 32-byte shuffle key) -> concat-and-chunk packing
+    into {PACK_BUDGET}-token sequences (running-sum window) ->
+    round-robin striping of sequences across {_ASSEMBLE_SHARDS}
+    shards. Output is the per-shard manifest (sequence/doc/token
+    mass) a trainer's loader consumes.
+
+    Scale notes: the gate and hash are narrow map work fused into the
+    scan; the dedup shuffle carries md5 keys, not documents; the
+    global running sum is the documented two-level pattern at 100 TB
+    (per-shard prefix sums + driver-side base offsets — see
+    pack_chunks); the stripe keeps consecutive sequences on different
+    shards so loader reads parallelize. Every stage reuses the exact
+    expression pair its standalone key proved hash-equal."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        "n_chars",
+    )
+    gated = toks.filter(
+        F.col("n_tok").between(_ASSEMBLE_MIN_TOK, PACK_BUDGET)
+        & (F.col("n_chars") <= _ASSEMBLE_MAX_CHARS)
+    )
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kd = gated.select("doc_id", "n_tok").join(kept.select("doc_id"), "doc_id")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    seqs = kd.withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn(
+        "seq_id",
+        F.floor(F.col("start_off") / F.lit(float(PACK_BUDGET))).cast("bigint"),
+    )
+    return (
+        seqs.groupBy((F.col("seq_id") % _ASSEMBLE_SHARDS).cast("int").alias("shard_id"))
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

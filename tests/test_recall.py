@@ -457,3 +457,29 @@ def test_ann_pq_recall(spark):
     assert ratio >= 0.85, f"PQ quality ratio {ratio:.3f} < 0.85"
     # re-ranked cosines are genuine cosines of real corpus vectors
     assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
+
+
+def test_stream_outer_join_matched_and_null_contract(spark):
+    """stream_outer_join's two-part contract vs the batch twins:
+    matched rows equal the batch INNER interval join exactly (matches
+    emit when found, never withheld), and null-extended rows are a
+    non-empty correct subset of the batch never-converted clicks
+    (outer emission is watermark-gated, so tail-of-stream nulls may
+    be withheld — but a click with a match must never emit null)."""
+    from pyspark.sql import functions as F
+
+    batch_inner = {
+        tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect()
+    }
+    stream = QUERIES["stream_outer_join"](spark, SF_SMOKE).collect()
+    matched = {tuple(r) for r in stream if r.purchase_id is not None}
+    nulls = [r for r in stream if r.purchase_id is None]
+    assert matched == batch_inner
+    assert nulls, "no null-extended rows emitted — watermark never closed state"
+    matched_click_ids = {r[0] for r in batch_inner}
+    for r in nulls:
+        assert r.click_id not in matched_click_ids, r
+        assert r.gap_us is None
+    # no click emits both a match and a null, and no duplicates
+    ids = [r.click_id for r in nulls]
+    assert len(ids) == len(set(ids))
