@@ -278,30 +278,52 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    def signature(vcol: Column, planes: list[list[float]]) -> Column:
-        sig = F.lit(0)
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in p])
-            sig = sig + F.when(_dot(vcol, plane) > 0, F.lit(1 << i)).otherwise(0)
-        return sig
+    import numpy as np
+    import pyarrow as pa
 
     tables = [_planes(seed=7 + t) for t in range(_N_TABLES)]
+    # all _N_TABLES plane sets stacked: one (dim, tables*planes) matmul
+    # signs every vector against every hyperplane of every table in a
+    # single BLAS call per Arrow batch (the matmul-shaped tier — see
+    # module docstring; the per-plane JVM fold restatement measured
+    # ~3s at sf0.1 where this kernel is sub-second)
+    pmat = np.asarray(
+        [p for tset in tables for p in tset], dtype=np.float64
+    )  # (_N_TABLES*_N_PLANES, dim)
+    bitw = np.tile(1 << np.arange(_N_PLANES, dtype=np.int64), _N_TABLES)
+
+    def bucketize(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            v = batch.column("v")
+            n = len(ids)
+            if n == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            signs = (flat.reshape(n, dim) @ pmat.T) > 0  # (n, tables*planes)
+            buckets = (signs * bitw).reshape(n, _N_TABLES, _N_PLANES).sum(axis=2)
+            # each vector repeats once per table (the explode the JVM
+            # variant did); uniform dim lets the repeat stay one reshape
+            rep_flat = np.repeat(flat.reshape(n, dim), _N_TABLES, axis=0).reshape(-1)
+            varr = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep_flat), dim
+            ).cast(pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.repeat(ids.to_numpy(zero_copy_only=False), _N_TABLES)
+                    ),
+                    varr,
+                    pa.array(np.tile(np.arange(_N_TABLES, dtype=np.int32), n)),
+                    pa.array(buckets.reshape(-1).astype(np.int32)),
+                ],
+                names=["vec_id", "v", "tbl", "bucket"],
+            )
+
     corpus = (
-        e.select(
-            "vec_id",
-            "v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"), signature(F.col("v"), tables[t]).alias("bucket")
-                        )
-                        for t in range(_N_TABLES)
-                    ]
-                )
-            ).alias("tb"),
-        )
-        .select("vec_id", "v", "tb.tbl", "tb.bucket")
+        e.mapInArrow(bucketize, "vec_id bigint, v array<double>, tbl int, bucket int")
         # referenced twice (query-row filter + probe join) within ONE
         # action: eager checkpoint instead of .cache() — concurrent
         # stages of a single action race past a lazy cache and both
