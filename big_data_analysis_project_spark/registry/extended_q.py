@@ -1060,3 +1060,35 @@ def sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@q(
+    "variant_extract",
+    """SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events
+       WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+       GROUP BY 1""",
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` shreds the JSON string ONCE into a binary variant,
+    and every downstream access is a typed ``variant_get`` path read —
+    the answer to json_extract_props' 100 TB caveat (get_json_object
+    re-parses the string per extraction; variant parses once and
+    field reads are O(path) over the encoded form, the same storage
+    model Parquet variant shredding uses). Same aggregation surface
+    as json_extract_props so the two parse strategies are directly
+    comparable in BENCH output."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select(F.parse_json("props").alias("v"))
+    return (
+        v.select(F.try_variant_get("v", "$.k", "bigint").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -945,3 +945,53 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True),
     )
     return spark.table("bdap_stream_outer_join")
+
+
+@q(
+    "stream_python_source",
+    """SELECT CAST(r.range AS BIGINT) AS i,
+              CAST(r.range % 3 AS BIGINT) AS bucket
+       FROM range(0, 300) r""",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over a custom STREAMING Python Data Source — the
+    streaming face of the Python-source API surface (batch reader,
+    pushdown reader, and writer live in relational.py). The source
+    emits a deterministic 0..299 sequence in 100-row micro-batches
+    driven by its replayable offset dict; the query projects a bucket
+    column and drains to a memory sink. Unlike the file-backed
+    streaming keys there is no availableNow contract for a custom
+    simple reader (the source never "ends"), so the drain polls the
+    sink to the known terminal count and stops the query — the test
+    surface stays exactly the oracle's range(0, 300) grid."""
+    import time
+
+    from ..sources.synthetic import (
+        STREAM_TOTAL_ROWS,
+        register_counter_stream_source,
+    )
+
+    fmt = register_counter_stream_source(spark)
+    df = (
+        spark.readStream.format(fmt)
+        .load()
+        .select("i", (F.col("i") % 3).alias("bucket"))
+    )
+    qname = "bdap_stream_python_source"
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while spark.table(qname).count() < STREAM_TOTAL_ROWS:
+            if time.monotonic() > deadline:
+                raise TimeoutError("stream_python_source never reached terminal count")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(qname)

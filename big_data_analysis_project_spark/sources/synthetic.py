@@ -179,3 +179,48 @@ def register_synthetic_datasource(spark) -> str:
     src = SyntheticTBDataSource._impl()
     spark.dataSource.register(src)
     return src.name()
+
+
+STREAM_BATCH_ROWS = 100
+STREAM_TOTAL_ROWS = 300
+
+
+def register_counter_stream_source(spark) -> str:
+    """Register a STREAMING Python Data Source (Spark 4
+    ``SimpleDataSourceStreamReader``): a deterministic integer
+    sequence delivered in {offset -> offset+100} micro-batches until
+    row {STREAM_TOTAL_ROWS}, then empty batches forever. The offset
+    dict is the source's replay contract — on restart Spark hands the
+    last committed offset back to ``read``, which is exactly how a
+    REST/poll collector makes re-delivery idempotent. Driver-side
+    simple reader: fine for control-plane-sized streams (the batch
+    twin SyntheticTBDataSource shows the partitioned form)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": 0}
+
+        def read(self, start):
+            s = int(start["v"])
+            if s >= STREAM_TOTAL_ROWS:
+                return iter([]), {"v": s}
+            e = min(s + STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
+            return iter([(i,) for i in range(s, e)]), {"v": e}
+
+        def commit(self, end):
+            pass
+
+    class _Source(DataSource):
+        @classmethod
+        def name(cls):
+            return "bdap_counter_stream"
+
+        def schema(self):
+            return "i bigint"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_Source)
+    return _Source.name()
