@@ -889,18 +889,26 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = 4
     span = (hi - lo) // n_files + 1
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_outer_"))
-    for i in range(n_files):
-        part = ev.filter(
-            (F.unix_micros("ts") >= lo + i * span)
-            & (F.unix_micros("ts") < lo + (i + 1) * span)
+    # ONE partitioned write produces all quartile files (vs 4 separate
+    # filter+write jobs), then each part file moves to the stage root
+    # with ascending mtimes so the file source replays them in
+    # event-time order
+    tmp = stage / "_w"
+    (
+        ev.withColumn(
+            "q", ((F.unix_micros("ts") - F.lit(lo)) / F.lit(span)).cast("int")
         )
-        tmp = stage / f"_w{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        pf = next(tmp.glob("part-*.parquet"))
+        .repartition(n_files, "q")
+        .write.partitionBy("q")
+        .mode("overwrite")
+        .parquet(str(tmp))
+    )
+    for i in range(n_files):
+        pf = next((tmp / f"q={i}").glob("part-*.parquet"))
         dst = stage / f"batch_{i}.parquet"
         shutil.move(str(pf), dst)
-        shutil.rmtree(tmp)
         os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    shutil.rmtree(tmp)
 
     sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"
     raw = (
