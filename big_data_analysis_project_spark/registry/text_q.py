@@ -504,3 +504,62 @@ def corpus_mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang", "rk")
     )
+
+
+@q(
+    "text_familiarity",
+    """WITH t AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         FROM documents WHERE length(text) > 0
+       ),
+       b AS (
+         SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+         FROM t, LATERAL unnest(range(1, len(w))) AS u(i)
+         WHERE len(w) >= 2
+       ),
+       cf AS (SELECT bg, COUNT(*) AS corpus_n FROM b GROUP BY bg)
+       SELECT b.doc_id,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM(cf.corpus_n) AS BIGINT) AS familiarity
+       FROM b JOIN cf USING (bg)
+       GROUP BY b.doc_id""",
+)
+def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free fluency proxy (the KenLM-perplexity slot in
+    a quality pipeline, kept integer-exact): each document's bigrams
+    are scored by their CORPUS frequency and summed — boilerplate
+    scores high, garbled or off-distribution text scores near its own
+    bigram count (every bigram seen ~once). The caller derives
+    familiarity/n_bigrams; emitting the exact integers keeps the
+    oracle hash-exact where a log-probability would be float soup.
+
+    Plan shape: bigram explode -> self-frequency via one hash
+    aggregate -> shuffle join back on the bigram key -> per-doc sum.
+    The join is the real cost at 100 TB and is exactly the shape you
+    want: keyed on bigram, combiner-friendly on both sides, no
+    driver-side vocabulary (the corpus LM 'model' stays distributed).
+    Heavy-hitter bigrams skew the join — the salting pattern
+    join_salted demonstrates applies directly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bi = (
+        d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w)-1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    cf = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        bi.join(cf, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("corpus_n").alias("familiarity"),
+        )
+    )

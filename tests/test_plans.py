@@ -198,3 +198,17 @@ def test_ann_kernels_are_arrow_map(spark):
     plan = _plan(spark, df)
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """AQE must be live, not just configured: after execution the
+    adaptive plan rewrites the 32-partition shuffle read of a small
+    aggregation into a coalesced AQEShuffleRead — the runtime
+    re-planning that keeps small-stage task counts proportional to
+    DATA, not to the static shuffle.partitions setting (the property
+    that lets one config serve sf0.001 and 100 TB)."""
+    df = QUERIES["groupby_agg"](spark, SF_SMOKE)
+    df.collect()  # adaptive re-plan happens at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan, plan
