@@ -212,3 +212,38 @@ def test_aqe_coalesces_small_shuffles(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan, plan
     assert "coalesced" in plan, plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime-filter evidence: with a selective filter on the build
+    side of a shuffle join, Catalyst injects a bloom-filter semi-
+    reduction on the probe side — at 100 TB this is what keeps the
+    fact-table shuffle from carrying rows the join will discard.
+    Broadcast is disabled for the assertion (a broadcast join needs no
+    runtime filter); confs are restored so other tests keep their
+    broadcast plans."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 290000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
