@@ -194,3 +194,43 @@ def udf_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, "vec_id bigint, norm_e4 bigint")
+
+
+@q(
+    "udaf_arrow_group",
+    """SELECT user_id, COUNT(*) AS n_events,
+              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+       FROM events GROUP BY user_id""",
+)
+def udaf_arrow_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation through ``applyInArrow`` — the
+    zero-copy GROUPED tier completing the UDF ladder (scalar
+    pandas_udf -> grouped applyInPandas -> scalar mapInArrow ->
+    grouped applyInArrow): each group arrives as a pyarrow Table, the
+    kernel reduces it with numpy (exact-cents sum: per-row FLOOR then
+    int64 addition, engine-identical to the oracle), and no pandas
+    boxing ever happens. Same one-shuffle-on-the-group-key scale shape
+    as udaf_momentum; this statistic IS built-in-expressible — the
+    point is verifying the Arrow grouped plumbing against a built-in
+    restatement."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.readers import load_events
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id")[0].as_py()
+        vals = tbl.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "n_events": pa.array([len(vals)], type=pa.int64()),
+                "sum_value_e2": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        reduce_group, "user_id bigint, n_events bigint, sum_value_e2 bigint"
+    )
