@@ -1,5 +1,6 @@
 """TPC-H-derived SQL-parity keys beyond Q1/Q3/Q6 (relational.py):
-Q4, Q5, Q10, Q14, Q18 adapted to the driver testdata's slimmed schema
+Q4, Q5, Q7, Q8, Q10, Q12, Q13, Q14, Q18, Q19, Q22 adapted to the
+driver testdata's slimmed schema
 (no l_commitdate / l_receiptdate / l_shipmode / partsupp — date
 predicates are restated on the columns that exist; everything else is
 the canonical query shape).
@@ -250,6 +251,58 @@ _register(
     derives the ratio — keeping the compare surface integer-exact.""",
 )
 
+_Q12_SQL = """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM {p}orders, {p}lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+"""
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM {p}customer
+          LEFT OUTER JOIN {p}orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+"""
+
+_Q19_SQL = f"""
+    SELECT SUM({_CENTS}) AS revenue_e2, COUNT(*) AS n_lines
+    FROM {{p}}lineitem, {{p}}part
+    WHERE p_partkey = l_partkey
+      AND ((p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1  AND l_quantity <= 21)
+        OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 30)
+        OR (p_type = 'LARGE'  AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 40))
+"""
+
+_Q22_SQL = """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS totacctbal_e2
+    FROM {p}customer
+    CROSS JOIN (SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS tot_e2,
+                       COUNT(*) AS cnt
+                FROM {p}customer WHERE c_acctbal > 0.0) avg_ref
+    WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * cnt > tot_e2
+      AND NOT EXISTS (SELECT 1 FROM {p}orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_nationkey
+"""
+
+
 _register(
     "sql_tpch_q18",
     _Q18_SQL,
@@ -260,4 +313,56 @@ _register(
     between accumulation orders). At scale the subquery is a map-side-
     combined hash aggregate over lineitem — the heavy scan happens
     once; the IN becomes a semi join that shuffles only orderkeys.""",
+)
+
+_register(
+    "sql_tpch_q12",
+    _Q12_SQL,
+    """TPC-H Q12 (shipping-mode priority) adapted: the slim schema has
+    no l_shipmode/commit/receipt dates, so the pivot dimension is
+    l_linestatus and the lateness window is a ship-year. The shape it
+    pins: orders⨝lineitem shuffle join where only (o_orderkey,
+    o_orderpriority) leaves the orders scan (column pruning), and the
+    priority CASE folds into two conditional integer counts in one
+    map-side-combined pass.""",
+)
+
+_register(
+    "sql_tpch_q13",
+    _Q13_SQL,
+    """TPC-H Q13 (customer order-count distribution) adapted: the
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion
+    (the join-side filter, NOT a WHERE — customers with zero surviving
+    orders must still appear with c_count 0). Pins the outer-join +
+    double-aggregation shape: COUNT(o_orderkey) counts only matched
+    rows, the second aggregation is a histogram over the first. At
+    100 TB the first groupBy shuffles on c_custkey (already the join
+    key — AQE reuses the exchange) and the histogram is tiny.""",
+)
+
+_register(
+    "sql_tpch_q19",
+    _Q19_SQL,
+    """TPC-H Q19 (discounted revenue) adapted: the brand/container/
+    shipmode triples become (p_type, p_size, l_quantity) range
+    conjuncts. Pins disjunctive-predicate planning: the OR of three
+    conjunct groups cannot push below the join as-is, but its
+    part-only envelope (p_type IN (...), p_size <= 35) prunes the
+    broadcast side and the quantity envelope prunes the fact scan;
+    the residual OR evaluates post-join inside codegen. Revenue in
+    exact cents plus an integer row count.""",
+)
+
+_register(
+    "sql_tpch_q22",
+    _Q22_SQL,
+    """TPC-H Q22 (global-sales opportunity) adapted: phone-prefix
+    country codes become c_nationkey groups, and "has no orders"
+    becomes "no orders since 1998" (every testdata customer has some
+    order). Two classic shapes in one key: a broadcast scalar
+    aggregate (the above-average-balance threshold — compared by
+    integer cross-multiply cents*cnt > tot, so the qualifying set
+    cannot flip on float accumulation order) and a LEFT ANTI join
+    against the date-filtered orders scan, which shuffles only
+    custkeys at scale.""",
 )
