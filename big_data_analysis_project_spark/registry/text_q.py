@@ -563,3 +563,71 @@ def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("corpus_n").alias("familiarity"),
         )
     )
+
+
+@q(
+    "text_gopher_rules",
+    f"""SELECT doc_id,
+              CAST(nw AS BIGINT) AS n_words,
+              CAST(FLOOR(CAST(na AS DOUBLE) * 10000 / nw) AS BIGINT) AS mwl_e4,
+              CAST(n_stop AS BIGINT) AS n_stop,
+              CAST(CASE WHEN nw BETWEEN 25 AND 90 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+              CAST(CASE WHEN CAST(na AS DOUBLE) / nw >= 4.3
+                         AND CAST(na AS DOUBLE) / nw <= 4.7
+                        THEN 1 ELSE 0 END AS INT) AS r_meanlen,
+              CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stopword,
+              CAST(CASE WHEN nw BETWEEN 25 AND 90
+                         AND CAST(na AS DOUBLE) / nw >= 4.3
+                         AND CAST(na AS DOUBLE) / nw <= 4.7
+                         AND n_stop >= 2
+                        THEN 1 ELSE 0 END AS INT) AS keep
+       FROM (SELECT doc_id,
+                    len(string_split_regex(trim(text), '\\s+')) AS nw,
+                    length(regexp_replace(text, '\\s', '', 'g')) AS na,
+                    len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS n_stop
+             FROM documents WHERE length(trim(text)) > 0) m""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rule gate (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1) adapted to the synthetic
+    corpus: word count in [25, 90] (the paper's [50, 100k] band scaled
+    to this corpus's 10-99-word docs), mean word length in [4.3, 4.7]
+    (paper: [3, 10] — tightened so the rule has bite on uniform-vocab
+    text), and >= 2 stopword hits (the paper's rule verbatim). Emits
+    per-rule 0/1 verdicts plus the conjunctive ``keep`` flag so a
+    pipeline can both filter and audit per-rule kill rates.
+
+    Exactness: mean word length crosses engines as FLOOR(na*1e4/nw)
+    fixed-point (the raw double division is IEEE-identical, the floor
+    makes the surface integer); thresholds compare the same division
+    on both engines, so the rule verdicts cannot flip. Plan: one
+    narrow scan -> codegen map, no shuffle — the shape of every
+    large-corpus quality gate."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    nw = F.size(F.split(F.trim("text"), r"\s+"))
+    na = F.length(F.regexp_replace("text", r"\s", ""))
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOPWORDS_RE), 0))
+    m = d.select(
+        "doc_id",
+        nw.alias("nw"),
+        na.alias("na"),
+        n_stop.alias("n_stop"),
+    )
+    mwl = F.col("na").cast("double") / F.col("nw")
+    r_wc = F.col("nw").between(25, 90)
+    r_ml = (mwl >= 4.3) & (mwl <= 4.7)
+    r_st = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        F.col("nw").cast("bigint").alias("n_words"),
+        F.floor(F.col("na").cast("double") * 10000 / F.col("nw"))
+        .cast("bigint")
+        .alias("mwl_e4"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        r_wc.cast("int").alias("r_wordcount"),
+        r_ml.cast("int").alias("r_meanlen"),
+        r_st.cast("int").alias("r_stopword"),
+        (r_wc & r_ml & r_st).cast("int").alias("keep"),
+    )
