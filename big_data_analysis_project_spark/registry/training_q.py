@@ -375,3 +375,172 @@ def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# fixed-point scale for the distributed Gram matrix: per-row
+# FLOOR(x_i * x_j * 1e6) BIGINT terms sum order-independently, making
+# the matrix bit-identical across engines, runs, and partitionings
+GRAM_SCALE = 1_000_000
+PCA_K = 4
+
+
+def _load_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the float32 vector promoted to array<double>
+    JVM-side (exact promotion) so Arrow kernels see float64."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _gram_partials(unit: DataFrame) -> DataFrame:
+    """(v) -> (i, j, partial): per-Arrow-batch upper-triangle partial
+    Gram sums in fixed point. Each batch reshapes zero-copy to an
+    (n x dim) float64 matrix; per-row outer products are floored at
+    GRAM_SCALE and accumulated as int64 in 256-row blocks (bounds the
+    n x dim x dim intermediate at ~8 MB). Emits dim*(dim+1)/2 rows per
+    batch — model-sized, never data-sized."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            v = batch.column("v")
+            n = len(v)
+            if n == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            x = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            for s in range(0, n, 256):
+                blk = x[s : s + 256]
+                acc += (
+                    np.floor(
+                        np.einsum("ni,nj->nij", blk, blk) * GRAM_SCALE
+                    )
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+            iu, ju = np.triu_indices(dim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu.astype(np.int64)),
+                    pa.array(ju.astype(np.int64)),
+                    pa.array(acc[iu, ju]),
+                ],
+                names=["i", "j", "partial"],
+            )
+
+    return unit.select("v").mapInArrow(kernel, "i bigint, j bigint, partial bigint")
+
+
+@q(
+    "embed_gram",
+    f"""WITH x AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS val
+                  FROM embeddings,
+                       UNNEST(generate_series(1, len(embedding))) AS g(i))
+       SELECT a.i - 1 AS i, b.i - 1 AS j,
+              CAST(SUM(CAST(FLOOR(a.val * b.val * {GRAM_SCALE}) AS BIGINT))
+                   AS BIGINT) AS gram_e6
+       FROM x a JOIN x b USING (vec_id)
+       WHERE a.i <= b.i
+       GROUP BY 1, 2""",
+)
+def embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    one-pass linear-algebra primitive under PCA, covariance whitening,
+    and linear-probe fits at 100 TB: each partition reduces its rows to
+    a dim x dim partial (a mapInArrow einsum kernel), and only those
+    model-sized partials shuffle (dim*(dim+1)/2 rows per batch, never
+    n rows). Fixed-point contract: every term is per-row
+    FLOOR(x_i*x_j*1e6) summed as BIGINT, so the result is bit-exact
+    and order-independent — the DuckDB oracle (a posexploded
+    self-join, quadratic in dim and only feasible at test scale)
+    hash-matches with no float tolerance. ``embed_pca`` consumes this
+    exact matrix, making the whole PCA deterministic run-to-run."""
+    parts = _gram_partials(_load_unit(spark, sf_dir))
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram_e6"))
+    )
+
+
+def _fit_pca(spark: SparkSession, sf_dir: str):
+    """Driver-side eigendecomposition of the covariance derived from
+    the EXACT fixed-point gram + per-dimension sums (both integer
+    aggregates — deterministic regardless of partitioning). Model-sized
+    work: dim x dim eigh on ~2k collected integers."""
+    import numpy as np
+
+    unit = _load_unit(spark, sf_dir)
+    gram_rows = embed_gram(spark, sf_dir).collect()
+    dim = max(r["j"] for r in gram_rows) + 1
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["gram_e6"] / GRAM_SCALE
+        g[r["j"], r["i"]] = r["gram_e6"] / GRAM_SCALE
+    sums = (
+        unit.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * GRAM_SCALE).cast("bigint")).alias("s_e6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = sums[0]["n"]
+    mu = np.zeros(dim, dtype=np.float64)
+    for r in sums:
+        mu[r["pos"]] = r["s_e6"] / GRAM_SCALE / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order]  # (dim, k)
+    # canonical sign: each component's largest-|coord| entry positive
+    for k in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, k])), k] < 0:
+            comps[:, k] = -comps[:, k]
+    return mu, comps, evals[order]
+
+
+@q("embed_pca")  # approximate surface: eigh has no SQL oracle; pytest
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-{PCA_K}
+    principal components — the standard corpus-visualization /
+    whitening step. Two-stage shape that survives 100 TB: (1) FIT on
+    the driver from the exact integer gram + mean sums (model-sized
+    collects; see ``embed_gram`` — the input aggregates are
+    deterministic, so the fitted basis is too, unlike a float-sum
+    covariance whose partial ordering varies run to run); (2) PROJECT
+    distributed — the (dim x k) basis and mean ride the task closure
+    into a mapInArrow kernel, one matmul per batch, no shuffle at all.
+    Sign-canonicalized components (largest-|coord| entry positive) so
+    output is reproducible across library versions. Driver check is
+    rows-only; the oracle-grade check lives in tests/test_training.py
+    (projection matches an independent numpy PCA at 1e-6)."""
+    mu, comps, _ = _fit_pca(spark, sf_dir)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            v = batch.column("v")
+            nrows = len(ids)
+            if nrows == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            x = v.flatten().to_numpy(zero_copy_only=False).reshape(nrows, dim)
+            proj = (x - mu) @ comps  # (n, k)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(proj), type=pa.list_(pa.float64()))],
+                names=["vec_id", "proj"],
+            )
+
+    return (
+        _load_unit(spark, sf_dir)
+        .mapInArrow(kernel, "vec_id bigint, proj array<double>")
+    )

@@ -88,3 +88,55 @@ def test_pack_chunks_conservation(spark):
     assert ids == list(range(len(ids)))
     assert ids[-1] == (corpus_toks - 1) // PACK_BUDGET
     chunks.unpersist()
+
+
+def test_embed_pca_matches_numpy(spark):
+    """The distributed two-stage PCA must agree with a single-machine
+    numpy replica of the SAME fixed-point fit (floor-quantized gram and
+    mean) — this isolates the distributed machinery, which is exact
+    integer math, from quantization. Quantization itself is bounded
+    separately: the quantized covariance sits within 2e-6 of the exact
+    one (per-term floor error 1e-6, averaged over n rows)."""
+    import numpy as np
+
+    from big_data_analysis_project_spark.registry.training_q import (
+        GRAM_SCALE,
+        PCA_K,
+    )
+
+    out = QUERIES["embed_pca"](spark, SF_SMOKE).collect()
+    raw = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+
+    x = np.array(
+        [r["embedding"] for r in sorted(raw, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    n, dim = x.shape
+
+    # local replica of the fixed-point fit (same math as _fit_pca)
+    g = np.zeros((dim, dim))
+    for row in x:
+        g += np.floor(np.outer(row, row) * GRAM_SCALE)
+    g /= GRAM_SCALE
+    mu = np.floor(x * GRAM_SCALE).astype(np.int64).sum(axis=0) / GRAM_SCALE / n
+    cov_q = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov_q)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order]
+    for k in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, k])), k] < 0:
+            comps[:, k] = -comps[:, k]
+    ref = (x - mu) @ comps
+
+    got = np.array(
+        [r["proj"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+    assert got.shape == ref.shape
+    # distributed fit consumes bit-identical integer aggregates, so the
+    # only residual is eigh's own float noise on an identical matrix
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    # quantization fidelity: the fixed-point covariance is within 2e-6
+    # of the exact-float one
+    cov = np.cov(x, rowvar=False, bias=True)
+    assert np.max(np.abs(cov_q - cov)) < 2e-6
