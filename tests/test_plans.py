@@ -37,6 +37,9 @@ _BNLJ_OK = {
     "agg_sketch_merge",
     # 1-row min-language-count scalar broadcast onto the ranked corpus
     "corpus_mix_balance",
+    # 1-row average-balance scalar frame broadcast onto customer with
+    # the integer cross-multiply threshold as the join condition
+    "sql_tpch_q22",
     # nation x calendar-spine grid: an intended cross of two tiny
     # dimension frames (#nations x #days), both broadcast-size
     "gapfill_ffill",
