@@ -663,3 +663,48 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.floor(cov / F.sqrt(vx * vy) * 1000000).cast("bigint").alias("corr_e6"),
     )
+
+
+@q(
+    "stats_linreg",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sx,
+              SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sy_e2,
+              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  * CAST(FLOOR(value * 100) AS BIGINT)) AS sxy_e2,
+              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  * CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sxx
+       FROM events
+       GROUP BY event_type""",
+)
+def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit as a single-pass aggregation — "is this
+    event type's value drifting over time?". Emits the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) with x = epoch day and y = exact
+    cents, all BIGINT so the surface is order-independent and
+    hash-exact; the caller derives slope = (nΣxy - ΣxΣy)/(nΣx² - Σx²)
+    and intercept in one float step. This is the distributed-ML
+    pattern that matters at 100 TB: closed-form model fits reduce to
+    map-side-combined integer aggregations — one shuffle of G groups,
+    no iteration, no driver data. Companion to ``stats_corr`` (same
+    machinery, correlation surface) and the gradient-free end of the
+    spectrum whose other end is ``embed_pca``'s two-stage fit."""
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "ts", "value")
+    x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+        "bigint"
+    )
+    y = F.floor(F.col("value") * 100).cast("bigint")
+    return (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy_e2"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy_e2"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
