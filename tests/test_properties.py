@@ -110,3 +110,54 @@ def test_ntile_bins_are_equi_depth(spark, values, n_bins):
     counts = [r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n")).collect()]
     assert len(counts) == n_bins
     assert max(counts) - min(counts) <= 1
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=" \n\tabcXYZ09.,!?#",
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_tokenizer_parity_three_ways(spark, texts):
+    """The whitespace token count must mean the SAME thing in all
+    three implementations that claim it: the JVM expression
+    (text_tokens), the pandas UDF twin (udf_pandas_tokens), and the
+    DuckDB oracle expression — including on adversarial whitespace
+    (leading/trailing newlines and tabs, empty strings, all-space
+    strings), which the fixed corpus never exercises."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    jvm = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+
+    s = pd.Series(texts)
+    pandas_n = (
+        s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
+    ).tolist()
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck = dict(
+        duckdb.sql(
+            r"SELECT doc_id, len(string_split_regex(trim(text), '\s+')) FROM pdf"
+        ).fetchall()
+    )
+
+    for i, _ in rows:
+        assert jvm[i] == duck[i] == pandas_n[i], (
+            f"tokenizer divergence on {texts[i]!r}: "
+            f"jvm={jvm[i]} duckdb={duck[i]} pandas={pandas_n[i]}"
+        )
