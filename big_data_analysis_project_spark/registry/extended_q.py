@@ -1151,3 +1151,58 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+_STATS_COLS = ("s_suppkey", "s_nationkey")
+
+_STATS_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, '{m}' AS metric,
+              CAST({expr.format(c=c)} AS VARCHAR) AS value FROM supplier"""
+    for c in _STATS_COLS
+    for m, expr in (
+        ("min", "MIN({c})"),
+        ("max", "MAX({c})"),
+        ("num_nulls", "COUNT(*) - COUNT({c})"),
+    )
+)
+
+
+@q("table_stats_cbo", _STATS_ORACLE)
+def table_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog column statistics — the input side of cost-based
+    optimization: supplier is written as a managed table, ``ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS`` populates the metastore,
+    and the key reads the stats BACK through ``DESCRIBE EXTENDED`` —
+    so what the oracle checks is the catalog's view, not a recompute.
+    min/max/num_nulls are exact (distinct_count is HLL-approximate and
+    deliberately off the compare surface). At 100 TB these stats are
+    what lets the planner pick broadcast sides, reorder joins, and
+    estimate shuffle sizes without scanning; the companion pytest
+    (tests/test_plans.py) asserts the exact rowCount actually lands on
+    the relation the optimizer sees."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bdap_stats_tbl")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(Path(wh) / "bdap_stats_tbl", ignore_errors=True)
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable(
+        "bdap_stats_tbl"
+    )
+    spark.sql(
+        "ANALYZE TABLE bdap_stats_tbl COMPUTE STATISTICS FOR COLUMNS "
+        + ", ".join(_STATS_COLS)
+    )
+    frames = []
+    for c in _STATS_COLS:
+        d = spark.sql(f"DESCRIBE EXTENDED bdap_stats_tbl {c}")
+        frames.append(
+            d.filter(F.col("info_name").isin("min", "max", "num_nulls")).select(
+                F.lit(c).alias("col_name"),
+                F.col("info_name").alias("metric"),
+                F.col("info_value").alias("value"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -250,3 +250,24 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyzed_table_stats_reach_optimizer(spark):
+    """After table_stats_cbo runs, the catalog's EXACT row count must
+    be what the optimizer sees on the relation — the precondition for
+    any stats-driven join strategy or reorder decision."""
+    QUERIES["table_stats_cbo"](spark, SF_SMOKE).collect()
+    expected = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").count()
+    # rowCount reaches LogicalPlan.stats() only under CBO estimation
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table("bdap_stats_tbl")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().get() == expected, stats
+        assert stats.sizeInBytes() > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
