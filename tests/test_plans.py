@@ -271,3 +271,47 @@ def test_analyzed_table_stats_reach_optimizer(spark):
         assert stats.sizeInBytes() > 0
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling must actually fire: with one join key
+    holding ~95% of a padded fact side (and broadcast disabled so the
+    join is sort-merge), the runtime re-plan has to split the oversized
+    shuffle partition — the final adaptive SMJ node carries skew=true.
+    This is the mechanism the engine relies on at 100 TB instead of
+    hand-salting every hot key (join_salted covers the manual path)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        fact = spark.range(100_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        dim = spark.range(0, 100_000, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # finalize THIS DataFrame's adaptive execution (count() would
+        # plan a separate aggregate query)
+        assert len(joined.collect()) == 100_000
+        plan = _plan(spark, joined)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
