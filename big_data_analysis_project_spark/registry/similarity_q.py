@@ -598,3 +598,73 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@q("ann_ivf_pq")  # approximate: rows-only driver check + pytest recall test
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN composition (the FAISS IVFPQ
+    shape): the coarse quantizer routes the query to its N_PROBE
+    nearest cells, ONLY those cells' vectors are ADC-scored from their
+    m 4-bit PQ codes via the broadcast lookup table, and the shortlist
+    is exactly re-ranked against raw vectors. The two halves multiply:
+    IVF makes the scan touch N_PROBE/N_CENTROIDS of the corpus
+    (partition pruning when stored cell-partitioned — proven for the
+    IVF half in test_ann_ivf_persisted_index_prunes_partitions), PQ
+    makes what IS scanned 16x smaller than float32 — at 100 TB the
+    probed cells' code blocks are cache-resident where raw vectors
+    never are. Codes here quantize the raw subvectors against global
+    codebooks (reusing ``pq_encode``; production IVFPQ quantizes
+    residuals x - centroid for a tighter fit — a model change, not a
+    plan change, so the engine shape is identical). Deterministic end
+    to end: both trainers are modulus-sampled, smallest-id-seeded
+    driver fits. Recall@10 vs the exact baseline is asserted in
+    tests/test_recall.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = e.withColumn("n", _norm(F.col("raw"))).select(
+        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
+    )
+    # five consumers (two trainers, assignment, encode, re-rank) —
+    # materialize the normalize once
+    unit = unit.localCheckpoint(eager=True)
+    qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
+    dim = len(qv)
+
+    # coarse quantizer: route the query, restrict the corpus
+    centroids = train_ivf_centroids(unit)
+    qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
+    probe_cells = sorted(range(len(qdots)), key=lambda i: -qdots[i])[:N_PROBE]
+    probed = (
+        assign_cells(unit, centroids)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "v")
+    )
+
+    # fine quantizer: ADC over the probed cells' codes only
+    codebooks = train_pq_codebooks(unit, dim)
+    codes = pq_encode(probed, codebooks, dim)
+    d = dim // _PQ_M
+    lut = [
+        [
+            float(sum((qv[s * d + p] - c[p]) ** 2 for p in range(d)))
+            for c in codebooks[s]
+        ]
+        for s in range(_PQ_M)
+    ]
+    shortlist = (
+        pq_adc_scores(codes, lut)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    rerank = (
+        unit.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .withColumn("cosine_raw", _dot(F.col("v"), qlit))
+    )
+    return (
+        rerank.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )

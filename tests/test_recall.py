@@ -483,3 +483,20 @@ def test_stream_outer_join_matched_and_null_contract(spark):
     # no click emits both a match and a null, and no duplicates
     ids = [r.click_id for r in nulls]
     assert len(ids) == len(set(ids))
+
+
+def test_ann_ivf_pq_recall(spark):
+    """The IVF+PQ composition vs the exact cosine top-10. Its recall
+    is bounded by the IVF routing (only probed cells are scored) and
+    then by the PQ shortlist, so it sits at or below each half's own
+    recall; on the synthetic embeddings the IVF half is near-perfect,
+    leaving PQ's quality ratio as the stable metric (same reasoning as
+    test_ann_pq_recall)."""
+    exact = [(r.vec_id, r.cosine) for r in QUERIES["ann_cosine_topk"](spark, SF_SMOKE).collect()]
+    approx = [(r.vec_id, r.cosine) for r in QUERIES["ann_ivf_pq"](spark, SF_SMOKE).collect()]
+    assert len(exact) == 10 and len(approx) == 10
+    overlap = len({v for v, _ in exact} & {v for v, _ in approx})
+    assert overlap >= 2, f"IVFPQ recall@10 {overlap}/10 < 2"
+    ratio = (sum(c for _, c in approx) / 10) / (sum(c for _, c in exact) / 10)
+    assert ratio >= 0.8, f"IVFPQ quality ratio {ratio:.3f} < 0.8"
+    assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
