@@ -91,6 +91,8 @@ def main() -> None:
         "dedup_containment", "graph_triangles",
         "text_tokens", "corpus_prep_report", "text_contamination",
         "mm_feature_extract", "udf_pandas_tokens", "window_rank",
+        "embed_gram", "embed_pca", "dedup_spans", "stats_linreg",
+        "ann_ivf_pq", "text_gopher_rules",
         "groupby_agg", "join_broadcast", "topk", "pivot_first",
         "asof_join", "window_tumbling",
     ]
