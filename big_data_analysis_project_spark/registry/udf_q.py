@@ -234,3 +234,39 @@ def udaf_arrow_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInArrow(
         reduce_group, "user_id bigint, n_events bigint, sum_value_e2 bigint"
     )
+
+
+@q(
+    "pandas_api_groupby",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_e2
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) face of the
+    engine: the reference's whole processing layer is written in
+    pandas idiom and round-trips through the driver (ref:
+    spark_data_processor.py toPandas/createDataFrame hops); this key
+    shows that exact idiom — column assignment with a numpy ufunc,
+    named-aggregation groupby, reset_index — running FULLY distributed
+    (np.floor dispatches to the JVM FLOOR via the ufunc protocol, the
+    groupby plans the same map-side-combined hash aggregate as the
+    DataFrame API) and hash-matching the same exact-cents oracle as
+    every native key. The migration story for a pandas-first user:
+    keep the code shape, lose the driver bottleneck. ``.to_spark()``
+    re-enters the native API at zero cost (same logical plan)."""
+    import numpy as np
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    psdf = psdf.assign(
+        cents=np.floor(psdf["o_totalprice"] * 100).astype("int64")
+    )
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(n_orders=("o_orderkey", "count"), total_e2=("cents", "sum"))
+        .reset_index()
+    )
+    return out.to_spark()
