@@ -1050,3 +1050,76 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+# SemDeDup pruning threshold — 0.3, not the paper's ~0.95, for the
+# same reason dedup_embedding uses 0.3: the synthetic embeddings' max
+# in-cluster cosine is ~0.47, so a production-grade cut would return
+# an empty drop-set and verify nothing
+SEMANTIC_TAU = 0.3
+
+
+@q("dedup_semantic")  # approximate blocking: rows-only driver check + contract pytest
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and pruning
+    near-duplicates WITHIN each cluster only — the published method
+    for curating web-scale pre-training corpora where lexical dedup
+    (minhash/simhash) misses paraphrases. Greedy keep-lowest-id
+    pruning: inside a cluster, a vector is dropped if its cosine to an
+    already-kept vector is >= SEMANTIC_TAU, and maps to the FIRST such
+    keeper. Output (vec_id, keep_id, cell) for every vector —
+    keep_id == vec_id marks survivors — so downstream joins can either
+    filter to keepers or remap references.
+
+    Scale shape: the coarse quantizer is the SAME deterministic
+    sample-trained k-means the IVF index uses (model-sized driver fit,
+    distributed Arrow-kernel assignment), so clustering costs one
+    narrow pass; the quadratic pairwise work is confined to one
+    cluster at a time inside ``applyInPandas`` (one shuffle on cell),
+    and the paper's regime k ∝ n keeps per-cluster membership bounded
+    as the corpus grows. Full greedy contract (keeper validity,
+    maximality, determinism) is pinned in tests/test_recall.py."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity_q import _norm, assign_cells, train_ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = (
+        e.withColumn("n", _norm(F.col("raw")))
+        .select("vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v"))
+        .localCheckpoint(eager=True)  # trainer + assignment reuse
+    )
+    assigned = assign_cells(unit, train_ivf_centroids(unit))
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        x = np.asarray(list(pdf["v"]), dtype=np.float64)  # unit rows
+        ids = pdf["vec_id"].to_numpy()
+        kept_rows: list[int] = []
+        keep_id = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = x[kept_rows] @ x[i]
+                hit = np.nonzero(sims >= SEMANTIC_TAU)[0]
+            else:
+                hit = []
+            if len(hit):
+                keep_id[i] = ids[kept_rows[hit[0]]]
+            else:
+                keep_id[i] = ids[i]
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "keep_id": keep_id,
+                "cell": pdf["cell"].to_numpy(),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "vec_id bigint, keep_id bigint, cell int"
+    )

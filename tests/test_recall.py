@@ -500,3 +500,46 @@ def test_ann_ivf_pq_recall(spark):
     ratio = (sum(c for _, c in approx) / 10) / (sum(c for _, c in exact) / 10)
     assert ratio >= 0.8, f"IVFPQ quality ratio {ratio:.3f} < 0.8"
     assert max(c for _, c in approx) <= max(c for _, c in exact) + 1e-9
+
+
+def test_dedup_semantic_greedy_contract(spark):
+    """The full SemDeDup greedy contract, re-derived from the output
+    plus raw embeddings (no re-clustering needed): every dropped
+    vector maps to an EARLIER surviving keeper in its own cell with
+    cosine >= tau, and no survivor could itself have been absorbed by
+    an earlier survivor in its cell (greedy maximality)."""
+    import numpy as np
+
+    from big_data_analysis_project_spark.registry.dedup_q import SEMANTIC_TAU
+
+    out = QUERIES["dedup_semantic"](spark, SF_SMOKE).collect()
+    raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    unit = {k: v / np.sqrt(v @ v) for k, v in raw.items()}
+
+    assert len(out) == len(raw)  # every vector accounted for, once
+    assert len({r["vec_id"] for r in out}) == len(raw)
+    keep_of = {r["vec_id"]: r["keep_id"] for r in out}
+    cell_of = {r["vec_id"]: r["cell"] for r in out}
+    dropped = sum(1 for r in out if r["keep_id"] != r["vec_id"])
+    assert dropped > 0, "tau never fired — the check is vacuous"
+
+    for r in sorted(out, key=lambda r: r["vec_id"]):
+        vid, kid, cell = r["vec_id"], r["keep_id"], r["cell"]
+        if kid != vid:
+            # keeper: earlier, same cell, itself a survivor, above tau
+            assert kid < vid
+            assert cell_of[kid] == cell
+            assert keep_of[kid] == kid
+            assert unit[vid] @ unit[kid] >= SEMANTIC_TAU - 1e-12
+        else:
+            # maximality: no earlier survivor in the cell absorbs it
+            for o in out:
+                if (
+                    o["cell"] == cell
+                    and o["keep_id"] == o["vec_id"]
+                    and o["vec_id"] < vid
+                ):
+                    assert unit[vid] @ unit[o["vec_id"]] < SEMANTIC_TAU + 1e-12
