@@ -366,3 +366,95 @@ _register(
     against the date-filtered orders scan, which shuffles only
     custkeys at scale.""",
 )
+
+_Q15_SQL = f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({_CENTS}) AS total_e2
+        FROM {{p}}lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_e2
+    FROM {{p}}supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_e2 = (SELECT MAX(total_e2) FROM rev)
+"""
+
+_Q17_SQL = """
+    WITH pa AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM {p}lineitem
+        GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS revenue_e2,
+           COUNT(*) AS n_lines
+    FROM {p}lineitem l
+    JOIN {p}part ON p_partkey = l.l_partkey AND p_type = 'SMALL'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(FLOOR(l.l_quantity) AS BIGINT) * 5 * pa.n < pa.sq
+"""
+
+_Q21_SQL = """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+        FROM {p}lineitem
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    w1 AS (
+        SELECT l_orderkey, l_suppkey, sd,
+               MAX(sd) OVER (PARTITION BY l_orderkey) AS mx,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp
+        FROM per
+    ),
+    w2 AS (
+        SELECT l_suppkey, sd, mx, nsupp,
+               SUM(CASE WHEN sd = mx THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM w1
+    )
+    SELECT l_suppkey AS s_suppkey, COUNT(*) AS numwait
+    FROM w2
+    WHERE nsupp >= 2 AND sd = mx AND n_at_max = 1
+    GROUP BY l_suppkey
+"""
+
+
+_register(
+    "sql_tpch_q15",
+    _Q15_SQL,
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier with
+    the maximum picked by a scalar subquery — the view-plus-max shape.
+    Revenue is exact cents so the argmax set (all suppliers tied at
+    the max, per the spec) is engine-identical; the scalar subquery
+    broadcasts one value, and the rev CTE is computed once under AQE
+    exchange reuse rather than per reference.""",
+)
+
+_register(
+    "sql_tpch_q17",
+    _Q17_SQL,
+    """TPC-H Q17 (small-quantity-order revenue) adapted: the per-part
+    average-quantity threshold compares by integer cross-multiply
+    (qty * 5 * n < sum_qty — quantities are integral, so the 20%-of-
+    mean cut is exact on both engines, no float division). The shape:
+    a self-referential fact aggregate (per-part stats) joined back to
+    the fact — at 100 TB the pa CTE is a map-side-combined aggregate
+    a fraction of lineitem's width, and part broadcasts with its type
+    filter pre-applied.""",
+)
+
+_register(
+    "sql_tpch_q21",
+    _Q21_SQL,
+    """TPC-H Q21 (suppliers who kept waiting) adapted to the slim
+    schema: the blamed supplier is the UNIQUE latest shipper within a
+    multi-supplier order (no receipt/commit dates, so lateness is
+    relative ship order). Three stacked analytics over one per-
+    (order, supplier) aggregate — max, membership count, and tie
+    count per order — all sharing ONE shuffle on l_orderkey (window
+    frames reuse the partitioning), then a per-supplier roll-up.
+    Date equality ties are engine-exact, so the unique-max predicate
+    cannot flip.""",
+)
