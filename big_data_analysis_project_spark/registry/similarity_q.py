@@ -600,32 +600,141 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def residualize(assigned: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cell) -> (vec_id, cell, r) with r = v - centroid[cell]:
+    the IVFPQ residual transform as one mapInArrow pass — the batch's
+    vectors reshape zero-copy, the broadcast kxdim centroid matrix is
+    fancy-indexed by the cell column, and the subtraction is a single
+    vectorized op. No shuffle; the cell column rides through for the
+    per-cell ADC tables downstream."""
+    import numpy as np
+    import pyarrow as pa
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            v = batch.column("v")
+            cells = batch.column("cell")
+            n = len(ids)
+            if n == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            x = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            r = x - cmat[cells.to_numpy(zero_copy_only=False)]
+            rl = pa.FixedSizeListArray.from_arrays(
+                pa.array(r.reshape(-1)), dim
+            ).cast(pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, cells, rl], names=["vec_id", "cell", "r"]
+            )
+
+    return assigned.select("vec_id", "v", "cell").mapInArrow(
+        kernel, "vec_id bigint, cell int, r array<double>"
+    )
+
+
+def pq_encode_cellwise(
+    res: DataFrame, codebooks: dict[int, list[list[float]]], dim: int
+) -> DataFrame:
+    """(vec_id, cell, r) -> (vec_id, cell, codes): ``pq_encode``'s
+    einsum argmin over the RESIDUAL subvectors, with the cell column
+    passed through so ADC can pick the right per-cell lookup table."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(codebooks)
+    d = dim // m
+    cmat = np.asarray([codebooks[s] for s in range(m)], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=2)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            cells = batch.column("cell")
+            r = batch.column("r")
+            n = len(ids)
+            if n == 0:
+                continue
+            subv = r.flatten().to_numpy(zero_copy_only=False).reshape(n, m, d)
+            dots = np.einsum("nmd,mkd->nmk", subv, cmat)
+            codes = np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)
+            cl = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1).astype(np.int32)), m
+            ).cast(pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, cells, cl], names=["vec_id", "cell", "codes"]
+            )
+
+    return res.mapInArrow(kernel, "vec_id bigint, cell int, codes array<int>")
+
+
+def pq_adc_scores_cellwise(codes: DataFrame, luts: dict[int, list]) -> DataFrame:
+    """(vec_id, cell, codes) -> (vec_id, adc): asymmetric-distance
+    scan where each probed CELL has its own lookup table (residual
+    IVFPQ: the query's residual differs per cell). The stacked
+    (n_probe, m, k) LUT tensor rides the task closure; per batch the
+    cell column maps to its LUT layer and the distance is m
+    fancy-index lookups + a sum — same O(1)-per-vector cost as the
+    global-LUT scan."""
+    import numpy as np
+    import pyarrow as pa
+
+    cells_sorted = np.asarray(sorted(luts))
+    lt = np.asarray([luts[int(c)] for c in cells_sorted], dtype=np.float64)
+    m = lt.shape[1]
+    subs = np.arange(m)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            cells = batch.column("cell")
+            codes_col = batch.column("codes")
+            n = len(ids)
+            if n == 0:
+                continue
+            cm = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+            li = np.searchsorted(
+                cells_sorted, cells.to_numpy(zero_copy_only=False)
+            )
+            adc = lt[li[:, None], subs[None, :], cm].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(adc, type=pa.float64())], names=["vec_id", "adc"]
+            )
+
+    return codes.mapInArrow(kernel, "vec_id bigint, adc double")
+
+
 @q("ann_ivf_pq")  # approximate: rows-only driver check + pytest recall test
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ — the production ANN composition (the FAISS IVFPQ
-    shape): the coarse quantizer routes the query to its N_PROBE
-    nearest cells, ONLY those cells' vectors are ADC-scored from their
-    m 4-bit PQ codes via the broadcast lookup table, and the shortlist
-    is exactly re-ranked against raw vectors. The two halves multiply:
-    IVF makes the scan touch N_PROBE/N_CENTROIDS of the corpus
-    (partition pruning when stored cell-partitioned — proven for the
-    IVF half in test_ann_ivf_persisted_index_prunes_partitions), PQ
-    makes what IS scanned 16x smaller than float32 — at 100 TB the
-    probed cells' code blocks are cache-resident where raw vectors
-    never are. Codes here quantize the raw subvectors against global
-    codebooks (reusing ``pq_encode``; production IVFPQ quantizes
-    residuals x - centroid for a tighter fit — a model change, not a
-    plan change, so the engine shape is identical). Deterministic end
-    to end: both trainers are modulus-sampled, smallest-id-seeded
-    driver fits. Recall@10 vs the exact baseline is asserted in
-    tests/test_recall.py."""
+    """Residual IVF+PQ — the production ANN composition (the FAISS
+    IVFPQ shape, residuals included): the coarse quantizer routes the
+    query to its N_PROBE nearest cells; every corpus vector is stored
+    as the m 4-bit PQ codes of its RESIDUAL x - centroid[cell]
+    (residuals are centered near zero, so the sub-codebooks spend
+    their 16 cells on a far tighter distribution than raw vectors —
+    the fidelity win over global-codebook PQ); ADC scores only the
+    probed cells' codes, with a PER-CELL lookup table built from the
+    query's own residual against each probed centroid; the shortlist
+    re-ranks exactly against raw vectors. The two halves multiply at
+    100 TB: IVF prunes the scan to N_PROBE/N_CENTROIDS of the corpus
+    (partition pruning when cell-partitioned — proven in
+    test_ann_ivf_persisted_index_prunes_partitions), PQ makes what IS
+    scanned 16x smaller than float32 so probed code blocks stay
+    cache-resident. All three per-vector stages (residualize, encode,
+    ADC) are shuffle-free mapInArrow kernels; models ride task
+    closures. Deterministic end to end (modulus-sampled smallest-id-
+    seeded trainers, per-row sequential kernel math). Recall@10 vs
+    the exact baseline is asserted in tests/test_recall.py."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
     )
     unit = e.withColumn("n", _norm(F.col("raw"))).select(
         "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
     )
-    # five consumers (two trainers, assignment, encode, re-rank) —
+    # consumed by two trainers, assignment, and the re-rank —
     # materialize the normalize once
     unit = unit.localCheckpoint(eager=True)
     qv = unit.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0].v
@@ -635,25 +744,37 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(unit)
     qdots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
     probe_cells = sorted(range(len(qdots)), key=lambda i: -qdots[i])[:N_PROBE]
-    probed = (
-        assign_cells(unit, centroids)
-        .filter(F.col("cell").isin(probe_cells))
-        .select("vec_id", "v")
-    )
+    assigned = assign_cells(unit, centroids)
 
-    # fine quantizer: ADC over the probed cells' codes only
-    codebooks = train_pq_codebooks(unit, dim)
-    codes = pq_encode(probed, codebooks, dim)
+    # fine quantizer on residuals: codebooks train on the FULL corpus's
+    # residual distribution (index build time); only probed cells are
+    # encoded+scored at query time (at scale codes are precomputed at
+    # ingest and this is a pruned scan)
+    res = residualize(assigned, centroids)
+    codebooks = train_pq_codebooks(
+        res.select("vec_id", F.col("r").alias("v")), dim
+    )
+    probed = res.filter(F.col("cell").isin(probe_cells))
+    codes = pq_encode_cellwise(probed, codebooks, dim)
+
     d = dim // _PQ_M
-    lut = [
-        [
-            float(sum((qv[s * d + p] - c[p]) ** 2 for p in range(d)))
-            for c in codebooks[s]
+    luts = {
+        c: [
+            [
+                float(
+                    sum(
+                        (qv[s * d + p] - centroids[c][s * d + p] - cb[p]) ** 2
+                        for p in range(d)
+                    )
+                )
+                for cb in codebooks[s]
+            ]
+            for s in range(_PQ_M)
         ]
-        for s in range(_PQ_M)
-    ]
+        for c in probe_cells
+    }
     shortlist = (
-        pq_adc_scores(codes, lut)
+        pq_adc_scores_cellwise(codes, luts)
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(_PQ_SHORTLIST)
