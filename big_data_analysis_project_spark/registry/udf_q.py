@@ -20,6 +20,8 @@ hash-exactly (no float tolerance games).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -270,3 +272,39 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index()
     )
     return out.to_spark()
+
+
+@q(
+    "udf_pandas_iter_score",
+    """SELECT doc_id,
+              CAST(10 * len(regexp_extract_all(lower(text),
+                       '\\b(the|a|an|and|of|to|in|is|on|for)\\b'))
+                   + length(text) % 7 AS BIGINT) AS score
+       FROM documents""",
+)
+def udf_pandas_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR_ITER pandas UDF tier — ``Iterator[pd.Series] ->
+    Iterator[pd.Series]`` — the batched-inference contract: expensive
+    per-worker setup (loading a model, opening a connection) runs ONCE
+    before the loop and every Arrow batch of the partition reuses it,
+    where the plain scalar tier would re-enter Python state per batch.
+    The "model" here is a deterministic stopword scorer (weights
+    compiled into a regex) so the key stays oracle-checkable; swap the
+    setup line for a real model load and the plan — scan ->
+    ArrowEvalPython -> project, no shuffle — is exactly the 100 TB
+    batch-scoring shape (pair with
+    spark.sql.execution.arrow.maxRecordsPerBatch to bound per-batch
+    memory at model-input size). Completes the Python cost ladder:
+    scalar pandas_udf / SCALAR_ITER / grouped applyInPandas /
+    applyInPandasWithState / UDTF / mapInArrow / applyInArrow."""
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        # per-worker setup, amortized over every batch of the partition
+        model = re.compile(r"\b(the|a|an|and|of|to|in|is|on|for)\b")
+        for s in batches:
+            yield 10 * s.str.lower().str.count(model) + s.str.len() % 7
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", score(F.col("text")).alias("score"))
