@@ -708,3 +708,48 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
         )
     )
+
+
+@q(
+    "window_stats_suite",
+    """SELECT o_orderkey,
+              o_custkey,
+              CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS prank_e6,
+              CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_e6,
+              NTH_VALUE(o_orderkey, 2) OVER
+                  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS second_key,
+              FIRST_VALUE(o_orderkey) OVER w AS top_key,
+              LAST_VALUE(o_orderkey) OVER
+                  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS bottom_key
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def window_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window surface in one key:
+    percent_rank, cume_dist (both emitted as FLOOR(x*1e6) fixed point —
+    the ratios are exact small-integer divisions, identical IEEE on
+    both engines, and the floor keeps the compare surface BIGINT),
+    nth_value(2), first_value, last_value — the latter two over the
+    full-partition frame, since the default RANGE-to-current frame
+    makes last_value a footgun this key deliberately documents. All
+    six functions share ONE hash partitioning on o_custkey (one
+    shuffle, one sort) — Catalyst collapses same-spec windows into a
+    single Window operator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.percent_rank().over(w) * 1000000).cast("bigint").alias("prank_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cume_e6"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.last("o_orderkey").over(full).alias("bottom_key"),
+    )
