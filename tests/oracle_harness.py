@@ -59,6 +59,16 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     )
 
 
+def _strict(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """The driver's canonical form: (type-name, str(value)) per cell,
+    name-sorted columns, sorted rows — no coercion, no tolerance."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple((type(row[i]).__name__, str(row[i])) for i in order)
+        for row in rows
+    )
+
+
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
@@ -76,3 +86,15 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
     nd = _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"
+
+    # the driver's hash is TYPE-strict (type name + str) — the tolerant
+    # pass above localizes value bugs, this pass catches type-class
+    # drift (Decimal vs float, int vs float, HUGEINT) that coercion
+    # masks but the driver's CORRECTNESS gate fails on
+    ss = _strict(spark_rows, spark_cols)
+    sd = _strict(duck_rows, duck_cols)
+    strict_mism = [(a, b) for a, b in zip(ss, sd) if a != b]
+    assert not strict_mism, (
+        f"type-strict mismatch ({len(strict_mism)} rows), "
+        f"first: {strict_mism[:3]}"
+    )
