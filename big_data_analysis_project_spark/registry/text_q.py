@@ -631,3 +631,61 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_st.cast("int").alias("r_stopword"),
         (r_wc & r_ml & r_st).cast("int").alias("keep"),
     )
+
+
+@q(
+    "corpus_mix_temperature",
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       m AS (SELECT MIN(n) AS mn FROM counts),
+       quota AS (
+         SELECT lang, n,
+                CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * mn)) AS BIGINT) AS keep_n
+         FROM counts, m
+       ),
+       ranked AS (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents
+       )
+       SELECT r.doc_id, r.lang, r.rk
+       FROM ranked r JOIN quota q ON r.lang = q.lang
+       WHERE r.rk <= q.keep_n""",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling — the alpha=0.5 language
+    reweighting multilingual training uses (XLM-R style: big languages
+    downsampled toward, small ones kept at, their natural size).
+    Each language's quota is FLOOR(sqrt(n_lang * n_min)) — the
+    geometric interpolation between its natural size and the uniform
+    floor, which IS the alpha=0.5 temperature curve up to the corpus-
+    level normalizer. That normalizer (sum of n^alpha across
+    languages) is deliberately NOT part of the per-language rule: a
+    cross-language float sum is accumulation-order-dependent between
+    engines, while sqrt of an integer product is correctly rounded
+    IEEE on both — so the quota, and therefore the selected set,
+    cannot flip. Selection reuses corpus_mix_balance's deterministic
+    md5-rank (reproducible, engine-portable, no RNG).
+
+    Scale shape: one lang-partitioned window for the ranks plus a
+    broadcast of the ~|languages|-row quota table; the production
+    rate-threshold variant (filter md5 under keep_n/n, no per-group
+    sort) is the same trade documented on corpus_mix_balance."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mmin = counts.agg(F.min("n").alias("mn"))
+    quota = counts.crossJoin(F.broadcast(mmin)).select(
+        "lang",
+        F.floor(F.sqrt(F.col("n").cast("double") * F.col("mn")))
+        .cast("bigint")
+        .alias("keep_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("keep_n"))
+        .select("doc_id", "lang", "rk")
+    )

@@ -36,7 +36,9 @@ _BNLJ_OK = {
     # 1-row exact-total scalar frame joined onto the sketch rollup
     "agg_sketch_merge",
     # 1-row min-language-count scalar broadcast onto the ranked corpus
+    # (and onto the per-language quota table for the temperature variant)
     "corpus_mix_balance",
+    "corpus_mix_temperature",
     # 1-row average-balance scalar frame broadcast onto customer with
     # the integer cross-multiply threshold as the join condition
     "sql_tpch_q22",
