@@ -317,3 +317,39 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_embed_gram_shuffles_only_model_rows(spark):
+    """The Gram key's one shuffle must carry the dim^2-sized partial
+    rows from the Arrow kernel — exactly one Exchange in the plan, fed
+    by the MapInArrow stage, never by the embeddings scan directly."""
+    plan = _plan(spark, QUERIES["embed_gram"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_dedup_spans_shuffles_hashes_not_spans(spark):
+    """dedup_spans' claim: span TEXT never shuffles — the window count
+    partitions on the xxhash64 column and the roll-up on doc_id, so
+    both exchanges key on 8-byte values."""
+    plan = _plan(spark, QUERIES["dedup_spans"](spark, SF_SMOKE))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 2, plan
+    assert not any("span" in l for l in exchanges), exchanges
+
+
+def test_ann_ivf_pq_scoring_is_shuffle_free(spark):
+    """Residual IVFPQ's per-vector stages (residualize, encode, ADC)
+    are mapInArrow kernels: the plan up to the ADC TakeOrdered must
+    contain Python Arrow stages and NO exchange keyed on vector data —
+    the only exchanges allowed belong to the final broadcast re-rank
+    join and top-k."""
+    df = QUERIES["ann_ivf_pq"](spark, SF_SMOKE)
+    plan = _plan(spark, df)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    # vectors (array columns) must never be a shuffle key
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "v#" not in line and "r#" not in line, line
