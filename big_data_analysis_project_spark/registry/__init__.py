@@ -62,31 +62,53 @@ assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 # Driver-evidence rotation, self-managing: the driver's correctness
 # harness checks only the FIRST 50 keys of queries() each round, so the
 # registry orders itself least-evidenced-first — keys with the fewest
-# banked driver rows (counted from the CORRECTNESS_r*.json files the
-# driver leaves at the repo root) lead, name order breaking ties. Every
-# round therefore banks up to 50 NEW driver rows with no manual window
-# edits, sweeping the whole registry in ceil(n/50) rounds. Order only
-# affects which keys the driver samples; the local oracle suite checks
-# every key every run.
+# banked GREEN driver rows (counted from the CORRECTNESS_r*.json files
+# the driver leaves at the repo root) lead, name order breaking ties.
+# Every round therefore banks up to 50 new driver rows with no manual
+# window edits, sweeping the whole registry in ceil(n/50) rounds.
+# Only green evidence banks: a key whose latest evidence is a failed
+# or errored row sorts BEFORE even never-checked keys (rank -1) so the
+# (hopefully fixed) key is re-checked next round, and a rows-only
+# 'no_oracle' row only counts for keys that still have no oracle — if
+# a key gained one since, the stale weak row shouldn't keep the
+# stronger check out of the window. Order only affects which keys the
+# driver samples; the local oracle suite checks every key every run.
 
 
-def _driver_row_counts() -> dict[str, int]:
+def _driver_row_counts(oracle_keys: set[str]) -> dict[str, int]:
     import json
     from pathlib import Path
 
     counts: dict[str, int] = {}
+    failed: set[str] = set()
     root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        for key in rows:
-            counts[key] = counts.get(key, 0) + 1
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            flags = [
+                row.get("rows_match"), row.get("schema_match"),
+                row.get("hash_match"),
+            ]
+            green = (err is None and False not in flags) or (
+                err == "no_oracle" and key not in oracle_keys
+            )
+            if green:
+                counts[key] = counts.get(key, 0) + 1
+            else:
+                failed.add(key)
+    for key in failed:
+        if counts.get(key, 0) == 0:
+            counts[key] = -1
     return counts
 
 
-_BANKED = _driver_row_counts()
+_BANKED = _driver_row_counts(set(ORACLE))
 QUERIES = {
     k: QUERIES[k]
     for k in sorted(QUERIES, key=lambda k: (_BANKED.get(k, 0), k))

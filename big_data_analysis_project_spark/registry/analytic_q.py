@@ -683,7 +683,7 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type's value drifting over time?". Emits the five sufficient
     statistics (n, Σx, Σy, Σxy, Σx²) with x = epoch day and y = exact
     cents, all BIGINT so the surface is order-independent and
-    hash-exact; the caller derives slope = (nΣxy - ΣxΣy)/(nΣx² - Σx²)
+    hash-exact; the caller derives slope = (nΣxy - ΣxΣy)/(nΣx² - (Σx)²)
     and intercept in one float step. This is the distributed-ML
     pattern that matters at 100 TB: closed-form model fits reduce to
     map-side-combined integer aggregations — one shuffle of G groups,

@@ -412,16 +412,22 @@ _PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
 
 
 def pq_encode(
-    unit: DataFrame, codebooks: dict[int, list[list[float]]], dim: int
+    unit: DataFrame,
+    codebooks: dict[int, list[list[float]]],
+    dim: int,
+    vec_col: str = "v",
+    with_cell: bool = False,
 ) -> DataFrame:
-    """(vec_id, v) -> (vec_id, codes array<int>): encode every vector
-    to its m 4-bit codes in ONE ``mapInArrow`` pass — the batch's
-    vectors reshape zero-copy to (n, m, d) subvectors, a single einsum
-    against the (m, k, d) codebook tensor scores all m subspaces at
-    once (argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c, the cross-term
-    trick), and the (n, m) code matrix lands as one packed array row
-    per vector — the layout PQ indexes actually store (m nibbles per
-    vector, not m rows).
+    """(vec_id, v[, cell]) -> (vec_id[, cell], codes array<int>):
+    encode every vector to its m 4-bit codes in ONE ``mapInArrow``
+    pass — the batch's vectors reshape zero-copy to (n, m, d)
+    subvectors, a single einsum against the (m, k, d) codebook tensor
+    scores all m subspaces at once (argmin ||x-c||^2 = argmin
+    ||c||^2 - 2 x.c, the cross-term trick), and the (n, m) code matrix
+    lands as one packed array row per vector — the layout PQ indexes
+    actually store (m nibbles per vector, not m rows). With
+    ``with_cell`` the IVF cell column rides through untouched so
+    residual-IVFPQ's per-cell ADC tables can key on it downstream.
 
     Replaces a posexplode + broadcast-join + double re-agg restatement
     that shuffled n*m*k narrow rows (7.7M groups at 60k x 8 x 16 —
@@ -442,7 +448,7 @@ def pq_encode(
     def kernel(batches):
         for batch in batches:
             ids = batch.column("vec_id")
-            v = batch.column("v")
+            v = batch.column(vec_col)
             n = len(ids)
             if n == 0:
                 continue
@@ -454,26 +460,47 @@ def pq_encode(
             codes = pa.FixedSizeListArray.from_arrays(
                 pa.array(cells.reshape(-1).astype(np.int32)), m
             ).cast(pa.list_(pa.int32()))
-            yield pa.RecordBatch.from_arrays([ids, codes], names=["vec_id", "codes"])
+            if with_cell:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, batch.column("cell"), codes],
+                    names=["vec_id", "cell", "codes"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, codes], names=["vec_id", "codes"]
+                )
 
-    return unit.select("vec_id", "v").mapInArrow(
+    if with_cell:
+        return unit.select("vec_id", vec_col, "cell").mapInArrow(
+            kernel, "vec_id bigint, cell int, codes array<int>"
+        )
+    return unit.select("vec_id", vec_col).mapInArrow(
         kernel, "vec_id bigint, codes array<int>"
     )
 
 
 def pq_adc_scores(codes: DataFrame, lut) -> DataFrame:
-    """(vec_id, codes) -> (vec_id, adc): asymmetric-distance scan —
-    each vector's approximate distance is m table lookups + a sum,
-    vectorized per Arrow batch (``lut[sub, code]`` fancy-index over the
-    (n, m) code matrix). The LUT is m x k doubles in the task closure;
-    the scan output is one double per vector, so the downstream top-N
-    is a TakeOrdered over ids + scores — the full-corpus score pass
-    never shuffles anything wider than 16 bytes/vector."""
+    """(vec_id[, cell], codes) -> (vec_id, adc): asymmetric-distance
+    scan — each vector's approximate distance is m table lookups + a
+    sum, vectorized per Arrow batch (fancy-index over the (n, m) code
+    matrix). ``lut`` is either one (m, k) table (global-codebook PQ)
+    or a dict {cell: (m, k) table} (residual IVFPQ, where the query's
+    residual differs per probed cell — the stacked (n_probe, m, k)
+    tensor rides the closure and the batch's cell column picks its
+    layer). Either way the scan output is one double per vector, so
+    the downstream top-N is a TakeOrdered over ids + scores — the
+    score pass never shuffles anything wider than 16 bytes/vector."""
     import numpy as np
     import pyarrow as pa
 
-    lut = np.asarray(lut, dtype=np.float64)  # (m, k)
-    m = lut.shape[0]
+    cellwise = isinstance(lut, dict)
+    if cellwise:
+        cells_sorted = np.asarray(sorted(lut))
+        lt = np.asarray([lut[int(c)] for c in cells_sorted], dtype=np.float64)
+        m = lt.shape[1]
+    else:
+        lt = np.asarray(lut, dtype=np.float64)  # (m, k)
+        m = lt.shape[0]
     subs = np.arange(m)
 
     def kernel(batches):
@@ -484,14 +511,20 @@ def pq_adc_scores(codes: DataFrame, lut) -> DataFrame:
             if n == 0:
                 continue
             cm = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-            adc = lut[subs[None, :], cm].sum(axis=1)
+            if cellwise:
+                li = np.searchsorted(
+                    cells_sorted,
+                    batch.column("cell").to_numpy(zero_copy_only=False),
+                )
+                adc = lt[li[:, None], subs[None, :], cm].sum(axis=1)
+            else:
+                adc = lt[subs[None, :], cm].sum(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(adc, type=pa.float64())], names=["vec_id", "adc"]
             )
 
-    return codes.select("vec_id", "codes").mapInArrow(
-        kernel, "vec_id bigint, adc double"
-    )
+    cols = ["vec_id", "cell", "codes"] if cellwise else ["vec_id", "codes"]
+    return codes.select(*cols).mapInArrow(kernel, "vec_id bigint, adc double")
 
 
 def train_pq_codebooks(
@@ -636,77 +669,6 @@ def residualize(assigned: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def pq_encode_cellwise(
-    res: DataFrame, codebooks: dict[int, list[list[float]]], dim: int
-) -> DataFrame:
-    """(vec_id, cell, r) -> (vec_id, cell, codes): ``pq_encode``'s
-    einsum argmin over the RESIDUAL subvectors, with the cell column
-    passed through so ADC can pick the right per-cell lookup table."""
-    import numpy as np
-    import pyarrow as pa
-
-    m = len(codebooks)
-    d = dim // m
-    cmat = np.asarray([codebooks[s] for s in range(m)], dtype=np.float64)
-    c2 = (cmat * cmat).sum(axis=2)
-
-    def kernel(batches):
-        for batch in batches:
-            ids = batch.column("vec_id")
-            cells = batch.column("cell")
-            r = batch.column("r")
-            n = len(ids)
-            if n == 0:
-                continue
-            subv = r.flatten().to_numpy(zero_copy_only=False).reshape(n, m, d)
-            dots = np.einsum("nmd,mkd->nmk", subv, cmat)
-            codes = np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)
-            cl = pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.reshape(-1).astype(np.int32)), m
-            ).cast(pa.list_(pa.int32()))
-            yield pa.RecordBatch.from_arrays(
-                [ids, cells, cl], names=["vec_id", "cell", "codes"]
-            )
-
-    return res.mapInArrow(kernel, "vec_id bigint, cell int, codes array<int>")
-
-
-def pq_adc_scores_cellwise(codes: DataFrame, luts: dict[int, list]) -> DataFrame:
-    """(vec_id, cell, codes) -> (vec_id, adc): asymmetric-distance
-    scan where each probed CELL has its own lookup table (residual
-    IVFPQ: the query's residual differs per cell). The stacked
-    (n_probe, m, k) LUT tensor rides the task closure; per batch the
-    cell column maps to its LUT layer and the distance is m
-    fancy-index lookups + a sum — same O(1)-per-vector cost as the
-    global-LUT scan."""
-    import numpy as np
-    import pyarrow as pa
-
-    cells_sorted = np.asarray(sorted(luts))
-    lt = np.asarray([luts[int(c)] for c in cells_sorted], dtype=np.float64)
-    m = lt.shape[1]
-    subs = np.arange(m)
-
-    def kernel(batches):
-        for batch in batches:
-            ids = batch.column("vec_id")
-            cells = batch.column("cell")
-            codes_col = batch.column("codes")
-            n = len(ids)
-            if n == 0:
-                continue
-            cm = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-            li = np.searchsorted(
-                cells_sorted, cells.to_numpy(zero_copy_only=False)
-            )
-            adc = lt[li[:, None], subs[None, :], cm].sum(axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(adc, type=pa.float64())], names=["vec_id", "adc"]
-            )
-
-    return codes.mapInArrow(kernel, "vec_id bigint, adc double")
-
-
 @q("ann_ivf_pq")  # approximate: rows-only driver check + pytest recall test
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF+PQ — the production ANN composition (the FAISS
@@ -750,12 +712,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual distribution (index build time); only probed cells are
     # encoded+scored at query time (at scale codes are precomputed at
     # ingest and this is a pruned scan)
-    res = residualize(assigned, centroids)
+    # three consumers (trainer count, trainer sample collect, probed
+    # encode) — materialize the assign+residualize kernels once
+    res = residualize(assigned, centroids).localCheckpoint(eager=True)
     codebooks = train_pq_codebooks(
         res.select("vec_id", F.col("r").alias("v")), dim
     )
     probed = res.filter(F.col("cell").isin(probe_cells))
-    codes = pq_encode_cellwise(probed, codebooks, dim)
+    codes = pq_encode(probed, codebooks, dim, vec_col="r", with_cell=True)
 
     d = dim // _PQ_M
     luts = {
@@ -774,7 +738,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in probe_cells
     }
     shortlist = (
-        pq_adc_scores_cellwise(codes, luts)
+        pq_adc_scores(codes, luts)
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(_PQ_SHORTLIST)

@@ -33,6 +33,16 @@ QUERIES = {}
 ORACLE = {}
 
 
+def ws_token_counts(s: pd.Series) -> pd.Series:
+    """Whitespace token count with EXACTLY the semantics of
+    size(split(trim(text), '\\s+')): trim SPACES only (pandas
+    .str.strip() also eats \n/\t, which would undercount by one on
+    text with leading/trailing non-space whitespace), then tokens =
+    whitespace runs + 1. Shared by the udf_pandas_tokens UDF and the
+    three-way parity property test so the two can never drift."""
+    return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
+
+
 def q(key: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[key] = fn
@@ -61,12 +71,7 @@ def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def ws_tokens(s: pd.Series) -> pd.Series:
-        # trim SPACES only, matching SQL trim() — pandas .str.strip()
-        # also eats \n/\t, which would undercount by one vs the oracle
-        # on text with leading/trailing non-space whitespace — then
-        # tokens = whitespace runs + 1, the exact semantics of
-        # size(split(trim(text), '\\s+'))
-        return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
+        return ws_token_counts(s)
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", ws_tokens(F.col("text")).alias("n_ws_tokens"))

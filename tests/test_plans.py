@@ -261,6 +261,7 @@ def test_analyzed_table_stats_reach_optimizer(spark):
     QUERIES["table_stats_cbo"](spark, SF_SMOKE).collect()
     expected = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").count()
     # rowCount reaches LogicalPlan.stats() only under CBO estimation
+    prior = spark.conf.get("spark.sql.cbo.enabled", None)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try:
         stats = (
@@ -272,7 +273,10 @@ def test_analyzed_table_stats_reach_optimizer(spark):
         assert stats.rowCount().get() == expected, stats
         assert stats.sizeInBytes() > 0
     finally:
-        spark.conf.set("spark.sql.cbo.enabled", "false")
+        if prior is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", prior)
 
 
 def test_aqe_splits_skewed_join_partition(spark):

@@ -144,10 +144,9 @@ def test_tokenizer_parity_three_ways(spark, texts):
         ).collect()
     }
 
-    s = pd.Series(texts)
-    pandas_n = (
-        s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
-    ).tolist()
+    from big_data_analysis_project_spark.registry.udf_q import ws_token_counts
+
+    pandas_n = ws_token_counts(pd.Series(texts)).tolist()
 
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     duck = dict(
