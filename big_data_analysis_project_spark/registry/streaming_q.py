@@ -1003,3 +1003,65 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(qname)
+
+
+@q("stream_dedup_watermarked")  # rows-only: bounded-state streaming dedup
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+), the production form
+    of ``stream_dedup``: that key's plain ``dropDuplicates`` keeps one
+    state row per distinct key FOREVER, which on an unbounded 100 TB
+    ingest stream is an OOM with a countdown; within-watermark dedup
+    evicts state older than the delay, bounding state by (arrival-rate
+    x watermark) at the documented cost that only duplicates arriving
+    within the delay of their first occurrence are suppressed — the
+    at-least-once-source contract (e.g. Kafka redelivery), where dup
+    arrivals cluster near the original by construction.
+
+    Staged as two files replayed with maxFilesPerTrigger=1: batch 2
+    re-delivers the last 2 h of batch 1's events (inside the 4 h
+    watermark, so suppression is GUARANTEED) alongside the later half
+    of the stream. tests/test_recall.py asserts exact set equality
+    with the batch distinct — every event exactly once."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    b = ev.select(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).collect()[0]
+    mid = (b.lo + b.hi) // 2
+    two_h = 2 * 3600 * 1_000_000
+    b1 = ev.filter(F.unix_micros("ts") <= mid)
+    redelivered = b1.filter(F.unix_micros("ts") > mid - two_h)
+    b2 = ev.filter(F.unix_micros("ts") > mid).unionByName(redelivered)
+
+    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_dedup_wm_"))
+    for i, frame in enumerate((b1, b2)):
+        tmp = stage / f"_w{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        pf = next(tmp.glob("part-*.parquet"))
+        dst = stage / f"batch_{i}.parquet"
+        shutil.move(str(pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        shutil.rmtree(tmp)
+
+    raw = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage))
+    )
+    deduped = raw.withWatermark("ts", "4 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    _drain(
+        spark,
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_stream_dedup_wm")
+        .trigger(availableNow=True),
+    )
+    return spark.table("bdap_stream_dedup_wm").select("event_id", "event_type")

@@ -543,3 +543,19 @@ def test_dedup_semantic_greedy_contract(spark):
                     and o["vec_id"] < vid
                 ):
                     assert unit[vid] @ unit[o["vec_id"]] < SEMANTIC_TAU + 1e-12
+
+
+def test_stream_dedup_watermarked_exact_once(spark):
+    """Within-watermark streaming dedup must emit every event exactly
+    once: the staged re-delivery sits inside the watermark delay, so
+    suppression is guaranteed and the output equals the batch distinct
+    set — while state stays bounded by the 4h window instead of
+    growing with the stream."""
+    out = QUERIES["stream_dedup_watermarked"](spark, SF_SMOKE).collect()
+    ids = [r["event_id"] for r in out]
+    expected = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    }
+    assert len(ids) == len(set(ids)), "duplicate event emitted"
+    assert set(ids) == expected, "dropped or invented events"
