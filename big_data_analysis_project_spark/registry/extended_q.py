@@ -1206,3 +1206,51 @@ def table_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+@q(
+    "sink_partition_overwrite",
+    """WITH base AS (SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                            o_orderkey, o_totalprice
+                     FROM orders)
+       SELECT order_year,
+              COUNT(*) AS n,
+              CAST(SUM(CASE WHEN order_year = 1996
+                            THEN CAST(FLOOR(o_totalprice * 2) AS BIGINT)
+                            ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END)
+                   AS BIGINT) AS sum_price_floor
+       FROM base GROUP BY order_year""",
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the incremental-mart write
+    semantic: ``partitionOverwriteMode=dynamic`` makes an overwrite
+    replace ONLY the partitions present in the incoming frame, where
+    static mode (the default) would truncate the whole table first.
+    The key writes the full year-partitioned mart, then overwrites
+    just year=1996 with restated rows (prices doubled); the re-read
+    must show 1996 restated AND every other year untouched — which is
+    exactly what the oracle expresses. At 100 TB this is how a daily
+    pipeline republishes one day of a years-deep mart without
+    rewriting (or locking) the other thousand partitions. The conf is
+    set per-write via option(), not session-wide."""
+    out = str(_SINK_ROOT / "sink_partition_overwrite")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    restated = o.filter(F.col("order_year") == 1996).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
+    )
