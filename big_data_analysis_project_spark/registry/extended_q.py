@@ -1254,3 +1254,44 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_price_floor"),
     )
+
+
+_DERBY_URL = "jdbc:derby:memory:bdap_marts;create=true"
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@q(
+    "sink_jdbc_roundtrip",
+    """SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+       FROM customer WHERE c_nationkey = 3""",
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + S10 LIVE: the customer mart written to a real JDBC
+    database and read back with an equality filter — no longer just
+    the no-driver-jar gate. The database is embedded Derby (the jar
+    Spark ships for its Hive metastore, so this runs in any Spark
+    distribution with zero extra dependencies; in-memory, per-JVM —
+    executors and driver share it in local mode, and at cluster scale
+    the url swaps to the real warehouse endpoint with everything else
+    unchanged). The read-back pushes IsNotNull + EqualTo INTO the
+    remote scan (plan-asserted in tests/test_sinks.py) — the JDBC
+    source's predicate pushdown is the entire point of S10: the
+    database does the filtering, Spark transfers only matching rows.
+    ref: spark_data_processor.py:891-932 (pandas to_sql into
+    PostgreSQL — driver-side and chunked, where this streams from
+    executors)."""
+    from .. import sinks
+    from ..sources.readers import read_jdbc
+
+    mart = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    sinks.write_jdbc(
+        mart, _DERBY_URL, "bdap_customer_mart",
+        properties=_DERBY_PROPS, audit_col=None,
+    )
+    back = read_jdbc(spark, _DERBY_URL, "bdap_customer_mart", _DERBY_PROPS)
+    return back.filter(F.col("c_nationkey") == 3)

@@ -148,3 +148,19 @@ def test_sink_zorder_prunes_both_dimensions(spark):
             f"column {idx}: window [{w_lo},{w_hi}] overlaps all {len(files)} files "
             f"— no skipping on this dimension: {ranges}"
         )
+
+
+def test_jdbc_roundtrip_pushes_filters(spark):
+    """The live Derby round-trip must push its equality predicate into
+    the remote JDBC scan (the database filters, Spark transfers
+    matching rows only) — a post-scan Filter over a full-table read
+    defeats S10's purpose."""
+    from big_data_analysis_project_spark.registry.extended_q import (
+        sink_jdbc_roundtrip,
+    )
+    from .conftest import SF_SMOKE
+
+    df = sink_jdbc_roundtrip(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan, plan
+    assert "EqualTo(c_nationkey,3)" in plan, plan
