@@ -357,3 +357,49 @@ def test_ann_ivf_pq_scoring_is_shuffle_free(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "v#" not in line and "r#" not in line, line
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """The third AQE behavior the engine leans on (with coalescing and
+    skew-split above): a join the static planner sort-merges — both
+    sides unknown-size subqueries over the 10MB static threshold
+    assumption — must convert to a BroadcastHashJoin at RUNTIME once
+    the finished shuffle stage reveals the aggregated side is tiny.
+    At 100 TB this is what saves mis-estimated dimension subqueries
+    from full fact shuffles."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # static planner must NOT broadcast (threshold off)...
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # ...but AQE's own runtime threshold (which otherwise falls
+        # back to the static one) allows the re-plan to broadcast the
+        # small aggregated side once its true size is known
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        small = (
+            spark.range(50_000)
+            .select((F.col("id") % 100).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined = fact.join(small, "k")
+        assert len(joined.collect()) > 0
+        # the explain echoes the pre-execution plan under
+        # "== Initial Plan ==" — assert on the FINAL section only
+        final = _plan(spark, joined).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, final
+        assert "SortMergeJoin" not in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
