@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import topk_per_group
 from ..schemas import COUNTRY_COORDS
+from ..sources.readers import load_table
 from .pipeline_q import synthetic_marts
 from .relational import _SYN_DIM
 
@@ -314,3 +315,34 @@ def serve_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=("iso3",),
     )
     return ranked.select("ranking", "rank", "iso3", "value")
+
+
+@q(
+    "serve_cached_mart",
+    """SELECT c_mktsegment,
+              COUNT(*) AS n_customers,
+              CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS acctbal_e2
+       FROM customer GROUP BY c_mktsegment""",
+)
+def serve_cached_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving layer's hot-path cache — ``spark.catalog
+    .cacheTable``: the mart is pinned in the in-memory COLUMNAR cache
+    (compressed batches, JVM-side) so every endpoint hit after the
+    first scans memory, not parquet. This is the engine-level answer
+    to the reference's flask-caching TTL dict (ref:
+    flask_api_server.py:36-39, which caches serialized HTTP responses
+    per URL): one cached relation serves every query shape over the
+    mart, and Catalyst prunes cached COLUMNS as it would parquet ones.
+    tests/test_plans.py asserts the second read plans an
+    InMemoryTableScan. At 100 TB you cache the serving marts (GB),
+    never the fact tables; eviction is LRU per executor and
+    ``uncacheTable`` is the explicit drop."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bdap_served_customer"
+    )
+    spark.catalog.cacheTable("bdap_served_customer")
+    return spark.table("bdap_served_customer").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_e2"),
+    )

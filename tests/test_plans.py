@@ -403,3 +403,22 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cached_mart_scans_memory(spark):
+    """serve_cached_mart's second read must scan the in-memory
+    columnar cache, not parquet — and column pruning must still apply
+    to the cached relation."""
+    df = QUERIES["serve_cached_mart"](spark, SF_SMOKE)
+    df.collect()  # populate the cache
+    try:
+        again = QUERIES["serve_cached_mart"](spark, SF_SMOKE)
+        again.collect()
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "Scan In-memory table" in l]
+        assert scan, plan
+        # column pruning applies to the cached relation: the scan
+        # reads the 2 needed columns, not the 5 cached ones
+        assert "c_acctbal" in scan[0] and "c_name" not in scan[0], scan[0]
+    finally:
+        spark.catalog.uncacheTable("bdap_served_customer")
