@@ -160,3 +160,97 @@ def test_tokenizer_parity_three_ways(spark, texts):
             f"tokenizer divergence on {texts[i]!r}: "
             f"jvm={jvm[i]} duckdb={duck[i]} pandas={pandas_n[i]}"
         )
+
+
+def test_oracle_harness_detects_drift(spark):
+    """Meta-test: the compare() gate itself must FAIL on value drift,
+    row-count drift, and type-class drift — a harness that waves
+    everything through would make all 171 green oracle keys
+    meaningless. (The type case pins the driver-strict second pass:
+    values coerce equal, only the type names differ.)"""
+    import duckdb
+    import pytest as _pytest
+
+    from .oracle_harness import compare
+
+    conn = duckdb.connect()
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+
+    # baseline green: VALUES decimals cast to DOUBLE to match Spark
+    compare(
+        df, conn,
+        "SELECT k, CAST(v AS DOUBLE) AS v "
+        "FROM (VALUES (1, 10.0), (2, 20.0)) t(k, v)",
+    )
+
+    with _pytest.raises(AssertionError, match="value mismatch"):
+        compare(
+            df, conn,
+            "SELECT k, CAST(v AS DOUBLE) AS v "
+            "FROM (VALUES (1, 10.0), (2, 21.0)) t(k, v)",
+        )
+    with _pytest.raises(AssertionError, match="row count"):
+        compare(
+            df, conn,
+            "SELECT k, CAST(v AS DOUBLE) AS v "
+            "FROM (VALUES (1, 10.0)) t(k, v)",
+        )
+    with _pytest.raises(AssertionError, match="type-strict"):
+        # DuckDB returns v as int here; floats coerce equal but the
+        # driver-strict pass must flag float-vs-int
+        compare(df, conn, "SELECT * FROM (VALUES (1, 10), (2, 20)) t(k, v)")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 100),        # ts (small int domain forces ties)
+            st.sampled_from(["view", "click"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, rows):
+    """The union-plus-window as-of join must equal the O(n^2)
+    brute-force definition — for every click, the latest view
+    at-or-before it for the same user — including on ties (view and
+    click at the identical timestamp must match) and on clicks with
+    no prior view (null)."""
+    from pyspark.sql import Window
+
+    data = [
+        (i, int(u), int(ts), et) for i, (u, ts, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id int, user_id int, ts int, event_type string"
+    )
+    tagged = df.withColumn(
+        "is_click", F.when(F.col("event_type") == "click", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["event_id"]: r["view_ts"]
+        for r in tagged.withColumn(
+            "view_ts",
+            F.last(
+                F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_click") == 1)
+        .collect()
+    }
+
+    views = [(i, u, ts) for i, u, ts, et in data if et == "view"]
+    for i, u, ts, et in data:
+        if et != "click":
+            continue
+        prior = [vts for _, vu, vts in views if vu == u and vts <= ts]
+        expected = max(prior) if prior else None
+        assert got[i] == expected, (i, u, ts, got[i], expected)
