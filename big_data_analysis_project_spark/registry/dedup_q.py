@@ -104,8 +104,12 @@ def _shingles(docs: DataFrame) -> DataFrame:
     ``string_split_regex(lower(trim(text)), '\\s+')``: trim strips
     SPACES only, the split class is Java's ASCII ``\\s`` ([ \\t\\n
     \\x0b\\f\\r] — Python's unicode \\s would also eat \\x1c-\\x1f and
-    NEL), and Java's split drops only TRAILING empty tokens (a leading
-    separator yields a leading '' token on both engines)."""
+    NEL), and EMPTY tokens from leading/trailing separators are KEPT —
+    Python re.split, Spark's F.split (limit -1), and DuckDB's
+    string_split_regex all agree on that, so text ending in \\n
+    tokenizes identically on every path (an earlier revision popped
+    trailing empties "Java-style", which silently diverged from both
+    engines on trailing-whitespace text)."""
     import pyarrow as pa
     import re
 
@@ -121,8 +125,6 @@ def _shingles(docs: DataFrame) -> DataFrame:
                 if txt is None:
                     continue
                 toks = ws.split(txt.strip(" ").lower())
-                while toks and toks[-1] == "":  # Java split: trailing only
-                    toks.pop()
                 if len(toks) < NGRAM:
                     continue
                 sh = dict.fromkeys(
@@ -201,6 +203,25 @@ WHERE n_common * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * LEAST(sa.n, sb.n)
 )
 
 
+_SHINGLES_CACHE: dict = {}
+
+
+def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus shingle frame, memoized per (session, sf_dir) and
+    eagerly checkpointed — four keys (containment, exact-jaccard
+    pairs, incremental probe, MLlib minhash) consume the identical
+    tokenization; a real pipeline materializes the shingle index once
+    per corpus snapshot (same pattern as ngram_pairs_cached below)."""
+    return session_memo(
+        _SHINGLES_CACHE,
+        spark,
+        sf_dir,
+        lambda: _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
 @q("dedup_containment", _CONTAINMENT_ORACLE)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET pairs by shingle containment: |A∩B| / min(|A|,|B|)
@@ -213,7 +234,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 * least(na, nb)) and the output is the integer evidence triple
     (n_common, na, nb), so the oracle hash-matches with no float
     anywhere."""
-    sh = _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -249,7 +270,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle is shared)."""
     # eager checkpoint: the shingle set feeds the self-join (twice) and
     # the size aggregate inside one action — materialize once
-    sh = _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -300,8 +321,6 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
                 if txt is None:
                     continue
                 toks = ws.split(txt.strip(" ").lower())
-                while toks and toks[-1] == "":
-                    toks.pop()
                 if len(toks) < NGRAM:
                     continue
                 sh = dict.fromkeys(
@@ -505,12 +524,18 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
             ids = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
             fps = np.zeros(len(texts), dtype=np.uint64)
+            # null/whitespace-only docs are DROPPED, matching the
+            # shingle/minhash kernels — an earlier revision emitted
+            # fp=0 for them, clustering all empty docs as mutual
+            # near-dups the other dedup paths never report
+            emitted = np.zeros(len(texts), dtype=bool)
             for r, txt in enumerate(texts):
                 if not txt:
                     continue
                 counts = Counter(t for t in ws.split(txt.strip().lower()) if t)
                 if not counts:
                     continue
+                emitted[r] = True
                 uniq = list(counts)
                 b = np.array([t.encode("utf-8") for t in uniq], dtype=object)
                 hs = np.fromiter(
@@ -528,8 +553,12 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
                 votes = mult @ bitmat  # (bits,) occurrence-weighted
                 total = int(mult.sum())
                 fps[r] = powers[(2 * votes) > total].sum()
+            mask = pa.array(emitted)
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(fps.astype(np.int64), type=pa.int64())],
+                [
+                    ids.filter(mask),
+                    pa.array(fps[emitted].astype(np.int64), type=pa.int64()),
+                ],
                 names=["doc_id", "simhash"],
             )
 
@@ -622,7 +651,6 @@ def simhash_edges(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
     # level 2: re-bucket oversized buckets on 4x12-bit sub-chunks of
     # the 48 bits OUTSIDE the level-1 chunk (members agree on the
     # level-1 16 bits, so all <=3 diffs live in those 48)
-    from pyspark.sql import Window
 
     big_members = chunks.join(
         stats.filter(F.col("n") > cap).select("chunk", "val"), ["chunk", "val"]
@@ -850,7 +878,7 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sets = (
-        _shingles(load_table(spark, sf_dir, "documents"))
+        shingles_cached(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("sh"))
     )
@@ -912,7 +940,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained across arrivals; the batch-vs-batch self-check composes
     the same machinery over the small delta. Output is the
     (new_doc, dup_of, jaccard) reject list an ingest gate consumes."""
-    sh = _shingles(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     delta = sh.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("new_doc"), "s"

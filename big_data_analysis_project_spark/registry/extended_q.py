@@ -1047,10 +1047,8 @@ def sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     only works for low-cardinality keys; range-clustering handles the
     high-cardinality ones). File-range disjointness is footer-verified
     in tests/test_boundaries.py."""
-    import tempfile as _tf
-    from pathlib import Path as _P
 
-    out = str(_P(_tf.mkdtemp(prefix="bdap_sink_sorted_")) / "orders_sorted")
+    out = str(Path(tempfile.mkdtemp(prefix="bdap_sink_sorted_")) / "orders_sorted")
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
@@ -1114,8 +1112,6 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sinks.py. The bucket bounds come from one scalar
     min/max aggregation — at 100 TB you'd reuse table statistics
     instead of the extra pass; everything else is unchanged."""
-    import tempfile as _tf
-    from pathlib import Path as _P
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
@@ -1141,7 +1137,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit_s = F.shiftright(sx, i).bitwiseAND(F.lit(1))
         morton = morton + F.shiftleft(bit_p, 2 * i) + F.shiftleft(bit_s, 2 * i + 1)
 
-    out = str(_P(_tf.mkdtemp(prefix="bdap_sink_zorder_")) / "lineitem_z")
+    out = str(Path(tempfile.mkdtemp(prefix="bdap_sink_zorder_")) / "lineitem_z")
     (
         li.withColumn("_z", morton)
         .repartitionByRange(8, "_z")

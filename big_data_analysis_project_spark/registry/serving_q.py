@@ -327,22 +327,32 @@ def serve_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def serve_cached_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving layer's hot-path cache — ``spark.catalog
-    .cacheTable``: the mart is pinned in the in-memory COLUMNAR cache
-    (compressed batches, JVM-side) so every endpoint hit after the
-    first scans memory, not parquet. This is the engine-level answer
-    to the reference's flask-caching TTL dict (ref:
-    flask_api_server.py:36-39, which caches serialized HTTP responses
-    per URL): one cached relation serves every query shape over the
-    mart, and Catalyst prunes cached COLUMNS as it would parquet ones.
-    tests/test_plans.py asserts the second read plans an
-    InMemoryTableScan. At 100 TB you cache the serving marts (GB),
-    never the fact tables; eviction is LRU per executor and
-    ``uncacheTable`` is the explicit drop."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "bdap_served_customer"
+    .cacheTable``: the AGGREGATED mart is pinned in the in-memory
+    COLUMNAR cache (compressed batches, JVM-side) so every endpoint
+    hit after the first scans memory, not parquet. This is the
+    engine-level answer to the reference's flask-caching TTL dict
+    (ref: flask_api_server.py:36-39, which caches serialized HTTP
+    responses per URL): one cached relation serves every query shape
+    over the mart, and Catalyst prunes cached COLUMNS as it would
+    parquet ones. What gets cached matters twice over: at 100 TB you
+    cache the serving marts (GB), never the fact tables — and
+    Spark's CacheManager substitutes a cached relation into ANY query
+    whose plan contains it, so caching a raw-table scan would
+    silently rewrite every other query over that table (pin the
+    derived mart and only the mart's own plan matches).
+    tests/test_plans.py asserts the second read scans the in-memory
+    table; eviction is LRU per executor and ``uncacheTable`` is the
+    explicit drop."""
+    mart = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "acctbal_e2"
+            ),
+        )
     )
-    spark.catalog.cacheTable("bdap_served_customer")
-    return spark.table("bdap_served_customer").groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_e2"),
-    )
+    mart.createOrReplaceTempView("bdap_served_segments")
+    spark.catalog.cacheTable("bdap_served_segments")
+    return spark.table("bdap_served_segments")

@@ -63,6 +63,32 @@ def _drain(spark: SparkSession, writer) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Shared file-source staging for the events-driven streaming
+    keys: probe the on-disk ts encoding (nanos-as-long vs
+    timestamp[us] across testdata generations), expose the single
+    events file through a per-process symlinked staging dir
+    (FileStreamSource needs a directory; at scale this IS the arrival
+    dir, per-process so concurrent harnesses don't race), and
+    normalize ts like load_events. Returns the full normalized
+    streaming frame — callers select what they need."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    ts_t = events_raw_ts_type(spark, sf_dir)
+    raw_schema = (
+        f"event_id bigint, ts {ts_t}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stage = Path(tempfile.mkdtemp(prefix=prefix))
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    return normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
+    )
+
+
+
 @q(
     "window_tumbling",
     """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -98,27 +124,7 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven to completion with availableNow (the batch-of-files
     trigger). At scale the source swaps to kafka/files-on-arrival and
     the sink to a table — the query body is unchanged."""
-    # the file source needs a user schema matching the on-disk ts
-    # encoding (nanos-as-long or timestamp[us] across testdata
-    # generations); probe it, then normalize like load_events
-    ts_t = events_raw_ts_type(spark, sf_dir)
-    raw_schema = (
-        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
-    )
-    # FileStreamSource needs a directory; expose the single events file
-    # through a symlinked per-process staging dir (at scale this IS the
-    # arrival dir; per-process so concurrent harnesses don't race)
-    import os
-    import tempfile
-    from pathlib import Path
-
-    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_src_"))
-    link = stage / "events.parquet"
-    if not link.exists():
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = normalize_events_ts(
-        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
-    )
+    stream = _stage_events_stream(spark, sf_dir, "bdap_stream_src_")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -227,17 +233,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ts_t = events_raw_ts_type(spark, sf_dir)
-    raw_schema = (
-        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
-    )
-    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_sess_"))
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = normalize_events_ts(
-        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
-    ).select("user_id", "event_id", "ts", "value")
+    stream = _stage_events_stream(spark, sf_dir, "bdap_stream_sess_").select("user_id", "event_id", "ts", "value")
 
-    gap_sec = SESSION_GAP_MIN * 60
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
     def sessionize_user(key, pdfs, state: GroupState):
         # the per-group body is the hot path: it runs once per user per
@@ -247,21 +245,24 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort_values + per-row Python loop variant measured ~2x slower
         # end-to-end
         (user_id,) = key
-        # state tuple: (last_ts_epoch, start_epoch, n_events, total_value)
+        # state tuple: (last_ts_us, start_us, n_events, total_value) —
+        # integer MICROSECONDS, the same unit the batch twin compares
+        # with unix_micros(): an earlier revision used float64 posix
+        # seconds, whose ~128ns quantization at 2026 epochs could split
+        # an exactly-gap-apart pair the batch path keeps merged
         sess = list(state.get) if state.exists else None
         chunks = list(pdfs)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         ts_raw = rows["ts"].to_numpy()
         order = np.lexsort((rows["event_id"].to_numpy(), ts_raw))
-        # datetime64[us or ns] -> float posix seconds (what .timestamp()
-        # yields row-wise); normalize to ns first so both parquet
-        # encodings land on the same scale
-        epoch = ts_raw[order].astype("datetime64[ns]").astype("int64") / 1e9
+        # datetime64[us or ns] -> int64 posix MICROseconds, exact for
+        # both parquet encodings (ns floors by integer division)
+        epoch = ts_raw[order].astype("datetime64[us]").astype("int64")
         val = rows["value"].to_numpy()[order]
         n = len(epoch)
         new_flag = np.empty(n, dtype=bool)
-        new_flag[0] = sess is None or (epoch[0] - sess[0]) > gap_sec
-        new_flag[1:] = (epoch[1:] - epoch[:-1]) > gap_sec
+        new_flag[0] = sess is None or (epoch[0] - sess[0]) > gap_us
+        new_flag[1:] = (epoch[1:] - epoch[:-1]) > gap_us
         starts = np.flatnonzero(new_flag)
         seg = (
             starts
@@ -273,7 +274,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_start = epoch[seg]
         seg_last = epoch[np.append(seg[1:], n) - 1]
         out = [
-            [seg_last[i], seg_start[i], int(counts[i]), float(totals[i])]
+            [int(seg_last[i]), int(seg_start[i]), int(counts[i]), float(totals[i])]
             for i in range(len(seg))
         ]
         if sess is not None and not new_flag[0]:
@@ -286,7 +287,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "user_id": [user_id] * len(out),
                         "session_start": [
-                            pd.Timestamp(s[1], unit="s").strftime("%Y-%m-%d %H:%M:%S")
+                            pd.Timestamp(s[1], unit="us").strftime("%Y-%m-%d %H:%M:%S")
                             for s in out
                         ],
                         "n_events": [s[2] for s in out],
@@ -299,7 +300,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = stream.groupBy("user_id").applyInPandasWithState(
         sessionize_user,
         outputStructType="user_id bigint, session_start string, n_events bigint, total_value double",
-        stateStructType="last_ts double, start double, n bigint, total double",
+        stateStructType="last_ts bigint, start bigint, n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -367,15 +368,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    ts_t = events_raw_ts_type(spark, sf_dir)
-    raw_schema = (
-        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
-    )
-    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_slide_"))
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = normalize_events_ts(
-        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
-    )
+    stream = _stage_events_stream(spark, sf_dir, "bdap_stream_slide_")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
@@ -437,15 +430,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    ts_t = events_raw_ts_type(spark, sf_dir)
-    raw_schema = (
-        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
-    )
-    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_enrich_"))
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = normalize_events_ts(
-        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
-    )
+    stream = _stage_events_stream(spark, sf_dir, "bdap_stream_enrich_")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     dim = (
@@ -630,15 +615,7 @@ def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    ts_t = events_raw_ts_type(spark, sf_dir)
-    raw_schema = (
-        f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
-    )
-    stage = Path(tempfile.mkdtemp(prefix="bdap_stream_sessb_"))
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
-    stream = normalize_events_ts(
-        spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
-    )
+    stream = _stage_events_stream(spark, sf_dir, "bdap_stream_sessb_")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(
@@ -904,7 +881,10 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(str(tmp))
     )
     for i in range(n_files):
-        pf = next((tmp / f"q={i}").glob("part-*.parquet"))
+        qdir = tmp / f"q={i}"
+        if not qdir.exists():  # an empty quartile writes no directory
+            continue
+        pf = next(qdir.glob("part-*.parquet"))
         dst = stage / f"batch_{i}.parquet"
         shutil.move(str(pf), dst)
         os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
@@ -952,6 +932,9 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName("bdap_stream_outer_join")
         .trigger(availableNow=True),
     )
+    # full data copy — remove once drained so bench/test cycles don't
+    # accumulate /tmp usage (the memory sink holds the results)
+    shutil.rmtree(stage, ignore_errors=True)
     return spark.table("bdap_stream_outer_join")
 
 
@@ -1064,4 +1047,6 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName("bdap_stream_dedup_wm")
         .trigger(availableNow=True),
     )
+    # full data copy — remove once drained (memory sink holds results)
+    shutil.rmtree(stage, ignore_errors=True)
     return spark.table("bdap_stream_dedup_wm").select("event_id", "event_type")

@@ -315,3 +315,53 @@ def test_containment_catches_subset_pair_jaccard_misses(spark):
     jaccard = n_common / (sizes[1] + sizes[2] - n_common)
     assert containment >= 0.7, containment           # flagged by the containment key
     assert jaccard < JACCARD_THRESHOLD, jaccard      # invisible to the Jaccard key
+
+
+def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
+    """The Arrow shingle kernel must tokenize EXACTLY like the DuckDB
+    oracle expression (string_split_regex(lower(trim(text)), '\\s+'))
+    on text the fixed corpus never contains: trailing newlines/tabs,
+    leading whitespace, whitespace-only and empty strings. A previous
+    kernel revision popped trailing empty tokens "Java-style" while
+    both DuckDB and F.split keep them — invisible on the clean corpus,
+    a guaranteed driver hash-fail the round the corpus gains a
+    trailing newline."""
+    import duckdb
+    import pandas as pd
+
+    from big_data_analysis_project_spark.registry.dedup_q import _shingles
+
+    texts = [
+        "alpha beta gamma delta\n",
+        "alpha beta gamma delta",
+        "\talpha beta gamma",
+        "one two three four\t\n",
+        "  spaced   out   tokens  ",
+        "\n",
+        "",
+        "ab cd",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["s"]) for r in _shingles(df).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    conn = duckdb.connect()
+    conn.register("docs_adv", pdf)
+    want = set(
+        conn.execute(
+            r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM docs_adv
+            )
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+            """
+        ).fetchall()
+    )
+    assert got == want, (got - want, want - got)

@@ -417,8 +417,9 @@ def test_cached_mart_scans_memory(spark):
         plan = again._jdf.queryExecution().executedPlan().toString()
         scan = [l for l in plan.splitlines() if "Scan In-memory table" in l]
         assert scan, plan
-        # column pruning applies to the cached relation: the scan
-        # reads the 2 needed columns, not the 5 cached ones
-        assert "c_acctbal" in scan[0] and "c_name" not in scan[0], scan[0]
+        # the raw customer scan must NOT be cache-substituted in other
+        # keys: only the derived mart is pinned
+        other = _plan(spark, QUERIES["project"](spark, SF_SMOKE))
+        assert "In-memory" not in other, other
     finally:
-        spark.catalog.uncacheTable("bdap_served_customer")
+        spark.catalog.uncacheTable("bdap_served_segments")
