@@ -313,3 +313,39 @@ def udf_pandas_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", score(F.col("text")).alias("score"))
+
+
+@q(
+    "sql_udf_scalar",
+    """SELECT o_orderkey,
+              CAST(FLOOR(o_totalprice * (1 - CASE WHEN o_orderpriority
+                                                  IN ('1-URGENT', '2-HIGH')
+                                                  THEN 0.05 ELSE 0.0 END) * 100)
+                   AS BIGINT) AS discounted_e2
+       FROM orders WHERE o_orderkey < 1000""",
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-native UDF tier (``CREATE FUNCTION ... RETURN expr``,
+    Spark 3.4+): business logic declared ONCE in catalog-resident SQL
+    and reused across queries — unlike every Python tier above, the
+    body inlines into Catalyst at plan time, so it costs NOTHING at
+    execution (full codegen, pushdown through it, no serialization
+    boundary). This is the first tier a pipeline should reach for;
+    the Python ladder exists for logic SQL can't express. The oracle
+    states the same expression inline — which is exactly what the
+    optimizer sees after substitution, so parity is trivially exact
+    (priority-discounted price in integer cents)."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION bdap_priority_discount(
+               price DOUBLE, priority STRING) RETURNS DOUBLE
+           RETURN price * (1 - CASE WHEN priority IN ('1-URGENT', '2-HIGH')
+                                    THEN 0.05 ELSE 0.0 END)"""
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bdap_udf_orders")
+    return spark.sql(
+        """SELECT o_orderkey,
+                  CAST(FLOOR(bdap_priority_discount(o_totalprice,
+                                                    o_orderpriority) * 100)
+                       AS BIGINT) AS discounted_e2
+           FROM bdap_udf_orders WHERE o_orderkey < 1000"""
+    )
