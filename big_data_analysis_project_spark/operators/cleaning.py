@@ -93,10 +93,14 @@ def repair_swapped_columns(
     """
     sample = df.select(col_a).limit(sample_n).collect()
     if any(marker in str(row[0]) for row in sample):
-        others = [c for c in df.columns if c not in (col_a, col_b)]
+        # swap IN PLACE so repaired and clean frames stay positionally
+        # identical — positional consumers (CSV, unionAll) must not see
+        # a different layout depending on whether the probe fired
+        swapped = {col_a: col_b, col_b: col_a}
         return df.select(
-            *others,
-            F.col(col_b).alias(col_a),
-            F.col(col_a).alias(col_b),
+            *[
+                F.col(swapped[c]).alias(c) if c in swapped else F.col(c)
+                for c in df.columns
+            ]
         )
     return df

@@ -61,7 +61,18 @@ def salted_join(
     side's key so one hot key spreads over many reducers. AQE's skew
     handling usually suffices; this is the manual fallback for extreme
     skew (e.g. a null-heavy or celebrity key at 100 TB).
+
+    Only ``inner`` and ``left`` joins are valid: the small side is
+    replicated ``salt_buckets`` times BEFORE the join, so a right/full
+    outer would emit every unmatched small-side row once PER REPLICA
+    (salt_buckets copies instead of 1).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would duplicate unmatched rows "
+            f"{salt_buckets}x under an outer join"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
     salted_small = skewed_small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -47,7 +47,12 @@ def global_rank(
     tasks; the only single-task window runs over ``num_partitions``
     rows (bounded by cluster width, not data volume). The frame is
     cached so the partition ids seen by the count and the rank branch
-    are the same physical assignment.
+    are the same physical assignment. Retention note: cache entries
+    outlive the call, but Spark's CacheManager keys on the LOGICAL
+    PLAN — repeated calls over the same input reuse one entry rather
+    than accumulating, so a long session holds at most one cached
+    copy per distinct (input, order) pair; callers ranking many
+    distinct large inputs in one session should uncache explicitly.
     """
     order = F.desc(order_col) if desc else F.asc(order_col)
     parts = (

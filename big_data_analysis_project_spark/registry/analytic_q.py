@@ -614,48 +614,53 @@ def observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
        s AS (
          SELECT l_returnflag,
                 COUNT(*) AS n,
-                SUM(x) AS sx, SUM(y) AS sy,
-                SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                CAST(SUM(y * y) AS DOUBLE) AS syy,
+                CAST(SUM(x * y) AS DOUBLE) AS sxy
          FROM m GROUP BY l_returnflag
        )
        SELECT l_returnflag, n, sx, sy,
               CAST(FLOOR(
-                (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n AS DOUBLE) * syy - sy * sy))
                 * 1000000) AS BIGINT) AS corr_e6
        FROM s""",
 )
 def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation (quantity vs extended price) as
     single-pass MOMENT SUMS — the only correlation shape that scales:
-    five exact-integer accumulators per group (sum x, y, x2, y2, xy
-    over fixed-point cents), combined into r by one closed-form
-    expression AFTER aggregation. No second centering pass, no
-    per-group collect, and the BIGINT partial sums are
-    order-independent so map-side combine is exact — unlike a
-    streaming float covariance whose result depends on partition
-    order (F.corr is fine numerically but not hash-reproducible
-    across engines; this surface is). corr_e6 is the correlation in
-    micro-units; the moments cap at ~5e3 cents x 2^31 rows per group
-    well inside BIGINT at any SF."""
+    five exact accumulators per group (sum x, y, x2, y2, xy over
+    fixed-point cents), combined into r by one closed-form expression
+    AFTER aggregation. No second centering pass, no per-group collect.
+
+    Overflow discipline: the quadratic moments are summed as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — y*y is ~1.1e14 per row,
+    so a plain BIGINT sum passes 2^63 at roughly 250k rows per group
+    (sf ~0.13!) and ANSI Spark would raise where DuckDB's HUGEINT
+    silently kept going. The exact 128-bit sums then convert to DOUBLE
+    on BOTH engines — round-to-nearest of the same integer is
+    bit-identical, so the compare surface stays hash-exact while the
+    accumulator has ~1e38 of headroom (about 1e24 rows per group)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.floor(F.col("l_quantity") * 100).cast("bigint").alias("x"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
+    dec = "decimal(38,0)"
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
     return s.select(
         "l_returnflag",
         "n",

@@ -71,6 +71,32 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (vec_id, v): float32 promoted to double (exact)
+    and normalized onto the unit sphere — the shared working form of
+    every ANN key (cosine == dot on unit vectors). Narrow per-row
+    math; callers that feed several actions checkpoint the result."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    return e.withColumn("n", _norm(F.col("raw"))).select(
+        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
+    )
+
+
+def _topk_by_cosine(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The shared output contract of every ANN key: top-k by raw
+    cosine, ties to the lowest vec_id, cosine rounded to 4dp — one
+    place so a contract change (rounding, tie-break) cannot drift
+    between the exact baseline and the approximate paths."""
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+
 @q(
     "ann_cosine_topk",
     f"""WITH query AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
@@ -100,11 +126,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))
         )
     )
-    return (
-        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_by_cosine(scored)
 
 
 N_CENTROIDS = 16
@@ -177,7 +199,7 @@ def train_ivf_centroids(
     not data.
 
     Training runs on a deterministic modulus sample of ~``sample_target``
-    vectors (``vec_id % m == 0`` — no RNG, so centroids are
+    vectors (xxhash64(vec_id) % m == 0 — no RNG, so centroids are
     reproducible): the coarse quantizer needs cluster STRUCTURE, not
     every row, so training cost is independent of corpus size — the
     exact discipline the 100 TB deployment uses (train on a ~1e6-row
@@ -195,7 +217,12 @@ def train_ivf_centroids(
     train = unit
     if sample_target and n > sample_target:
         m = n // sample_target
-        train = unit.filter((F.col("vec_id") % m) == 0)
+        # hash-based (not vec_id % m): a modulus sample assumes dense
+        # ids — strided/sparse ids after upstream filtering would match
+        # far more (or fewer) rows than the target and break the
+        # bounded-collect discipline; xxhash64 is uniform over ANY id
+        # distribution and just as deterministic
+        train = unit.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
     rows = train.select("vec_id", "v").collect()
     rows.sort(key=lambda r: r.vec_id)
     x = np.asarray([r.v for r in rows], dtype=np.float64)  # (n, dim)
@@ -228,12 +255,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only driver-side values (the search argument and the model —
     constant-size, not data). Recall@10 vs ann_cosine_topk is asserted
     in tests/test_recall.py."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
-    )
-    unit = e.withColumn("n", _norm(F.col("raw"))).select(
-        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
-    )
+    unit = _unit_vectors(spark, sf_dir)
     # referenced by training passes AND the final probe scan within
     # separate actions — eager checkpoint materializes the normalize
     # once (dim doubles per vector, same row count)
@@ -251,11 +273,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unit vectors: cosine IS the dot product, no norms at probe time
         .withColumn("cosine_raw", _dot(F.col("v"), qlit))
     )
-    return (
-        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_by_cosine(scored)
 
 
 @q("ann_lsh_bucketed")  # approximate: rows-only driver check + pytest recall test
@@ -350,11 +368,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.withColumn(
         "cosine_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))
     )
-    return (
-        scored.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_by_cosine(scored)
 
 
 @q("ann_mllib_lsh")  # approximate: rows-only driver check + pytest recall test
@@ -548,7 +562,9 @@ def train_pq_codebooks(
     train = unit
     if sample_target and n > sample_target:
         mod = n // sample_target
-        train = unit.filter((F.col("vec_id") % mod) == 0)
+        # hash-based for the same density-independence reason as
+        # train_ivf_centroids
+        train = unit.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
     rows = train.select("vec_id", "v").collect()
     rows.sort(key=lambda r: r.vec_id)
     d = dim // m
@@ -626,11 +642,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
         .withColumn("cosine_raw", _dot(F.col("v"), qlit))
     )
-    return (
-        rerank.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_by_cosine(rerank)
 
 
 def residualize(assigned: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -690,12 +702,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     closures. Deterministic end to end (modulus-sampled smallest-id-
     seeded trainers, per-row sequential kernel math). Recall@10 vs
     the exact baseline is asserted in tests/test_recall.py."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
-    )
-    unit = e.withColumn("n", _norm(F.col("raw"))).select(
-        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
-    )
+    unit = _unit_vectors(spark, sf_dir)
     # consumed by two trainers, assignment, and the re-rank —
     # materialize the normalize once
     unit = unit.localCheckpoint(eager=True)
@@ -748,8 +755,4 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
         .withColumn("cosine_raw", _dot(F.col("v"), qlit))
     )
-    return (
-        rerank.orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    return _topk_by_cosine(rerank)

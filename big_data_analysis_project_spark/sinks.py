@@ -70,11 +70,19 @@ def compact_parquet(
     here the shuffle IS the point — uniform target files."""
     from pathlib import Path as _P
 
-    before = [p for p in _P(src).glob("*.parquet")]
+    if _P(src).resolve() == _P(dst).resolve():
+        raise ValueError(
+            "compact_parquet: src and dst must differ — overwriting the "
+            "directory being read fails mid-write"
+        )
+    # recursive: a partitionBy layout nests part files under key=value
+    # subdirectories, which a flat glob would miss entirely (total=0
+    # would then funnel everything into ONE file)
+    before = [p for p in _P(src).rglob("*.parquet")]
     total = sum(p.stat().st_size for p in before)
     n_out = max(1, -(-total // target_file_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
-    after = [p for p in _P(dst).glob("*.parquet")]
+    after = [p for p in _P(dst).rglob("*.parquet")]
     return len(before), len(after)
 
 
@@ -169,10 +177,21 @@ def make_jsonl_sink_datasource():
             tmp = os.path.join(self._path, f"_tmp_{token}.jsonl")
             with open(tmp, "w") as f:
                 for row in iterator:
-                    f.write(_json.dumps(row.asDict()) + "\n")
+                    # default=str: date/timestamp/Decimal columns
+                    # serialize as ISO strings instead of raising
+                    f.write(_json.dumps(row.asDict(), default=str) + "\n")
             return _Commit(tmp=tmp, final=os.path.join(self._path, f"part-{token}.jsonl"))
 
         def commit(self, messages):
+            if getattr(self, "_overwrite", False):
+                # two-phase overwrite: prior runs' part files go away
+                # in the SAME commit step that publishes the new ones —
+                # a failed job aborts before this point and leaves the
+                # previous contents untouched
+                import glob as _glob
+
+                for old in _glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                    os.remove(old)
             for m in messages:
                 if m is not None:
                     os.replace(m.tmp, m.final)
@@ -188,6 +207,8 @@ def make_jsonl_sink_datasource():
             return "bdap_jsonl_sink"
 
         def writer(self, schema, overwrite):
-            return _Writer(self.options["path"])
+            w = _Writer(self.options["path"])
+            w._overwrite = overwrite
+            return w
 
     return _Sink

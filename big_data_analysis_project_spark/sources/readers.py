@@ -124,9 +124,17 @@ def read_jdbc(
     """JDBC source (S10). Requires the vendor driver jar on the
     classpath; equality predicates belong in ``.filter`` above this —
     Spark pushes them into the remote query automatically."""
+    if predicates:
+        # partition predicates are ONLY accepted through the dedicated
+        # reader API — as a generic .option() the key is silently
+        # dropped by JDBCOptions and the full table comes back in one
+        # partition (each predicate becomes one partition's WHERE; the
+        # result is their union)
+        return spark.read.jdbc(
+            url, table, predicates=list(predicates),
+            properties=dict(properties or {}),
+        )
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    if predicates:
-        reader = reader.option("predicates", ",".join(predicates))
     return reader.load()

@@ -164,3 +164,30 @@ def test_jdbc_roundtrip_pushes_filters(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "JDBCRelation" in plan, plan
     assert "EqualTo(c_nationkey,3)" in plan, plan
+
+
+def test_read_jdbc_predicates_partition_and_filter(spark):
+    """read_jdbc with partition predicates must return exactly the
+    union of the per-predicate row sets, one partition per predicate —
+    not the whole table (the regression: passing predicates as a
+    generic option is silently ignored by JDBCOptions)."""
+    from big_data_analysis_project_spark.registry.extended_q import (
+        _DERBY_PROPS,
+        _DERBY_URL,
+        sink_jdbc_roundtrip,
+    )
+    from big_data_analysis_project_spark.sources.readers import read_jdbc
+
+    from .conftest import SF_SMOKE
+
+    sink_jdbc_roundtrip(spark, SF_SMOKE).collect()  # (re)create the table
+    df = read_jdbc(
+        spark, _DERBY_URL, "bdap_customer_mart", _DERBY_PROPS,
+        # vendor-SQL fragments: Spark's JDBC writer creates QUOTED
+        # (case-sensitive) columns, so Derby needs the quotes back
+        predicates=['"c_nationkey" = 3', '"c_nationkey" = 5'],
+    )
+    assert df.rdd.getNumPartitions() == 2
+    full = read_jdbc(spark, _DERBY_URL, "bdap_customer_mart", _DERBY_PROPS)
+    expected = full.filter("c_nationkey IN (3, 5)").count()
+    assert df.count() == expected > 0
