@@ -76,12 +76,18 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
     import tempfile
     from pathlib import Path
 
+    import atexit
+    import shutil
+
     ts_t = events_raw_ts_type(spark, sf_dir)
     raw_schema = (
         f"event_id bigint, ts {ts_t}, user_id bigint, "
         "event_type string, value double, props string"
     )
     stage = Path(tempfile.mkdtemp(prefix=prefix))
+    # the dir is only needed while the query drains; reclaim it when
+    # the process exits so repeated bench/test cycles don't litter /tmp
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
     return normalize_events_ts(
         spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
