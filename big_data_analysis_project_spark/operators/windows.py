@@ -78,14 +78,19 @@ def latest_per_key(
     df: DataFrame,
     key_cols: Sequence[str],
     order_col: str,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """W2: latest row per key — row_number()=1 over desc order.
 
     ref: init_db.sql:102 (``WHERE year = (SELECT MAX(year) ...)``).
     The window form partitions by key so it scales horizontally; the
     scalar-subquery form is ``filter_latest_year`` in plans/.
+    ``tiebreak_cols`` (also descending) make the pick deterministic
+    when several rows share the max order value.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), *[F.desc(c) for c in tiebreak_cols]
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -37,8 +37,9 @@ from ..operators.graphs import connected_components
 from ..sources.readers import load_table
 from ._memo import session_memo
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
+
+QUERIES, ORACLE, q = make_registry()
 
 # Band/chunk buckets larger than this are never self-joined all-pairs:
 # minhash drops them (they are boilerplate collisions that exact-verify
@@ -51,16 +52,6 @@ BUCKET_CAP = 64
 # star-fallback fan-out inside oversized buckets: each member pairs
 # with this many smallest-id representatives
 _N_REPS = 8
-
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
 
 
 NGRAM = 3

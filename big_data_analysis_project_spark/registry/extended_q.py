@@ -12,6 +12,8 @@ double (oracle hash-compare rules learned in round 1).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -21,20 +23,12 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_events, load_table
 from .dedup_q import _NGRAM_ORACLE as _NGRAM_PAIR_SQL
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
+
+QUERIES, ORACLE, q = make_registry()
 
 _SINK_ROOT = Path(tempfile.mkdtemp(prefix="bdap_ext_sinks_"))
-
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
 
 
 # --- joins -------------------------------------------------------------

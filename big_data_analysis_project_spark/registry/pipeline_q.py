@@ -19,18 +19,9 @@ from ..sources.synthetic import _BASE_RATES, _POPULATIONS
 from ._memo import session_memo
 from .relational import _SYN_DIM
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # The oracle restates the pipeline's ANSWER (not its plan): the

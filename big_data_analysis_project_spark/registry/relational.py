@@ -12,6 +12,8 @@ Conventions shared with the oracles (FIXTURES.md §B):
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -27,24 +29,18 @@ from ..plans.flagship import FLAGSHIP_ORACLE_SQL, revenue_by_nation
 from ..sources.readers import load_events, load_table, read_csv
 from ..sources.synthetic import _BASE_RATES, _POPULATIONS
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # per-process sink root: unique dir so concurrently-running harness
 # processes never race on the same output paths (VERDICT r1
 # housekeeping); within one process the keys are deterministic
 _SINK_ROOT = Path(tempfile.mkdtemp(prefix="bdap_sinks_"))
+# reclaim the sink scratch dir (full mart copies) at interpreter exit
+# so repeated bench/test cycles don't accumulate /tmp usage
+atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
 
 
 # --- flagship ----------------------------------------------------------
@@ -291,7 +287,7 @@ def project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "cast_int",
-    """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+    """SELECT event_id, TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
        FROM events""",
 )
 def cast_int(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,15 +686,12 @@ def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: latest row per key (horizontally-scalable window form of the
     reference's MAX(year) scalar subquery). ref: init_db.sql:102."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
+    return latest_per_key(
+        o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
     )
 
 

@@ -32,18 +32,9 @@ from ..sources.readers import load_table
 from .pipeline_q import synthetic_marts
 from .relational import _SYN_DIM
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 _COORDS_VALUES = ", ".join(

@@ -24,18 +24,9 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 TOP_K = 10

@@ -29,18 +29,9 @@ from ..sources.readers import (
     normalize_events_ts,
 )
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 _STREAM_STATE_PARTITIONS = 8

@@ -22,18 +22,9 @@ from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
 
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLE, q = make_registry()
 
 
 # tokens per packed training sequence. Small enough that sf0.001's

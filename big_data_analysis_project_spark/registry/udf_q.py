@@ -29,8 +29,9 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from ..sources.readers import load_events, load_table
 
-QUERIES = {}
-ORACLE = {}
+from ._base import make_registry
+
+QUERIES, ORACLE, q = make_registry()
 
 
 def ws_token_counts(s: pd.Series) -> pd.Series:
@@ -41,16 +42,6 @@ def ws_token_counts(s: pd.Series) -> pd.Series:
     whitespace runs + 1. Shared by the udf_pandas_tokens UDF and the
     three-way parity property test so the two can never drift."""
     return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
-
-
-def q(key: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[key] = fn
-        if oracle is not None:
-            ORACLE[key] = oracle
-        return fn
-
-    return deco
 
 
 @q(
@@ -182,16 +173,30 @@ def udf_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for batch in batches:
-            tbl = batch if isinstance(batch, pa.RecordBatch) else batch
+            tbl = batch
             vec_ids = tbl.column(0)
             emb = tbl.column(1)
+            # segment by value_lengths, NOT emb.offsets: raw offsets
+            # desync from flatten() on sliced batches (flatten
+            # re-bases) and null lists (flatten skips them) — rebuild
+            # 0-based bounds from per-row lengths instead
+            lens = emb.value_lengths().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            offsets = emb.offsets.to_numpy(zero_copy_only=False)
             sq = flat * flat
-            sums = np.add.reduceat(sq, offsets[:-1])
-            # an empty list would make reduceat grab the next segment;
-            # the testdata has none, but guard the general contract
-            lens = np.diff(offsets)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            if len(sq):
+                # clamp: a trailing empty segment's start == len(sq)
+                # is out of bounds for reduceat; whatever it grabs is
+                # zeroed by the lens mask below (as are interior
+                # empties, where reduceat returns a single element).
+                # reduceat keeps SEQUENTIAL in-segment accumulation —
+                # the exactness contract vs DuckDB's in-order fold
+                # (ndarray.sum would be pairwise and break it)
+                starts = np.minimum(bounds[:-1], len(sq) - 1)
+                sums = np.add.reduceat(sq, starts)
+            else:
+                sums = np.zeros(len(lens))
             sums = np.where(lens > 0, sums, 0.0)
             norm_e4 = np.floor(np.sqrt(sums) * 10000).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
@@ -223,11 +228,13 @@ def udaf_arrow_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    from ..sources.readers import load_events
-
     def reduce_group(tbl: pa.Table) -> pa.Table:
         uid = tbl.column("user_id")[0].as_py()
         vals = tbl.column("value").to_numpy(zero_copy_only=False)
+        # NULL values arrive as NaN; np.floor(NaN).astype(int64) is
+        # INT64_MIN garbage, while the oracle's SUM skips NULLs — mask
+        # them out to state the same semantics
+        vals = vals[~np.isnan(vals)]
         cents = np.floor(vals * 100).astype(np.int64)
         return pa.table(
             {
