@@ -72,12 +72,19 @@ def cmd_process(spark: SparkSession, data_dir: Path) -> dict:
     marts = run_tb_pipeline(tb_raw, pop_raw, reference_parity=True, repair_swap=False)
     named = dict(zip(MART_TABLES, (marts.final, marts.country_summary,
                                    marts.yearly_trends, marts.country_trends)))
+    import shutil
+
     counts = {}
     for name, df in named.items():
         df.write.mode("overwrite").parquet(str(processed / f"{name}.parquet"))
-        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
-            str(processed / f"{name}_csv")
-        )
+        # single-FILE csv at data/processed/<name>.csv — the layout the
+        # reference's downstream consumers actually open (a part-file
+        # directory would match none of their paths)
+        tmp = processed / f"_{name}_csv"
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(str(tmp))
+        part = next(tmp.glob("part-*.csv"))
+        shutil.move(str(part), processed / f"{name}.csv")
+        shutil.rmtree(tmp)
         counts[name] = spark.read.parquet(str(processed / f"{name}.parquet")).count()
     return {"mode": "process", "out": str(processed), "rows": counts}
 
@@ -114,7 +121,7 @@ ENDPOINTS: dict[str, str] = {
         FROM country_summary s JOIN coords c USING (iso3)
         ORDER BY s.total_cases DESC""",
     "comparison": """
-        SELECT iso3, iso3 AS country, total_cases, new_cases, deaths,
+        SELECT iso3, country, total_cases, new_cases, deaths,
                population, total_cases_per_100k, new_cases_per_100k,
                deaths_per_100k, case_fatality_rate
         FROM country_summary ORDER BY total_cases DESC""",

@@ -28,7 +28,10 @@ __all__ = ["get_spark", "stop_spark"]
 def _default_parallelism() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass  # a typo'd env var falls back rather than killing every entry point
     return os.cpu_count() or 4
 
 

@@ -12,3 +12,7 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark(app_name="bdap-tests", shuffle_partitions=8)
     yield s
+    # release the JVM gateway and warehouse/derby locks — a lingering
+    # metastore lock from an unkilled JVM fails the NEXT run's
+    # getOrCreate with "Another instance of Derby may have booted"
+    s.stop()

@@ -1,7 +1,11 @@
 """Local twin of the driver's t2 correctness gate: run a registry
 query on Spark and its oracle SQL on DuckDB over the same parquet
 tables, compare row count + (name-sorted) columns + order-insensitive
-values with float tolerance."""
+values. Two passes: a TOLERANT one (coercion + 6dp rounding) whose
+only job is readable value diffs when something breaks, then the
+driver's exact TYPE-STRICT canonical form — which is what actually
+gates: a key must match bitwise (type name + string), not within
+tolerance."""
 
 from __future__ import annotations
 
@@ -10,18 +14,7 @@ from pathlib import Path
 
 import duckdb
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+from big_data_analysis_project_spark.schemas import TESTDATA_TABLES as TABLES
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -47,6 +40,11 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
             return round(v, 6)
         if isinstance(v, int):
             return float(v) if abs(v) < 2**52 else v
+        if isinstance(v, str):
+            # never coerce strings: float('NaN') would turn the
+            # literal token 'NaN' into a float nan that compares
+            # unequal to itself and false-fails identical results
+            return v
         # Decimal and friends -> float where possible
         try:
             return round(float(v), 6)

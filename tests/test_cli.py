@@ -44,7 +44,7 @@ def test_cli_full_pipeline(tmp_path):
     # parquet + csv marts landed on disk
     for mart in ("tb_final", "country_summary", "yearly_trends", "country_trends"):
         assert (tmp_path / "data" / "processed" / f"{mart}.parquet").exists()
-        assert (tmp_path / "data" / "processed" / f"{mart}_csv").exists()
+        assert (tmp_path / "data" / "processed" / f"{mart}.csv").is_file()
 
 
 def test_cli_serve_requires_process(tmp_path):
