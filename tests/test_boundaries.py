@@ -232,7 +232,9 @@ def test_distributed_cc_random_graphs(spark, seed):
         base += 10
     edges += [
         (rng.randint(0, 500), rng.randint(0, 500)) for _ in range(50)
-    ]  # noise (self-loops possible — must not wedge the algorithm)
+    ]  # random noise edges
+    edges += [(400, 400), (1000, 1000)]  # explicit self-loops — must
+    # not wedge the algorithm (rng alone never produced one)
     rng.shuffle(edges)
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
@@ -265,8 +267,15 @@ def test_sink_sorted_files_have_disjoint_ranges(spark):
     for f in files:
         md = pq.ParquetFile(f.removeprefix("file://")).metadata
         mins, maxs = [], []
+        # look the column up by NAME — index 0 silently reads whatever
+        # is physically first if the projection ever changes
+        idx = next(
+            i
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
         for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)  # o_orderkey
+            col = md.row_group(rg).column(idx)
             mins.append(col.statistics.min)
             maxs.append(col.statistics.max)
         ranges.append((min(mins), max(maxs)))

@@ -50,6 +50,10 @@ def _spark_rows(df, key_cols: tuple[str, ...]) -> dict[tuple, dict]:
 def _assert_mart_equal(df, gold_name: str, key_cols: tuple[str, ...]) -> None:
     gold = _gold_rows(gold_name, key_cols)
     got = _spark_rows(df, key_cols)
+    # dict keying below collapses duplicate-key rows — pin cardinality
+    # first so a join fan-out cannot slip through
+    n = df.count()
+    assert n == len(gold), f"{gold_name}: {n} rows, golden has {len(gold)}"
     assert set(df.columns) == set(next(iter(gold.values())).keys()), (
         f"{gold_name}: column mismatch {sorted(df.columns)} vs "
         f"{sorted(next(iter(gold.values())).keys())}"
@@ -66,7 +70,7 @@ def _assert_mart_equal(df, gold_name: str, key_cols: tuple[str, ...]) -> None:
                 assert abs(float(gval) - float(sval)) < 1e-6, (
                     f"{gold_name}{key}.{col}: golden={gval} spark={sval}"
                 )
-            except ValueError:
+            except (TypeError, ValueError):  # TypeError: float(None) on a NULL cell
                 assert str(sval) == gval, f"{gold_name}{key}.{col}: {gval!r} != {sval!r}"
 
 

@@ -216,29 +216,29 @@ def test_stream_sessionize_equals_batch(spark):
     batch window-based sessionization: availableNow delivers all
     events in one micro-batch, update mode emits every session
     (closed + open), so the multisets must match row-for-row."""
-    batch = {tuple(r) for r in QUERIES["sessionize"](spark, SF_SMOKE).collect()}
-    stream = {tuple(r) for r in QUERIES["stream_sessionize"](spark, SF_SMOKE).collect()}
+    batch = sorted(tuple(r) for r in QUERIES["sessionize"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_sessionize"](spark, SF_SMOKE).collect())
     assert batch, "batch sessionize returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_stream_hourly_equals_batch(spark):
     """The Structured Streaming hourly aggregate must equal the batch
     tumbling-window twin row-for-row (availableNow drains the full
     file source, watermark drops nothing in complete mode)."""
-    batch = {tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect()}
-    stream = {tuple(r) for r in QUERIES["stream_hourly"](spark, SF_SMOKE).collect()}
+    batch = sorted(tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_hourly"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_stream_sliding_equals_batch(spark):
     """The Structured Streaming sliding-window count must equal the
     oracle-checked batch window_sliding twin row-for-row."""
-    batch = {tuple(r) for r in QUERIES["window_sliding"](spark, SF_SMOKE).collect()}
-    stream = {tuple(r) for r in QUERIES["stream_sliding"](spark, SF_SMOKE).collect()}
+    batch = sorted(tuple(r) for r in QUERIES["window_sliding"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_sliding"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_connected_components_paths_agree(spark):
@@ -293,10 +293,10 @@ def test_stream_enrich_equals_batch(spark):
     """The stream-static enrichment join must equal the oracle-checked
     batch events_enrich twin row-for-row (stateless append-mode join;
     availableNow drains the full file source)."""
-    batch = {tuple(r) for r in QUERIES["events_enrich"](spark, SF_SMOKE).collect()}
-    stream = {tuple(r) for r in QUERIES["stream_enrich"](spark, SF_SMOKE).collect()}
+    batch = sorted(tuple(r) for r in QUERIES["events_enrich"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_enrich"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_stream_pair_join_equals_batch(spark):
@@ -304,10 +304,10 @@ def test_stream_pair_join_equals_batch(spark):
     oracle-checked batch events_attribution twin row-for-row
     (availableNow drains both sources; the watermark outlives the
     join window, so no pair is dropped)."""
-    batch = {tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect()}
-    stream = {tuple(r) for r in QUERIES["stream_pair_join"](spark, SF_SMOKE).collect()}
+    batch = sorted(tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_pair_join"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_pagerank_matches_reference(spark):
@@ -348,12 +348,10 @@ def test_stream_session_builtin_equals_batch(spark):
     oracle-checked sessionize_builtin batch key row-for-row (the same
     expression body; availableNow single batch completes every
     session)."""
-    batch = {tuple(r) for r in QUERIES["sessionize_builtin"](spark, SF_SMOKE).collect()}
-    stream = {
-        tuple(r) for r in QUERIES["stream_session_builtin"](spark, SF_SMOKE).collect()
-    }
+    batch = sorted(tuple(r) for r in QUERIES["sessionize_builtin"](spark, SF_SMOKE).collect())
+    stream = sorted(tuple(r) for r in QUERIES["stream_session_builtin"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
-    assert stream == batch
+    assert stream == batch  # sorted multisets: duplicates now fail
 
 
 def test_stream_foreach_batch_equals_batch(spark):
@@ -361,10 +359,8 @@ def test_stream_foreach_batch_equals_batch(spark):
     oracle-checked window_tumbling batch aggregate row-for-row after
     the stream drains (single-batch upsert into an empty mart, read
     back through the _LATEST pointer)."""
-    batch = {tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect()}
-    mart = {
-        tuple(r) for r in QUERIES["stream_foreach_batch"](spark, SF_SMOKE).collect()
-    }
+    batch = sorted(tuple(r) for r in QUERIES["window_tumbling"](spark, SF_SMOKE).collect())
+    mart = sorted(tuple(r) for r in QUERIES["stream_foreach_batch"](spark, SF_SMOKE).collect())
     assert batch, "batch twin returned no rows"
     assert mart == batch
 
@@ -400,6 +396,23 @@ def test_dedup_mllib_minhash_matches_exact(spark):
     assert recall >= 0.9, f"MLlib minhash recall {recall:.2f} < 0.9"
     for p in set(got) & set(exact):
         assert abs(got[p] - exact[p]) <= 0.05, (p, got[p], exact[p])
+    # precision: the hashed feature space may shift scores slightly,
+    # but a pair the library reports must be a GENUINE near-dup — no
+    # pair below (threshold - hash-collision slack) may appear
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        JACCARD_THRESHOLD,
+        ngram_pairs_cached,
+    )
+
+    all_scores = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_pairs_cached(spark, SF_SMOKE).collect()
+    }
+    for p in got:
+        true_j = all_scores.get(p, 0.0)
+        assert true_j >= JACCARD_THRESHOLD - 0.05, (
+            f"false pair {p}: library jaccard {got[p]:.3f}, exact {true_j:.3f}"
+        )
 
 
 def test_incremental_second_run_reads_only_new(spark):
@@ -468,13 +481,11 @@ def test_stream_outer_join_matched_and_null_contract(spark):
     be withheld — but a click with a match must never emit null)."""
     from pyspark.sql import functions as F
 
-    batch_inner = {
-        tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect()
-    }
+    batch_inner = sorted(tuple(r) for r in QUERIES["events_attribution"](spark, SF_SMOKE).collect())
     stream = QUERIES["stream_outer_join"](spark, SF_SMOKE).collect()
-    matched = {tuple(r) for r in stream if r.purchase_id is not None}
+    matched = sorted(tuple(r) for r in stream if r.purchase_id is not None)
     nulls = [r for r in stream if r.purchase_id is None]
-    assert matched == batch_inner
+    assert matched == batch_inner  # sorted multisets: duplicates now fail
     assert nulls, "no null-extended rows emitted — watermark never closed state"
     matched_click_ids = {r[0] for r in batch_inner}
     for r in nulls:
