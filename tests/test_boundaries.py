@@ -26,9 +26,11 @@ from .conftest import SF_SMOKE
 GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
-def _write_events(tmpdir, rows):
+def _write_events_table(path, rows):
     """rows: (event_id, ts_ns, user_id, value). Written as
-    TIMESTAMP(NANOS) parquet — the driver testdata's physical type."""
+    TIMESTAMP(NANOS) parquet — the driver testdata's physical type.
+    ONE writer for every fixture in this module so the physical-schema
+    contract (nanos, store_schema=False) lives in one place."""
     table = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -39,7 +41,11 @@ def _write_events(tmpdir, rows):
             "props": pa.array(["{}"] * len(rows), pa.string()),
         }
     )
-    pq.write_table(table, f"{tmpdir}/events.parquet", store_schema=False)
+    pq.write_table(table, path, store_schema=False)
+
+
+def _write_events(tmpdir, rows):
+    _write_events_table(f"{tmpdir}/events.parquet", rows)
 
 
 def test_sessionize_exact_gap_boundary(spark, tmp_path):
@@ -133,23 +139,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     t0 = 1_700_000_000_000_000_000 // hour_ns * hour_ns
 
     def _write_events_file(path, rows):
-        import pyarrow as _pa
-        import pyarrow.parquet as _pq
-
-        _pq.write_table(
-            _pa.table(
-                {
-                    "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
-                    "ts": _pa.array([r[1] for r in rows], _pa.timestamp("ns")),
-                    "user_id": _pa.array([1] * len(rows), _pa.int64()),
-                    "event_type": _pa.array(["view"] * len(rows), _pa.string()),
-                    "value": _pa.array([float(r[2]) for r in rows], _pa.float64()),
-                    "props": _pa.array(["{}"] * len(rows), _pa.string()),
-                }
-            ),
-            path,
-            store_schema=False,
-        )
+        _write_events_table(path, [(r[0], r[1], 1, float(r[2])) for r in rows])
 
     def run_stream():
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
