@@ -66,9 +66,11 @@ assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 # the driver leaves at the repo root) lead, name order breaking ties.
 # Every round therefore banks up to 50 new driver rows with no manual
 # window edits, sweeping the whole registry in ceil(n/50) rounds.
-# Only green evidence banks: a key whose latest evidence is a failed
+# Only green evidence banks: a key whose LATEST evidence is a failed
 # or errored row sorts BEFORE even never-checked keys (rank -1) so the
-# (hopefully fixed) key is re-checked next round, and a rows-only
+# (hopefully fixed) key is re-checked next round — latest, not
+# ever-green: a key that regressed after an early green round must
+# still lead the window, or it would never be re-checked. A rows-only
 # 'no_oracle' row only counts for keys that still have no oracle — if
 # a key gained one since, the stale weak row shouldn't keep the
 # stronger check out of the window. Order only affects which keys the
@@ -80,8 +82,9 @@ def _driver_row_counts(oracle_keys: set[str]) -> dict[str, int]:
     from pathlib import Path
 
     counts: dict[str, int] = {}
-    failed: set[str] = set()
+    latest_green: dict[str, bool] = {}
     root = Path(__file__).resolve().parents[2]
+    # sorted round order: per-key overwrite leaves the LATEST status
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(f.read_text())
@@ -100,16 +103,17 @@ def _driver_row_counts(oracle_keys: set[str]) -> dict[str, int]:
             )
             if green:
                 counts[key] = counts.get(key, 0) + 1
-            else:
-                failed.add(key)
-    for key in failed:
-        if counts.get(key, 0) == 0:
+            latest_green[key] = green
+    for key, green in latest_green.items():
+        if not green:
             counts[key] = -1
     return counts
 
 
 _BANKED = _driver_row_counts(set(ORACLE))
+# tie-break within a bank count: oracle-backed keys first — a driver
+# row for them is a hash-grade check, vs rows-only for no-oracle keys
 QUERIES = {
     k: QUERIES[k]
-    for k in sorted(QUERIES, key=lambda k: (_BANKED.get(k, 0), k))
+    for k in sorted(QUERIES, key=lambda k: (_BANKED.get(k, 0), k not in ORACLE, k))
 }

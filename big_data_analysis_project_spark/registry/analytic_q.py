@@ -665,12 +665,14 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_linreg",
     """SELECT event_type,
               COUNT(*) AS n,
-              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sx,
-              SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sy_e2,
-              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
-                  * CAST(FLOOR(value * 100) AS BIGINT)) AS sxy_e2,
-              SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
-                  * CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sxx
+              CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+                   AS BIGINT) AS sx,
+              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sy_e2,
+              CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sxy_e2,
+              CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       * CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+                   AS BIGINT) AS sxx
        FROM events
        GROUP BY event_type""",
 )

@@ -892,12 +892,14 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q1_SQL = """
     SELECT l_returnflag,
            l_linestatus,
-           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
-           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS sum_disc_e2,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-                    AS BIGINT)) AS sum_charge_e2,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS sum_disc_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_charge_e2,
            COUNT(*) AS count_order
     FROM bdap_lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -920,8 +922,8 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT))
-               AS revenue_e2,
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e2,
            COUNT(*) AS n_rows
     FROM bdap_lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

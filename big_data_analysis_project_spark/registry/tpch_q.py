@@ -61,7 +61,7 @@ _Q4_SQL = """
 
 _Q5_SQL = f"""
     SELECT n_name,
-           SUM({_CENTS}) AS revenue_e2
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_e2
     FROM {{p}}customer, {{p}}orders, {{p}}lineitem, {{p}}supplier,
          {{p}}nation, {{p}}region
     WHERE c_custkey = o_custkey
@@ -78,7 +78,7 @@ _Q5_SQL = f"""
 
 _Q7_SQL = f"""
     SELECT supp_nation, cust_nation, l_year,
-           SUM(cents) AS revenue_e2
+           CAST(SUM(cents) AS BIGINT) AS revenue_e2
     FROM (SELECT n1.n_name AS supp_nation,
                  n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -99,9 +99,9 @@ _Q7_SQL = f"""
 
 _Q8_SQL = f"""
     SELECT l_year,
-           SUM(CASE WHEN supp_nationkey < 13 THEN cents
-                    ELSE CAST(0 AS BIGINT) END) AS low_nation_rev_e2,
-           SUM(cents) AS total_rev_e2
+           CAST(SUM(CASE WHEN supp_nationkey < 13 THEN cents
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS low_nation_rev_e2,
+           CAST(SUM(cents) AS BIGINT) AS total_rev_e2
     FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
                  s_nationkey AS supp_nationkey,
                  {_CENTS} AS cents
@@ -121,7 +121,7 @@ _Q8_SQL = f"""
 _Q10_SQL = f"""
     SELECT c_custkey, c_name, n_name,
            ROUND(c_acctbal, 2) AS acctbal,
-           SUM({_CENTS}) AS revenue_e2
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_e2
     FROM {{p}}customer, {{p}}orders, {{p}}lineitem, {{p}}nation
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -135,12 +135,12 @@ _Q10_SQL = f"""
 """
 
 _Q14_SQL = """
-    SELECT SUM(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
-                              AS BIGINT)
-                    ELSE CAST(0 AS BIGINT) END) AS promo_revenue_e2,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS total_revenue_e2
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                                   AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_revenue_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_revenue_e2
     FROM {p}lineitem, {p}part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -150,7 +150,7 @@ _Q14_SQL = """
 _Q18_SQL = """
     SELECT c_custkey, c_name, o_orderkey,
            ROUND(o_totalprice, 2) AS totalprice,
-           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_e2
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
     FROM {p}customer, {p}orders, {p}lineitem
     WHERE o_orderkey IN (SELECT l_orderkey FROM {p}lineitem
                          GROUP BY l_orderkey
@@ -253,10 +253,10 @@ _register(
 
 _Q12_SQL = """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM {p}orders, {p}lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -276,7 +276,7 @@ _Q13_SQL = """
 """
 
 _Q19_SQL = f"""
-    SELECT SUM({_CENTS}) AS revenue_e2, COUNT(*) AS n_lines
+    SELECT CAST(SUM({_CENTS}) AS BIGINT) AS revenue_e2, COUNT(*) AS n_lines
     FROM {{p}}lineitem, {{p}}part
     WHERE p_partkey = l_partkey
       AND ((p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
@@ -290,7 +290,7 @@ _Q19_SQL = f"""
 _Q22_SQL = """
     SELECT c_nationkey,
            COUNT(*) AS numcust,
-           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS totacctbal_e2
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_e2
     FROM {p}customer
     CROSS JOIN (SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS tot_e2,
                        COUNT(*) AS cnt
@@ -369,7 +369,7 @@ _register(
 
 _Q15_SQL = f"""
     WITH rev AS (
-        SELECT l_suppkey, SUM({_CENTS}) AS total_e2
+        SELECT l_suppkey, CAST(SUM({_CENTS}) AS BIGINT) AS total_e2
         FROM {{p}}lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -388,7 +388,8 @@ _Q17_SQL = """
         FROM {p}lineitem
         GROUP BY l_partkey
     )
-    SELECT SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS revenue_e2,
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e2,
            COUNT(*) AS n_lines
     FROM {p}lineitem l
     JOIN {p}part ON p_partkey = l.l_partkey AND p_type = 'SMALL'

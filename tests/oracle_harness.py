@@ -5,7 +5,18 @@ values. Two passes: a TOLERANT one (coercion + 6dp rounding) whose
 only job is readable value diffs when something breaks, then the
 driver's exact TYPE-STRICT canonical form — which is what actually
 gates: a key must match bitwise (type name + string), not within
-tolerance."""
+tolerance.
+
+The strict pass materializes BOTH sides through pandas, because that
+is demonstrably what the driver does (the embed_pca ERR traceback in
+CORRECTNESS_r03.json shows pandas ``sort_values`` inside the driver's
+``_canon``). This matters for exactly one failure class that round 3
+shipped: DuckDB SUM(BIGINT) returns HUGEINT, which ``fetchall()``
+renders as Python int (matches Spark) but pandas renders as float64
+(``-25.0`` != ``-25`` under str()) — an uncast integer-SUM oracle
+passes a fetchall-based strict check and fails the driver. The
+meta-test in tests/test_registry_oracle.py pins that an uncast
+SUM(BIGINT) oracle FAILS this harness."""
 
 from __future__ import annotations
 
@@ -57,13 +68,24 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     )
 
 
-def _strict(rows: list[tuple], colnames: list[str]) -> list[tuple]:
-    """The driver's canonical form: (type-name, str(value)) per cell,
-    name-sorted columns, sorted rows — no coercion, no tolerance."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def driver_canon(pdf) -> list[tuple]:
+    """The driver's canonical form, reproduced over a PANDAS
+    materialization: name-sorted columns, a pandas ``sort_values``
+    over all columns (which raises TypeError on unhashable cells —
+    the embed_pca ERR class, so any query whose output would abort
+    the driver's rows-only check aborts here too), then
+    (type-name, str(value)) per cell, rows sorted — no coercion, no
+    tolerance. Under pandas, DuckDB HUGEINT becomes float64 while
+    Spark BIGINT stays int64, so uncast integer-SUM oracles fail
+    here exactly as they fail the driver."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        # reproduces the driver's crash surface for unhashable cells
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
     return sorted(
-        tuple((type(row[i]).__name__, str(row[i])) for i in order)
-        for row in rows
+        tuple((type(v).__name__, str(v)) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
 
 
@@ -85,14 +107,16 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"
 
-    # the driver's hash is TYPE-strict (type name + str) — the tolerant
-    # pass above localizes value bugs, this pass catches type-class
-    # drift (Decimal vs float, int vs float, HUGEINT) that coercion
-    # masks but the driver's CORRECTNESS gate fails on
-    ss = _strict(spark_rows, spark_cols)
-    sd = _strict(duck_rows, duck_cols)
+    # the driver's hash is TYPE-strict (type name + str) over PANDAS
+    # materializations — the tolerant pass above localizes value bugs,
+    # this pass catches type-class drift (Decimal vs float, int vs
+    # float, and DuckDB HUGEINT→float64) that both coercion and a
+    # fetchall-based compare mask but the driver's CORRECTNESS gate
+    # fails on
+    ss = driver_canon(spark_df.toPandas())
+    sd = driver_canon(conn.execute(sql).df())
     strict_mism = [(a, b) for a, b in zip(ss, sd) if a != b]
     assert not strict_mism, (
-        f"type-strict mismatch ({len(strict_mism)} rows), "
+        f"type-strict (pandas-canon) mismatch ({len(strict_mism)} rows), "
         f"first: {strict_mism[:3]}"
     )

@@ -8,7 +8,7 @@ import pytest
 from big_data_analysis_project_spark.registry import ORACLE, QUERIES
 
 from .conftest import SF_SMOKE
-from .oracle_harness import compare, duckdb_conn
+from .oracle_harness import compare, driver_canon, duckdb_conn
 
 
 @pytest.fixture(scope="module")
@@ -30,3 +30,57 @@ def test_rows_only(spark, key):
     # non-SQL-expressible ops: schema is stable and the query runs
     assert df.columns
     assert df.count() >= 0
+    # the driver applies its pandas canonicalizer even to rows-only
+    # keys — an output column the canon cannot sort (array/map cells
+    # are unhashable in pandas sort_values) ERRs the driver row, as
+    # embed_pca did in round 3. Reproduce that gate locally.
+    driver_canon(df.toPandas())
+
+
+def test_strict_pass_catches_hugeint(spark, conn):
+    """Meta-test pinning the round-3 blind spot: DuckDB SUM(BIGINT)
+    returns HUGEINT, which fetchall() renders as Python int (hiding
+    the divergence) but the driver's pandas canon renders as float64.
+    A deliberately UNCAST integer-SUM oracle must FAIL this harness,
+    or the harness is not the driver's canon."""
+    sdf = spark.createDataFrame([(6,)], "s long")
+    conn.execute("CREATE OR REPLACE TEMP TABLE _meta_t AS "
+                 "SELECT * FROM (VALUES (1), (2), (3)) v(x)")
+    with pytest.raises(AssertionError, match="pandas-canon"):
+        compare(sdf, conn, "SELECT SUM(CAST(x AS BIGINT)) AS s FROM _meta_t")
+    # and the cast form must pass
+    compare(sdf, conn,
+            "SELECT CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS s FROM _meta_t")
+
+
+def test_rows_only_canon_rejects_arrays():
+    """Meta-twin for the embed_pca ERR class: an array-typed output
+    column must abort driver_canon the way it aborts the driver."""
+    import pandas as pd
+
+    ok = pd.DataFrame({"a": [2, 1], "b": ["x", "y"]})
+    assert [r[0][1] for r in driver_canon(ok)] == ["1", "2"]
+    bad = pd.DataFrame({"a": [1, 2], "proj": [[0.1], [0.2]]})
+    with pytest.raises(TypeError):
+        driver_canon(bad)
+
+
+def test_no_oracle_emits_hugeint(conn):
+    """Every oracle's declared output types must be pandas-exact:
+    DuckDB HUGEINT (any uncast integer SUM / list_aggregate 'sum')
+    canonicalizes as float64 and can never hash-match a Spark BIGINT.
+    Static type check — no row comparison, so it runs in seconds and
+    catches the hazard even for keys the sweep would only reach
+    later."""
+    banned = {"HUGEINT", "INT128", "UHUGEINT"}
+    offenders = {}
+    for key, sql in sorted(ORACLE.items()):
+        rel = conn.sql(sql)
+        hz = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, [str(t) for t in rel.types])
+            if str(t) in banned
+        ]
+        if hz:
+            offenders[key] = hz
+    assert not offenders, f"uncast integer aggregates in oracles: {offenders}"

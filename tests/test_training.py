@@ -128,8 +128,15 @@ def test_embed_pca_matches_numpy(spark):
             comps[:, k] = -comps[:, k]
     ref = (x - mu) @ comps
 
+    # scalar surface: one (vec_id, k, proj) row per component
+    by_vec: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["k"]] = r["proj"]
     got = np.array(
-        [r["proj"] for r in sorted(out, key=lambda r: r["vec_id"])]
+        [
+            [by_vec[vid][k] for k in sorted(by_vec[vid])]
+            for vid in sorted(by_vec)
+        ]
     )
     assert got.shape == ref.shape
     # distributed fit consumes bit-identical integer aggregates, so the
