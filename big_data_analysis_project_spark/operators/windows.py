@@ -74,6 +74,59 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    alias: str = "start_off",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Scale-safe EXCLUSIVE running sum of ``val_col`` in global
+    ``order_cols`` order — the two-level scan pattern that replaces a
+    single-task ``SUM(...) OVER (ORDER BY ...)`` (VERDICT r3 #6, the
+    ``pack_chunks``/``corpus_assemble`` perf-weak items).
+
+    Phase 1: ``repartitionByRange`` on the order columns, so partition
+    ranges respect the global order and per-partition exclusive sums
+    (a window PARTITIONED by ``_pid``) are locally correct.
+    Phase 2: per-partition totals (``num_partitions`` rows) get their
+    own exclusive prefix via a window over that tiny frame, broadcast
+    back as base offsets; global offset = base + local.
+
+    Every data-sized operation is parallel; the only partition-less
+    window runs over ``num_partitions`` rows (bounded by cluster
+    width, not data volume) — same contract as ``global_rank``, and
+    the frame is cached for the same reason (the two branches must see
+    one physical ``_pid`` assignment). ``order_cols`` must be a unique
+    key of ``df``: the exclusive sum at a tied position would otherwise
+    depend on intra-tie order."""
+    order = [F.asc(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = parts.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).cast("bigint")
+    ).select("_pid", "_base")
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn(
+            "_local",
+            F.coalesce(F.sum(val_col).over(local_w), F.lit(0)).cast("bigint"),
+        )
+        .join(F.broadcast(bases), "_pid")
+        .withColumn(alias, (F.col("_local") + F.col("_base")).cast("bigint"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -92,9 +92,9 @@ def _shingles(docs: DataFrame) -> DataFrame:
     where this kernel is sub-second.
 
     Engine parity is bit-exact with the DuckDB oracle's
-    ``string_split_regex(lower(trim(text)), '\\s+')``: trim strips
-    SPACES only, the split class is Java's ASCII ``\\s`` ([ \\t\\n
-    \\x0b\\f\\r] — Python's unicode \\s would also eat \\x1c-\\x1f and
+    ``string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')``: trim strips
+    SPACES only, the split class is Java's ASCII ``[ \\t\\n\\x0B\\f\\r]`` ([ \\t\\n
+    \\x0b\\f\\r] — Python's unicode [ \\t\\n\\x0B\\f\\r] would also eat \\x1c-\\x1f and
     NEL), and EMPTY tokens from leading/trailing separators are KEPT —
     Python re.split, Spark's F.split (limit -1), and DuckDB's
     string_split_regex all agree on that, so text ending in \\n
@@ -136,7 +136,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 _NGRAM_ORACLE = f"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -505,7 +505,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
     import zlib
     from collections import Counter
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
     shifts = np.arange(bits, dtype=np.uint64)
     powers = (np.uint64(1) << shifts).astype(np.uint64)
     powers[bits - 1] = 0  # bit 63 left clear: keep the long positive
@@ -894,7 +894,7 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCREMENTAL_ORACLE = f"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -1016,7 +1016,7 @@ SPAN_W = 8
 
 _SPANS_ORACLE = f"""
     WITH t AS (SELECT doc_id,
-                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+                      string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
                FROM documents),
     w AS (SELECT DISTINCT doc_id,
                  array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS span
@@ -1050,7 +1050,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span TEXT; counts agree absent 64-bit collisions (~1e-10 at 1e4
     spans), the same contract as ``dedup_exact``'s md5 key."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+").alias("toks")
     )
     windows = F.expr(
         f"CASE WHEN size(toks) >= {SPAN_W} THEN "

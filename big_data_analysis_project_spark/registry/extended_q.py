@@ -465,7 +465,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_term_stats",
     """WITH tok AS (
-         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
          FROM documents
        )
        SELECT term,
@@ -482,7 +482,7 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one shuffle keyed on the term."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term")
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+")).alias("term")
     ).filter(F.col("term") != "")
     return (
         tok.groupBy("term")

@@ -28,7 +28,7 @@ _STOPWORDS_RE = "\\b(the|a|an|and|of|to|in|is|on|for)\\b"
 @q(
     "text_tokens",
     f"""SELECT doc_id,
-              len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+              len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
               len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
        FROM documents""",
 )
@@ -38,7 +38,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
     )
 
@@ -47,18 +47,18 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""SELECT doc_id,
               length(text) AS n_chars_measured,
-              len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
               ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                     / length(text), 4) AS punct_ratio,
               ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS DOUBLE)
-                    / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+                    / len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS stopword_ratio
        FROM documents WHERE length(text) > 0""",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio —
     the standard cheap pre-training quality filters."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_words = F.size(F.split(F.trim("text"), "\\s+"))
+    n_words = F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+"))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -121,10 +121,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_fingerprint",
     """SELECT doc_id,
-              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+              md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
               list_reduce(
                 list_prepend(CAST(0 AS BIGINT),
-                             list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                             list_transform(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''),
                                             c -> CAST(ascii(c) AS BIGINT))),
                 (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        FROM documents""",
@@ -134,7 +134,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 31-polynomial rolling hash (the canonical content-defined
     fingerprint primitive) — both pure JVM expressions."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ")
     rolling = F.aggregate(
         F.split(norm, ""),
         F.lit(0).cast("long"),
@@ -151,7 +151,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_prep_report",
     """WITH quality AS (
          SELECT doc_id, text, lang,
-                len(string_split_regex(trim(text), '\\s+')) AS n_words
+                len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words
          FROM documents WHERE length(text) > 0
        ),
        kept AS (SELECT * FROM quality WHERE n_words BETWEEN 20 AND 80),
@@ -184,7 +184,7 @@ def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         "lang",
-        F.size(F.split(F.trim("text"), "\\s+")).alias("n_words"),
+        F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("n_words"),
     ).filter(F.col("n_words").between(20, 80))
     uniq = quality.groupBy(
         F.md5(F.encode("text", "UTF-8")).alias("h")
@@ -210,7 +210,7 @@ def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM (
            SELECT doc_id, t AS term, COUNT(*) AS tf
            FROM (
-             SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+             SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t
              FROM documents
            ) WHERE len(t) >= 4
            GROUP BY doc_id, t
@@ -230,7 +230,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+            F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+")).alias("term"),
         )
         .filter(F.length("term") >= 4)
         .groupBy("doc_id", "term")
@@ -250,7 +250,7 @@ _CHUNK, _STRIDE = 32, 24
 @q(
     "text_chunk",
     f"""WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        )
        SELECT doc_id,
@@ -268,7 +268,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-to-N flatMap with no shuffle — at 100 TB this is a map-only
     stage whose output partitioning follows the input's."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    df = d.select("doc_id", F.split(F.trim("text"), "\\s+").alias("w")).select(
+    df = d.select("doc_id", F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+").alias("w")).select(
         "doc_id",
         "w",
         F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(_STRIDE))).alias("start"),
@@ -286,7 +286,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_repetition",
     """WITH t AS (
-         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        ), b AS (
          SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi
@@ -308,7 +308,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, no UDF, no shuffle."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     df = (
-        d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w"))
+        d.select("doc_id", F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("w"))
         .filter(F.size("w") >= 2)
         .withColumn(
             "bi",
@@ -333,7 +333,7 @@ _CONTAM_MIN_SHARED = 3  # >=3 shared 3-gram shingles => contaminated
 
 @q(
     "text_contamination",
-    rf"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    rf"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
                        FROM documents),
        sh AS (SELECT doc_id,
                      unnest(list_transform(range(1, len(w) - 1),
@@ -362,7 +362,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization); at 100 TB you'd hash them (crc32, as the
     minhash path does) to shrink the broadcast and the groupBy keys."""
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")).filter(
+    w = d.select("doc_id", F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("w")).filter(
         F.size("w") >= 3
     )
     sh = w.select(
@@ -500,7 +500,7 @@ def corpus_mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_familiarity",
     """WITH t AS (
-         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        ),
        b AS (
@@ -533,7 +533,7 @@ def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_salted demonstrates applies directly."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     bi = (
-        d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w"))
+        d.select("doc_id", F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+").alias("w"))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -573,8 +573,8 @@ def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AND n_stop >= 2
                         THEN 1 ELSE 0 END AS INT) AS keep
        FROM (SELECT doc_id,
-                    len(string_split_regex(trim(text), '\\s+')) AS nw,
-                    length(regexp_replace(text, '\\s', '', 'g')) AS na,
+                    len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS nw,
+                    length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS na,
                     len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS n_stop
              FROM documents WHERE length(trim(text)) > 0) m""",
 )
@@ -597,8 +597,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    nw = F.size(F.split(F.trim("text"), r"\s+"))
-    na = F.length(F.regexp_replace("text", r"\s", ""))
+    nw = F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"))
+    na = F.length(F.regexp_replace("text", r"[ \t\n\x0B\f\r]", ""))
     n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOPWORDS_RE), 0))
     m = d.select(
         "doc_id",

@@ -36,18 +36,18 @@ QUERIES, ORACLE, q = make_registry()
 
 def ws_token_counts(s: pd.Series) -> pd.Series:
     """Whitespace token count with EXACTLY the semantics of
-    size(split(trim(text), '\\s+')): trim SPACES only (pandas
+    size(split(trim(text), '[ \\t\\n\\x0B\\f\\r]+')): trim SPACES only (pandas
     .str.strip() also eats \n/\t, which would undercount by one on
     text with leading/trailing non-space whitespace), then tokens =
     whitespace runs + 1. Shared by the udf_pandas_tokens UDF and the
     three-way parity property test so the two can never drift."""
-    return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"\s+") + 1
+    return s.str.replace(r"^ +| +$", "", regex=True).str.count(r"[ \t\n\x0B\f\r]+") + 1
 
 
 @q(
     "udf_pandas_tokens",
     r"""SELECT doc_id,
-              len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+              len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens
        FROM documents""",
 )
 def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def udaf_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_word_freq",
     r"""SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
        FROM (SELECT doc_id,
-                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
              FROM documents)
        WHERE word <> ''
        GROUP BY doc_id, word""",
@@ -185,19 +185,19 @@ def udf_arrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             sq = flat * flat
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            if len(sq):
-                # clamp: a trailing empty segment's start == len(sq)
-                # is out of bounds for reduceat; whatever it grabs is
-                # zeroed by the lens mask below (as are interior
-                # empties, where reduceat returns a single element).
-                # reduceat keeps SEQUENTIAL in-segment accumulation —
-                # the exactness contract vs DuckDB's in-order fold
-                # (ndarray.sum would be pairwise and break it)
-                starts = np.minimum(bounds[:-1], len(sq) - 1)
-                sums = np.add.reduceat(sq, starts)
-            else:
-                sums = np.zeros(len(lens))
-            sums = np.where(lens > 0, sums, 0.0)
+            # reduceat only over NON-EMPTY segments: empty segments
+            # have zero length, so consecutive non-empty starts are
+            # exact segment boundaries and every start < len(sq) — no
+            # clamping. (A min-clamp here once SPLIT the segment
+            # preceding a trailing empty list: lens=[3,0], sq=[1,4,9]
+            # clamped starts to [0,2] and row 0 summed 5 instead of
+            # 14.) reduceat keeps SEQUENTIAL in-segment accumulation —
+            # the exactness contract vs DuckDB's in-order fold
+            # (ndarray.sum would be pairwise and break it)
+            sums = np.zeros(len(lens), dtype=np.float64)
+            ne = lens > 0
+            if ne.any():
+                sums[ne] = np.add.reduceat(sq, bounds[:-1][ne])
             norm_e4 = np.floor(np.sqrt(sums) * 10000).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [vec_ids, pa.array(norm_e4, type=pa.int64())],

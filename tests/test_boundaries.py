@@ -318,7 +318,7 @@ def test_containment_catches_subset_pair_jaccard_misses(spark):
 
 def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
     """The Arrow shingle kernel must tokenize EXACTLY like the DuckDB
-    oracle expression (string_split_regex(lower(trim(text)), '\\s+'))
+    oracle expression (string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
     on text the fixed corpus never contains: trailing newlines/tabs,
     leading whitespace, whitespace-only and empty strings. A previous
     kernel revision popped trailing empty tokens "Java-style" while
@@ -339,6 +339,12 @@ def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
         "\n",
         "",
         "ab cd",
+        # \x0B splits under the shared explicit class on BOTH engines
+        # (RE2's \s would not have); \xa0 must split on NEITHER
+        # (Python's unicode \s would have) — ADVICE r3
+        "alpha\x0bbeta gamma delta epsilon",
+        "alpha\xa0beta gamma delta epsilon",
+        "tail case before vtab\x0b",
     ]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -354,7 +360,7 @@ def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
             r"""
             WITH words AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS w
+                     string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
               FROM docs_adv
             )
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -364,3 +370,40 @@ def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
         ).fetchall()
     )
     assert got == want, (got - want, want - got)
+
+
+def test_arrow_norm_exact_before_trailing_empty_list(spark, tmp_path):
+    """ADVICE r3 (medium): clamping reduceat starts with
+    min(bounds, len-1) SPLIT the segment preceding a trailing empty
+    list — lens=[3,0] over sq=[1,4,9] yielded sqrt(5) for row 0
+    instead of sqrt(14). The kernel must now sum only over non-empty
+    segment starts, making every non-empty row exact regardless of
+    where empty lists fall (trailing, interior, leading, consecutive).
+    Empty lists themselves norm to 0 by kernel contract."""
+    import math
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),  # immediately before a trailing empty
+        (2, []),
+        (3, []),               # consecutive empties
+        (4, [2.0]),
+        (5, []),               # interior empty
+        (6, [3.0, 4.0]),       # after an empty
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r["norm_e4"]
+        for r in QUERIES["udf_arrow_norm"](spark, str(tmp_path)).collect()
+    }
+    want = {
+        vid: math.floor(math.sqrt(sum(x * x for x in vec)) * 10000)
+        for vid, vec in rows
+    }
+    assert got == want, (got, want)

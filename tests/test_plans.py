@@ -89,6 +89,34 @@ def test_small_dims_broadcast(spark, key):
     assert "BroadcastHashJoin" in plan, f"{key}: dim join is not broadcast"
 
 
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - _SKIP))
+def test_no_data_sized_single_partition_window(spark, key):
+    """Registry-wide ban on the r3 perf-weak class: a partition-less
+    ordered Window (``SUM(...) OVER (ORDER BY ...)`` with no
+    PARTITION BY) funnels its entire input through ONE task — a
+    single-machine sort of the corpus at 100 TB. The only allowed
+    partition-less window orders by ``_pid``: the two-level pattern's
+    offsets frame (global_rank / global_prefix_sum), whose input is
+    one row per partition — bounded by cluster width, not data.
+
+    Plan-text parsing: a Window node prints
+    ``Window [funcs], [part_spec], [order_spec]`` when partitioned+
+    ordered, ``Window [funcs], [tail]`` otherwise — the tail is an
+    ORDER spec iff it carries ASC/DESC sort markers."""
+    plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window "):
+            continue
+        if s.count("], [") == 1:
+            tail = s.rsplit("], [", 1)[-1]
+            ordered = " ASC" in tail or " DESC" in tail
+            assert not ordered or "_pid" in tail, (
+                f"{key}: partition-less ordered Window over data-sized "
+                f"input: {s[:200]}"
+            )
+
+
 def test_global_rank_not_single_task(spark):
     """VERDICT r1 #4: the two-phase rank must not funnel the full table
     through one Window task — the bulk sort happens under a range
