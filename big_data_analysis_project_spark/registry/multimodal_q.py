@@ -159,30 +159,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "mm_feature_extract",
     """SELECT doc_id,
-              list_transform(range(0, 16),
-                  i -> len(list_filter(
-                           list_transform(string_split(text, ''), x -> ascii(x) % 16),
-                           v -> v = i))) AS feature
-       FROM documents""",
+              CAST(i AS INT) AS bucket,
+              CAST(len(list_filter(
+                       list_transform(string_split(text, ''), x -> ascii(x) % 16),
+                       v -> v = i)) AS BIGINT) AS n
+       FROM documents, LATERAL unnest(range(0, 16)) AS t(i)""",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload -> feature-vector extraction through Arrow: mapInPandas
     runs the (stub) extractor per payload and emits a fixed-length
-    array<long> column — the media analogue of text embedding, and the
-    input shape the ANN/dedup embedding keys consume. Integer byte
-    histogram (not floats) so the oracle comparison is exact. The
-    corpus is ASCII, so the oracle's per-char arithmetic equals the
-    python side's per-byte arithmetic.
+    array<long> — the media analogue of text embedding, and the input
+    shape the ANN/dedup embedding keys consume. Integer byte histogram
+    (not floats) so the oracle comparison is exact. The corpus is
+    ASCII, so the oracle's per-char arithmetic equals the python
+    side's per-byte arithmetic.
 
-    Scale: narrow map, no shuffle; a real extractor (CLIP forward
-    pass) swaps in at functions/multimodal.py:extract_features with
-    the same batch contract."""
+    The KEY's compare surface is the vector posexploded to scalar
+    (doc_id, bucket, n) rows: an array output column is unhashable
+    under the driver's pandas canonicalizer and would ERR the row
+    (the embed_pca r3 failure class — this key was headed for the
+    same ERR in its first driver check until the realigned local
+    harness caught it). The array itself remains the kernel contract
+    (FEATURE_SCHEMA) for downstream vector consumers.
+
+    Scale: narrow map + generate, no shuffle; a real extractor (CLIP
+    forward pass) swaps in at functions/multimodal.py:extract_features
+    with the same batch contract."""
     from ..functions.multimodal import FEATURE_SCHEMA, extract_feature_batches
 
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "payload").mapInPandas(
+    vecs = docs.select("doc_id", "payload").mapInPandas(
         extract_feature_batches, schema=FEATURE_SCHEMA
     )
+    return vecs.select(
+        "doc_id", F.posexplode("feature").alias("bucket", "n")
+    ).select("doc_id", F.col("bucket").cast("int").alias("bucket"), "n")
 
 
 @q(
