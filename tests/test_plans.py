@@ -119,10 +119,43 @@ def test_no_data_sized_single_partition_window(spark, key):
 
 def test_global_rank_not_single_task(spark):
     """VERDICT r1 #4: the two-phase rank must not funnel the full table
-    through one Window task — the bulk sort happens under a range
-    partitioning, not a SinglePartition exchange feeding the Window."""
+    through one Window task. Since r5 the range-partitioned phase sits
+    behind an eager localCheckpoint (lineage truncated — it shows as a
+    Scan ExistingRDD), so the visible plan must be: checkpoint scan →
+    Window PARTITIONED by _pid, with no SinglePartition exchange
+    anywhere — the partition-less window and the broadcast-join offset
+    stage are both gone (VERDICT r4 #4)."""
     plan = _plan(spark, QUERIES["window_rank"](spark, SF_SMOKE))
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_window_parse_flags_known_bad_plan(spark):
+    """Self-check for the parser above (ADVICE r4): feed it a plan that
+    IS the banned class — a partition-less ordered window over a
+    data-sized scan — and assert the heuristic actually fires, so a
+    print-format drift that blinds the parser fails here instead of
+    silently passing every registry key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.sources.readers import load_table
+
+    bad = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "_r", F.sum("o_totalprice").over(Window.orderBy("o_orderdate"))
+    )
+    plan = _plan(spark, bad)
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window "):
+            continue
+        if s.count("], [") == 1:
+            tail = s.rsplit("], [", 1)[-1]
+            if (" ASC" in tail or " DESC" in tail) and "_pid" not in tail:
+                hits.append(s)
+    assert hits, f"window-ban parser failed to flag a known-bad plan:\n{plan}"
 
 
 def test_profile_table_single_pass(spark):
