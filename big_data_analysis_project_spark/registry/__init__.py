@@ -79,13 +79,22 @@ assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 
 def _driver_row_counts(oracle_keys: set[str]) -> dict[str, int]:
     import json
+    import re
     from pathlib import Path
 
     counts: dict[str, int] = {}
     latest_green: dict[str, bool] = {}
     root = Path(__file__).resolve().parents[2]
-    # sorted round order: per-key overwrite leaves the LATEST status
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+
+    def round_no(f: Path) -> int:
+        # NUMERIC round order (ADVICE r4): lexicographic filename sort
+        # would put r100 before r20 and let a stale row overwrite the
+        # true latest status once rounds outgrow the zero-padding
+        m = re.search(r"r(\d+)", f.name)
+        return int(m.group(1)) if m else -1
+
+    # ascending round order: per-key overwrite leaves the LATEST status
+    for f in sorted(root.glob("CORRECTNESS_r*.json"), key=round_no):
         try:
             rows = json.loads(f.read_text())
         except (OSError, ValueError):

@@ -93,9 +93,10 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
     Engine parity is bit-exact with the DuckDB oracle's
     ``string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')``: trim strips
-    SPACES only, the split class is Java's ASCII ``[ \\t\\n\\x0B\\f\\r]`` ([ \\t\\n
-    \\x0b\\f\\r] — Python's unicode [ \\t\\n\\x0B\\f\\r] would also eat \\x1c-\\x1f and
-    NEL), and EMPTY tokens from leading/trailing separators are KEPT —
+    SPACES only, the split class is the EXPLICIT ASCII set
+    ``[ \\t\\n\\x0B\\f\\r]`` (Java regex ``\\s``'s membership, spelled out
+    because Python's unicode ``\\s`` would also eat \\x1c-\\x1f and NEL),
+    and EMPTY tokens from leading/trailing separators are KEPT —
     Python re.split, Spark's F.split (limit -1), and DuckDB's
     string_split_regex all agree on that, so text ending in \\n
     tokenizes identically on every path (an earlier revision popped

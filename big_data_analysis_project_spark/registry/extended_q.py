@@ -949,22 +949,35 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITER = 5
 _PR_DAMP = 0.85
+# fixed-point iteration state (VERDICT r4 #7): rank scaled at 1e12 as
+# BIGINT, damping as the EXACT fraction 17/20 — every update is pure
+# int64 arithmetic (DIV is floor division), so the emitted ranks are
+# bit-identical across hosts, partitionings, and reruns, unlike a
+# float power iteration whose sum order varies
+_PR_SCALE = 10**12
+_PR_NUM, _PR_DEN = 17, 20
+_PR_BASE = _PR_SCALE - _PR_SCALE * _PR_NUM // _PR_DEN  # (1-d) * scale, exact
 
 
-@q("graph_pagerank")  # rows-only: iterative float algorithm, not SQL-expressible
+@q("graph_pagerank")  # rows-only: iterative algorithm, not SQL-expressible
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (the canonical
     iterative-DataFrame algorithm; ranks surface the 'template hub'
     documents that connected-component dedup should keep). Undirected
     edges symmetrized, so every vertex has out-degree >= 1 and no
     dangling-mass correction is needed — the per-iteration update is
-    exactly rank = (1-d) + d * sum(rank_in/deg_in).
+    exactly rank = (1-d) + d * sum(rank_in/deg_in), carried in
+    fixed point: rank_e12 = {_PR_BASE} + 17 * SUM(rank_e12 DIV deg)
+    DIV 20. Truncation loses < 1e-12 per edge per round — far inside
+    the 1e-6 equivalence bound the recall test pins — and buys a
+    bit-stable rows-only surface (the driver hashes these rows; a
+    float surface differed in the last ulps across hosts).
 
     Scale shape: each iteration is one join + one shuffle on vertex id,
     and the lineage is CUT with an eager localCheckpoint per iteration
     — without it the plan doubles every round and round ~20 stops
-    compiling. Toleranced equivalence vs a driver-side reference
-    computation in tests/test_recall.py."""
+    compiling. Exact-integer replica equivalence + float-reference
+    tolerance in tests/test_recall.py."""
     from .dedup_q import ngram_pairs_cached
 
     edges = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
@@ -980,7 +993,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.join(deg, "src").repartition(4, "src").localCheckpoint(eager=True)
     )
     ranks = symdeg.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "rank", F.lit(1.0)
+        "rank_e12", F.lit(_PR_SCALE).cast("bigint")
     )
     for _ in range(_PR_ITER):
         # symmetric graph: every vertex has >=1 in-edge, so the inbound
@@ -990,13 +1003,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             symdeg.join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select(
                 F.col("dst").alias("doc_id"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                F.expr("rank_e12 DIV out_deg").alias("c"),
             )
             .groupBy("doc_id")
             .agg(
                 (
-                    F.lit(1.0 - _PR_DAMP) + F.lit(_PR_DAMP) * F.sum("c")
-                ).alias("rank")
+                    F.lit(_PR_BASE)
+                    + F.expr(f"{_PR_NUM} * SUM(c) DIV {_PR_DEN}")
+                ).cast("bigint").alias("rank_e12")
             )
             .coalesce(4)
             .localCheckpoint(eager=True)

@@ -43,6 +43,11 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     def norm_cell(v):
         if v is None:
             return None
+        # unwrap numpy scalars (rows may come from a pandas
+        # materialization): np.int64 is NOT a Python int instance and
+        # would otherwise fall through to the float fallback
+        if type(v).__module__ == "numpy":
+            v = v.item()
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
@@ -90,11 +95,16 @@ def driver_canon(pdf) -> list[tuple]:
 
 
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    rel = conn.execute(sql)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    # ONE materialization per engine (ADVICE r4: the previous
+    # collect+toPandas / double-execute pair roughly doubled suite
+    # runtime, and a nondeterministic query could present different
+    # rows to the two passes) — both the tolerant and the strict pass
+    # below derive from these two pandas frames
+    sp = spark_df.toPandas()
+    dp = conn.execute(sql).df()
+    spark_cols, duck_cols = list(sp.columns), list(dp.columns)
+    spark_rows = list(sp.itertuples(index=False, name=None))
+    duck_rows = list(dp.itertuples(index=False, name=None))
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -110,11 +120,10 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
     # the driver's hash is TYPE-strict (type name + str) over PANDAS
     # materializations — the tolerant pass above localizes value bugs,
     # this pass catches type-class drift (Decimal vs float, int vs
-    # float, and DuckDB HUGEINT→float64) that both coercion and a
-    # fetchall-based compare mask but the driver's CORRECTNESS gate
-    # fails on
-    ss = driver_canon(spark_df.toPandas())
-    sd = driver_canon(conn.execute(sql).df())
+    # float, and DuckDB HUGEINT→float64) that coercion masks but the
+    # driver's CORRECTNESS gate fails on
+    ss = driver_canon(sp)
+    sd = driver_canon(dp)
     strict_mism = [(a, b) for a, b in zip(ss, sd) if a != b]
     assert not strict_mism, (
         f"type-strict (pandas-canon) mismatch ({len(strict_mism)} rows), "

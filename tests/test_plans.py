@@ -224,6 +224,24 @@ def test_tpch_semi_joins(spark, key):
     assert "LeftSemi" in plan, plan
 
 
+def test_tpch_q16_not_in_plans_anti_join(spark):
+    """Q16's NOT IN subquery must plan as a LEFT ANTI join (the
+    subquery column is non-null, so no null-aware cross product) —
+    the complaint-supplier exclusion costs one broadcast, not a
+    per-row subquery execution."""
+    plan = _plan(spark, QUERIES["sql_tpch_q16"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpch_q20_semi_chain(spark):
+    """Q20's nested INs must both plan as LEFT SEMI joins — the
+    supplier membership and the part-list membership each shuffle /
+    broadcast keys only, never duplicating fact rows."""
+    plan = _plan(spark, QUERIES["sql_tpch_q20"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_tpch_q10_take_ordered(spark):
     """Q10's top-20 must run as TakeOrderedAndProject (per-partition
     heads merged on the driver), never a global sort + limit."""

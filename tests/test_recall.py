@@ -311,14 +311,23 @@ def test_stream_pair_join_equals_batch(spark):
 
 
 def test_pagerank_matches_reference(spark):
-    """graph_pagerank must match a driver-side reference power
-    iteration (same damping, same rounds) on the collected edge list
-    to float tolerance — the distributed join/shuffle update and the
-    in-memory loop are the same fixpoint computation."""
+    """graph_pagerank must match (a) a driver-side INTEGER replica of
+    the same fixed-point power iteration BIT-EXACTLY — int64 floor
+    arithmetic is order-independent, so the distributed join/shuffle
+    update and the in-memory loop produce identical bits — and (b) a
+    float reference iteration within 1e-6 (the truncation cost of the
+    1e-12 fixed point over 5 rounds)."""
     from collections import defaultdict
 
     from big_data_analysis_project_spark.registry.dedup_q import dedup_ngram_jaccard
-    from big_data_analysis_project_spark.registry.extended_q import _PR_DAMP, _PR_ITER
+    from big_data_analysis_project_spark.registry.extended_q import (
+        _PR_BASE,
+        _PR_DAMP,
+        _PR_DEN,
+        _PR_ITER,
+        _PR_NUM,
+        _PR_SCALE,
+    )
 
     edges = [
         (r.doc_a, r.doc_b)
@@ -329,18 +338,29 @@ def test_pagerank_matches_reference(spark):
     for a, b in edges:
         adj[a].append(b)
         adj[b].append(a)
-    rank = {v: 1.0 for v in adj}
+
+    rank_i = {v: _PR_SCALE for v in adj}
+    rank_f = {v: 1.0 for v in adj}
     for _ in range(_PR_ITER):
-        mass = defaultdict(float)
+        mass_i: dict = defaultdict(int)
+        mass_f: dict = defaultdict(float)
         for v, nbrs in adj.items():
-            share = rank[v] / len(nbrs)
+            share_i = rank_i[v] // len(nbrs)
+            share_f = rank_f[v] / len(nbrs)
             for n in nbrs:
-                mass[n] += share
-        rank = {v: (1.0 - _PR_DAMP) + _PR_DAMP * mass[v] for v in adj}
-    got = {r.doc_id: r.rank for r in QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()}
-    assert set(got) == set(rank)
-    for v in rank:
-        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+                mass_i[n] += share_i
+                mass_f[n] += share_f
+        rank_i = {v: _PR_BASE + _PR_NUM * mass_i[v] // _PR_DEN for v in adj}
+        rank_f = {v: (1.0 - _PR_DAMP) + _PR_DAMP * mass_f[v] for v in adj}
+
+    got = {
+        r.doc_id: r.rank_e12
+        for r in QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(rank_i)
+    for v in rank_i:
+        assert got[v] == rank_i[v], (v, got[v], rank_i[v])
+        assert abs(got[v] / _PR_SCALE - rank_f[v]) < 1e-6, (v, got[v], rank_f[v])
 
 
 def test_stream_session_builtin_equals_batch(spark):
