@@ -1041,6 +1041,81 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    # inject the runtime filter at test scale: the defaults gate on a
+    # >=10 GB application-side scan, sized for the real clusters this
+    # demonstrates for
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # no broadcast: a broadcastable build side needs no bloom filter
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy frame under ``join_bloom_runtime_filter`` — exposed
+    separately so tests/test_plans.py can assert ``might_contain`` in
+    the optimized plan while ``_BLOOM_CONFS`` are in effect (the key
+    itself returns a checkpoint whose lineage no longer shows it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).cast("bigint").alias("rev_e2"),
+        )
+    )
+
+
+@q(
+    "join_bloom_runtime_filter",
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS rev_e2
+       FROM lineitem, orders
+       WHERE l_orderkey = o_orderkey
+         AND o_orderpriority = '1-URGENT'
+         AND o_totalprice > 300000
+       GROUP BY l_returnflag""",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME row-level filtering (Spark's bloom-filter join
+    pruning): the selective orders leg builds a bloom filter over its
+    o_orderkey set during planning, and Catalyst injects
+    ``might_contain(xxhash64(l_orderkey))`` UNDER the lineitem scan —
+    at 100 TB the fact side drops non-qualifying rows before the
+    sort-merge shuffle instead of shuffling the full table and
+    discarding ~88% of it at the join. This is the dynamic cousin of
+    static partition pruning, and the right tool when the build side
+    is selective but too big to broadcast.
+
+    The injection thresholds default to cluster scale (>=10 GB
+    application-side scan), so the key pins them down for the demo
+    and RESTORES them after executing eagerly under the overridden
+    confs (localCheckpoint — lazy execution would otherwise happen
+    after the restore; same eager-result pattern as the sink keys).
+    Plan-asserted in tests/test_plans.py via ``bloom_filtered_join``;
+    the bloom filter is a may-contain prefilter, so results are
+    byte-identical to the plain join and the oracle is the plain
+    SQL."""
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}  # all have defaults
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_filtered_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 @q(
     "sink_sorted",
     "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price FROM orders",

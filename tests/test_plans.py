@@ -242,6 +242,28 @@ def test_tpch_q20_semi_chain(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bloom_runtime_filter_injected(spark):
+    """join_bloom_runtime_filter's whole point: with the demo confs in
+    effect, Catalyst must inject a might_contain(xxhash64(l_orderkey))
+    prefilter UNDER the lineitem side of the sort-merge join — the
+    runtime row-level pruning that saves the fact shuffle at 100 TB."""
+    from big_data_analysis_project_spark.registry.extended_q import (
+        _BLOOM_CONFS,
+        bloom_filtered_join,
+    )
+
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = _plan(spark, bloom_filtered_join(spark, SF_SMOKE))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_tpch_q10_take_ordered(spark):
     """Q10's top-20 must run as TakeOrderedAndProject (per-partition
     heads merged on the driver), never a global sort + limit."""
