@@ -71,6 +71,51 @@ def test_global_prefix_sum_empty_input(spark):
     assert global_prefix_sum(orders, ["o_orderkey"], "o_custkey").count() == 0
 
 
+@pytest.mark.parametrize("nparts", [1, 3, 64])
+def test_global_rank_invariant_to_partition_count(spark, nparts):
+    """THE scale property: the result is a pure function of the data,
+    not of the parallelism — 1, 3, or 64 range partitions must produce
+    identical ranks (ties crossing partition boundaries included)."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = {
+        (r["o_orderkey"], r["rank"])
+        for r in global_rank(
+            orders, "o_totalprice", desc=True, num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        (r["o_orderkey"], r["rank"])
+        for r in orders.withColumn(
+            "rank", F.rank().over(Window.orderBy(F.desc("o_totalprice")))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 64])
+def test_global_prefix_sum_invariant_to_partition_count(spark, nparts):
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("v"))
+    )
+    got = {
+        (r["o_orderkey"], r["start_off"])
+        for r in global_prefix_sum(
+            orders, ["o_orderkey"], "v", num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r["o_orderkey"], r["start_off"])
+        for r in orders.withColumn(
+            "start_off", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rank_by_guard_refuses_large_input(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     with pytest.raises(ValueError, match="global_rank"):
