@@ -590,3 +590,48 @@ def test_stream_dedup_watermarked_exact_once(spark):
     }
     assert len(ids) == len(set(ids)), "duplicate event emitted"
     assert set(ids) == expected, "dropped or invented events"
+
+
+def test_ann_knn_join_recall_and_contract(spark):
+    """Batch kNN join: (a) structural contract — every vector appears
+    as a query with dense ranks 1..k, no self pairs, each (query, rank)
+    unique; (b) mean recall@k vs the exact brute-force kNN graph >= 0.8
+    (deterministic on this data: modulus sample, smallest-id seeds,
+    stable argsorts — measured 0.82 at 8/16 probes on these
+    NEAR-RANDOM synthetic embeddings, the worst case for any blocking
+    scheme; clustered production embeddings sit far higher at the same
+    probe count)."""
+    import numpy as np
+
+    from big_data_analysis_project_spark.registry.similarity_q import KNN_K
+
+    pdf = QUERIES["ann_knn_join"](spark, SF_SMOKE).toPandas()
+    raw = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    rows = sorted(raw, key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    # structural contract
+    assert set(pdf.query_id) == set(ids)
+    assert int((pdf.query_id == pdf.neighbor_id).sum()) == 0
+    per_q = pdf.groupby("query_id")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == KNN_K).all()
+    assert (per_q["min"] == 1).all() and (per_q["max"] == KNN_K).all()
+    assert not pdf.duplicated(["query_id", "rank"]).any()
+    assert not pdf.duplicated(["query_id", "neighbor_id"]).any()
+
+    # recall vs exact kNN graph
+    s = x @ x.T
+    np.fill_diagonal(s, -np.inf)
+    true = {
+        ids[i]: {ids[j] for j in np.argsort(-s[i], kind="stable")[:KNN_K]}
+        for i in range(len(ids))
+    }
+    got: dict[int, set] = {}
+    for r in pdf.itertuples():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = float(
+        np.mean([len(got[q] & true[q]) / KNN_K for q in true])
+    )
+    assert recall >= 0.8, f"kNN-join mean recall@{KNN_K} {recall:.3f} < 0.8"
