@@ -95,6 +95,7 @@ def main() -> None:
         "ann_ivf_pq", "text_gopher_rules",
         "groupby_agg", "join_broadcast", "topk", "pivot_first",
         "asof_join", "window_tumbling",
+        "sql_tpch_q2", "join_bloom_runtime_filter", "ann_knn_join",
     ]
     out = {
         "metric": "registry_total",
