@@ -809,7 +809,7 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one cell), no dedup pass needed.
 
     Scale shape: one shuffle of each side keyed on ``cell`` into a
-    COGROUPED ``applyInPandas`` kernel — per cell, one (nq x nx) numpy
+    COGROUPED ``applyInArrow`` kernel — per cell, one (nq x nx) numpy
     matmul emits each query's local top-k — then a per-query window
     over <= {KNN_PROBE}*k candidate rows picks the global top-k
     (partitioned by query_id: parallel, bounded per group). Work is
@@ -823,7 +823,6 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the structural contract (no self pairs, dense ranks 1..k,
     one row per (query, rank))."""
     import numpy as np
-    import pandas as pd
 
     unit = _unit_vectors(spark, sf_dir).localCheckpoint(eager=True)
     centroids = train_ivf_centroids(unit)
@@ -831,46 +830,55 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = probe_cells_multi(unit, centroids, KNN_PROBE)
     k = KNN_K
 
-    empty = pd.DataFrame(
+    import pyarrow as pa
+
+    empty = pa.table(
         {
-            "query_id": pd.Series([], dtype="int64"),
-            "neighbor_id": pd.Series([], dtype="int64"),
-            "cos_e6": pd.Series([], dtype="int64"),
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cos_e6": pa.array([], type=pa.int64()),
         }
     )
 
-    def cell_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def _matrix(t: "pa.Table"):
+        v = t.column("v").combine_chunks()
+        n = len(v)
+        if n == 0:
+            return np.empty((0, 0)), np.empty(0, dtype=np.int64)
+        offs = v.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0])
+        flat = v.flatten().to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return flat.reshape(n, dim), ids
+
+    def cell_knn(left: "pa.Table", right: "pa.Table") -> "pa.Table":
         # left = queries probing this cell, right = vectors indexed here
+        # (applyInArrow: the list column unpacks zero-copy via its
+        # offsets buffer — no per-cell pandas boxing of 64-float lists)
         if not len(left) or not len(right):
             return empty
-        qm = np.stack(left["v"].to_numpy())
-        xm = np.stack(right["v"].to_numpy())
-        qids = left["vec_id"].to_numpy()
-        nids = right["vec_id"].to_numpy()
+        qm, qids = _matrix(left)
+        xm, nids = _matrix(right)
         s = qm @ xm.T  # (nq, nx) — unit vectors, so dot == cosine
         kk = min(k + 1, s.shape[1])  # +1: self may be among the indexed
         part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-        out_q: list[int] = []
-        out_n: list[int] = []
-        out_s: list[int] = []
-        for i in range(s.shape[0]):
-            for j in part[i]:
-                if nids[j] != qids[i]:
-                    out_q.append(qids[i])
-                    out_n.append(nids[j])
-                    out_s.append(int(np.floor(s[i, j] * 1_000_000)))
-        return pd.DataFrame(
+        rows = np.repeat(np.arange(s.shape[0]), kk)
+        cols = part.reshape(-1)
+        keep = nids[cols] != qids[rows]  # drop self pairs
+        return pa.table(
             {
-                "query_id": np.asarray(out_q, dtype=np.int64),
-                "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                "cos_e6": np.asarray(out_s, dtype=np.int64),
+                "query_id": pa.array(qids[rows][keep], type=pa.int64()),
+                "neighbor_id": pa.array(nids[cols][keep], type=pa.int64()),
+                "cos_e6": pa.array(
+                    np.floor(s[rows, cols][keep] * 1_000_000).astype(np.int64)
+                ),
             }
         )
 
     cand = (
         probes.groupBy("cell")
         .cogroup(index.groupBy("cell"))
-        .applyInPandas(cell_knn, "query_id bigint, neighbor_id bigint, cos_e6 bigint")
+        .applyInArrow(cell_knn, "query_id bigint, neighbor_id bigint, cos_e6 bigint")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_e6"), F.asc("neighbor_id")
