@@ -109,9 +109,12 @@ def global_rank(
     else:
         off_expr = F.lit(0)
     local_w = Window.partitionBy("_pid").orderBy(order)
+    # bigint, not int: past 2^31 rows a 32-bit rank wraps silently
+    # (non-ANSI), which is exactly the data regime this operator exists
+    # for
     return (
         parts.withColumn("_local", F.rank().over(local_w))
-        .withColumn(alias, (F.col("_local") + off_expr).cast("int"))
+        .withColumn(alias, (F.col("_local") + off_expr).cast("bigint"))
         .drop("_pid", "_local")
     )
 
@@ -144,8 +147,14 @@ def global_prefix_sum(
     CacheManager-retained; executor loss fails loudly instead of
     risking a silent ``_pid`` reshuffle). ``order_cols`` must be a
     unique key of ``df``: the exclusive sum at a tied position would
-    otherwise depend on intra-tie order."""
+    otherwise depend on intra-tie order. ``val_col`` is treated as
+    INTEGRAL — each value is cast to bigint before summing in both the
+    totals and the local branch, so the result is exact and identical
+    at any partition count (per-partition float sums truncated
+    independently would make the offsets depend on ``num_partitions``);
+    fractional values are truncated per-VALUE, identically everywhere."""
     order = [F.asc(c) for c in order_cols]
+    val = F.col(val_col).cast("bigint")
     parts = (
         df.repartitionByRange(num_partitions, *order)
         .withColumn("_pid", F.spark_partition_id())
@@ -153,7 +162,7 @@ def global_prefix_sum(
     )
     totals = {
         r["_pid"]: r["_t"] or 0
-        for r in parts.groupBy("_pid").agg(F.sum(val_col).alias("_t")).collect()
+        for r in parts.groupBy("_pid").agg(F.sum(val).alias("_t")).collect()
     }
     bases: dict[int, int] = {}
     running = 0
@@ -175,7 +184,7 @@ def global_prefix_sum(
     return (
         parts.withColumn(
             "_local",
-            F.coalesce(F.sum(val_col).over(local_w), F.lit(0)).cast("bigint"),
+            F.coalesce(F.sum(val).over(local_w), F.lit(0)).cast("bigint"),
         )
         .withColumn(alias, (F.col("_local") + base_expr).cast("bigint"))
         .drop("_pid", "_local")

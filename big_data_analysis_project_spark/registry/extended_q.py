@@ -15,6 +15,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -949,12 +950,19 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITER = 5
 _PR_DAMP = 0.85
-# fixed-point iteration state (VERDICT r4 #7): rank scaled at 1e12 as
+# fixed-point iteration state (VERDICT r4 #7): rank scaled at 1e9 as
 # BIGINT, damping as the EXACT fraction 17/20 — every update is pure
 # int64 arithmetic (DIV is floor division), so the emitted ranks are
 # bit-identical across hosts, partitionings, and reruns, unlike a
-# float power iteration whose sum order varies
-_PR_SCALE = 10**12
+# float power iteration whose sum order varies. Scale 1e9 (not 1e12)
+# is the overflow budget: a hub vertex's inbound mass is bounded by
+# the total n_vertices * _PR_SCALE, and 17 * SUM(c) must stay under
+# 2^63 — at 1e9 that allows ~5e8 vertices of average rank converging
+# on one hub before wrap (at 1e12 a ~5e5-neighbor hub — exactly the
+# template-hub docs this key exists to surface — would wrap silently
+# under non-ANSI int64). Truncation loses < 1e-9 per edge per round,
+# still three orders under the 1e-6 equivalence bound.
+_PR_SCALE = 10**9
 _PR_NUM, _PR_DEN = 17, 20
 _PR_BASE = _PR_SCALE - _PR_SCALE * _PR_NUM // _PR_DEN  # (1-d) * scale, exact
 
@@ -967,11 +975,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges symmetrized, so every vertex has out-degree >= 1 and no
     dangling-mass correction is needed — the per-iteration update is
     exactly rank = (1-d) + d * sum(rank_in/deg_in), carried in
-    fixed point: rank_e12 = {_PR_BASE} + 17 * SUM(rank_e12 DIV deg)
-    DIV 20. Truncation loses < 1e-12 per edge per round — far inside
+    fixed point: rank_e9 = (1-d)*1e9 + 17 * SUM(rank_e9 DIV deg)
+    DIV 20. Truncation loses < 1e-9 per edge per round — far inside
     the 1e-6 equivalence bound the recall test pins — and buys a
     bit-stable rows-only surface (the driver hashes these rows; a
-    float surface differed in the last ulps across hosts).
+    float surface differed in the last ulps across hosts). See the
+    scale-constant comment above for the int64 overflow budget.
 
     Scale shape: each iteration is one join + one shuffle on vertex id,
     and the lineage is CUT with an eager localCheckpoint per iteration
@@ -993,7 +1002,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.join(deg, "src").repartition(4, "src").localCheckpoint(eager=True)
     )
     ranks = symdeg.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "rank_e12", F.lit(_PR_SCALE).cast("bigint")
+        "rank_e9", F.lit(_PR_SCALE).cast("bigint")
     )
     for _ in range(_PR_ITER):
         # symmetric graph: every vertex has >=1 in-edge, so the inbound
@@ -1003,14 +1012,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             symdeg.join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select(
                 F.col("dst").alias("doc_id"),
-                F.expr("rank_e12 DIV out_deg").alias("c"),
+                F.expr("rank_e9 DIV out_deg").alias("c"),
             )
             .groupBy("doc_id")
             .agg(
                 (
                     F.lit(_PR_BASE)
                     + F.expr(f"{_PR_NUM} * SUM(c) DIV {_PR_DEN}")
-                ).cast("bigint").alias("rank_e12")
+                ).cast("bigint").alias("rank_e9")
             )
             .coalesce(4)
             .localCheckpoint(eager=True)
@@ -1050,6 +1059,23 @@ _BLOOM_CONFS = {
     # no broadcast: a broadcastable build side needs no bloom filter
     "spark.sql.autoBroadcastJoinThreshold": "-1",
 }
+
+
+@contextmanager
+def bloom_demo_confs(spark: SparkSession):
+    """Set ``_BLOOM_CONFS`` and restore the previous values on exit —
+    the ONE save/set/restore used by both the registry key and the plan
+    test, so the asserted plan always runs under the same confs as the
+    key (a copy-pasted restore block drifting in one place would let
+    the test assert a different session than the key executes in)."""
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}  # all have defaults
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,14 +1132,8 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bloom filter is a may-contain prefilter, so results are
     byte-identical to the plain join and the oracle is the plain
     SQL."""
-    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}  # all have defaults
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with bloom_demo_confs(spark):
         return bloom_filtered_join(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
 
 
 @q(

@@ -818,7 +818,8 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cells ~ sqrt(n) keeps cell cost flat) and the skew guard of a
     balanced quantizer — a hot cell is a data-model smell the
     key_distribution profiler surfaces. Driver check is rows-only
-    (float cosines have no SQL oracle); recall@{KNN_K} against the
+    (an eigenless ANN blocking has no SQL oracle), but the fixed-point
+    kernel makes the surface bit-stable; recall@{KNN_K} against the
     exact brute-force kNN graph is pinned in tests/test_recall.py,
     plus the structural contract (no self pairs, dense ranks 1..k,
     one row per (query, rank))."""
@@ -854,24 +855,36 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cell_knn(left: "pa.Table", right: "pa.Table") -> "pa.Table":
         # left = queries probing this cell, right = vectors indexed here
         # (applyInArrow: the list column unpacks zero-copy via its
-        # offsets buffer — no per-cell pandas boxing of 64-float lists)
+        # offsets buffer — no per-cell pandas boxing of 64-float lists).
+        # FIXED-POINT scoring, same discipline as embed_pca: vectors
+        # floor-quantized at 1e-6 and scored with an INT64 matmul
+        # (order-independent, never routed through BLAS whose blocked
+        # float reductions can vary by shape/threads), so cos_e6 and
+        # the selected candidate set are bit-identical across hosts,
+        # batch shapes, and reruns — the rows-only driver hash cannot
+        # flip on a re-check elsewhere. The indexed side is sorted by
+        # vec_id first so stable-argsort ties resolve to the LOWEST
+        # neighbor id deterministically, not to cogroup arrival order.
         if not len(left) or not len(right):
             return empty
         qm, qids = _matrix(left)
         xm, nids = _matrix(right)
-        s = qm @ xm.T  # (nq, nx) — unit vectors, so dot == cosine
-        kk = min(k + 1, s.shape[1])  # +1: self may be among the indexed
-        part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(s.shape[0]), kk)
+        xorder = np.argsort(nids, kind="stable")
+        xm, nids = xm[xorder], nids[xorder]
+        qe6 = np.floor(qm * 1_000_000).astype(np.int64)
+        xe6 = np.floor(xm * 1_000_000).astype(np.int64)
+        s_e12 = qe6 @ xe6.T  # (nq, nx) int64: |term| <= 1e12 * dim << 2^63
+        kk = min(k + 1, s_e12.shape[1])  # +1: self may be among the indexed
+        part = np.argsort(-s_e12, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(s_e12.shape[0]), kk)
         cols = part.reshape(-1)
         keep = nids[cols] != qids[rows]  # drop self pairs
         return pa.table(
             {
                 "query_id": pa.array(qids[rows][keep], type=pa.int64()),
                 "neighbor_id": pa.array(nids[cols][keep], type=pa.int64()),
-                "cos_e6": pa.array(
-                    np.floor(s[rows, cols][keep] * 1_000_000).astype(np.int64)
-                ),
+                # floor division: exact, engine- and host-independent
+                "cos_e6": pa.array(s_e12[rows, cols][keep] // 1_000_000),
             }
         )
 

@@ -43,10 +43,13 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     def norm_cell(v):
         if v is None:
             return None
-        # unwrap numpy scalars (rows may come from a pandas
+        # unwrap numpy SCALARS (rows come from a pandas
         # materialization): np.int64 is NOT a Python int instance and
-        # would otherwise fall through to the float fallback
-        if type(v).__module__ == "numpy":
+        # would otherwise fall through to the float fallback. Guarded
+        # to 0-d values — .item() on an np.ndarray cell (array column)
+        # raises, and arrays should fall through to the str() fallback
+        # (symmetric on both engines)
+        if type(v).__module__ == "numpy" and getattr(v, "ndim", 1) == 0:
             v = v.item()
         if isinstance(v, bool):
             return v

@@ -89,6 +89,27 @@ def test_small_dims_broadcast(spark, key):
     assert "BroadcastHashJoin" in plan, f"{key}: dim join is not broadcast"
 
 
+def _partitionless_ordered_window_hits(plan: str) -> list[str]:
+    """Shared parser for the window ban (used by the registry-wide test
+    AND its known-bad self-check, so the two cannot drift apart): a
+    Window node prints ``Window [funcs], [part_spec], [order_spec]``
+    when partitioned+ordered, ``Window [funcs], [tail]`` otherwise —
+    the tail is an ORDER spec iff it carries ASC/DESC sort markers.
+    Returns the offending plan lines (ordered, partition-less, and not
+    the allowed ``_pid`` offsets frame)."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window "):
+            continue
+        if s.count("], [") == 1:
+            tail = s.rsplit("], [", 1)[-1]
+            ordered = " ASC" in tail or " DESC" in tail
+            if ordered and "_pid" not in tail:
+                hits.append(s)
+    return hits
+
+
 @pytest.mark.parametrize("key", sorted(set(QUERIES) - _SKIP))
 def test_no_data_sized_single_partition_window(spark, key):
     """Registry-wide ban on the r3 perf-weak class: a partition-less
@@ -97,24 +118,13 @@ def test_no_data_sized_single_partition_window(spark, key):
     single-machine sort of the corpus at 100 TB. The only allowed
     partition-less window orders by ``_pid``: the two-level pattern's
     offsets frame (global_rank / global_prefix_sum), whose input is
-    one row per partition — bounded by cluster width, not data.
-
-    Plan-text parsing: a Window node prints
-    ``Window [funcs], [part_spec], [order_spec]`` when partitioned+
-    ordered, ``Window [funcs], [tail]`` otherwise — the tail is an
-    ORDER spec iff it carries ASC/DESC sort markers."""
+    one row per partition — bounded by cluster width, not data."""
     plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
-    for line in plan.splitlines():
-        s = line.strip().lstrip(":+- ")
-        if not s.startswith("Window "):
-            continue
-        if s.count("], [") == 1:
-            tail = s.rsplit("], [", 1)[-1]
-            ordered = " ASC" in tail or " DESC" in tail
-            assert not ordered or "_pid" in tail, (
-                f"{key}: partition-less ordered Window over data-sized "
-                f"input: {s[:200]}"
-            )
+    hits = _partitionless_ordered_window_hits(plan)
+    assert not hits, (
+        f"{key}: partition-less ordered Window over data-sized "
+        f"input: {hits[0][:200]}"
+    )
 
 
 def test_global_rank_not_single_task(spark):
@@ -132,11 +142,11 @@ def test_global_rank_not_single_task(spark):
 
 
 def test_window_parse_flags_known_bad_plan(spark):
-    """Self-check for the parser above (ADVICE r4): feed it a plan that
-    IS the banned class — a partition-less ordered window over a
-    data-sized scan — and assert the heuristic actually fires, so a
-    print-format drift that blinds the parser fails here instead of
-    silently passing every registry key."""
+    """Self-check for the SHARED parser (ADVICE r4): feed the exact
+    function the registry-wide ban uses a plan that IS the banned class
+    — a partition-less ordered window over a data-sized scan — and
+    assert it fires, so a print-format drift that blinds the parser
+    fails here instead of silently passing every registry key."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -146,15 +156,7 @@ def test_window_parse_flags_known_bad_plan(spark):
         "_r", F.sum("o_totalprice").over(Window.orderBy("o_orderdate"))
     )
     plan = _plan(spark, bad)
-    hits = []
-    for line in plan.splitlines():
-        s = line.strip().lstrip(":+- ")
-        if not s.startswith("Window "):
-            continue
-        if s.count("], [") == 1:
-            tail = s.rsplit("], [", 1)[-1]
-            if (" ASC" in tail or " DESC" in tail) and "_pid" not in tail:
-                hits.append(s)
+    hits = _partitionless_ordered_window_hits(plan)
     assert hits, f"window-ban parser failed to flag a known-bad plan:\n{plan}"
 
 
@@ -248,18 +250,12 @@ def test_bloom_runtime_filter_injected(spark):
     prefilter UNDER the lineitem side of the sort-merge join — the
     runtime row-level pruning that saves the fact shuffle at 100 TB."""
     from big_data_analysis_project_spark.registry.extended_q import (
-        _BLOOM_CONFS,
+        bloom_demo_confs,
         bloom_filtered_join,
     )
 
-    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with bloom_demo_confs(spark):
         plan = _plan(spark, bloom_filtered_join(spark, SF_SMOKE))
-    finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "SortMergeJoin" in plan, plan
 
