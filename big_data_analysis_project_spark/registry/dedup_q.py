@@ -92,7 +92,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
     where this kernel is sub-second.
 
     Engine parity is bit-exact with the DuckDB oracle's
-    ``string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')``: trim strips
+    ``string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+')``: trim strips
     SPACES only, the split class is the EXPLICIT ASCII set
     ``[ \\t\\n\\x0B\\f\\r]`` (Java regex ``\\s``'s membership, spelled out
     because Python's unicode ``\\s`` would also eat \\x1c-\\x1f and NEL),
@@ -137,7 +137,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 _NGRAM_ORACLE = f"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -214,6 +214,42 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVIDENCE_CACHE: dict = {}
+
+
+def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) for every doc pair sharing at
+    least one shingle — the inverted-index self-join + size join that
+    is the dominant cost of the whole exact-dedup family. Memoized and
+    eagerly checkpointed per (session, sf_dir): BOTH thresholds
+    (Jaccard and containment) are cheap filters over this one
+    evidence frame, so running dedup_containment, dedup_ngram_jaccard,
+    and the cluster/graph consumers in one session executes the
+    expensive shared-shingle join exactly once (previously containment
+    re-ran its own copy-pasted join)."""
+
+    def build() -> DataFrame:
+        sh = shingles_cached(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        return (
+            inter.join(na, "doc_a").join(nb, "doc_b").localCheckpoint(eager=True)
+        )
+
+    return session_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
+
+
 @q("dedup_containment", _CONTAINMENT_ORACLE)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET pairs by shingle containment: |A∩B| / min(|A|,|B|)
@@ -221,24 +257,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     document quoted or embedded inside a long one scores high
     containment but low Jaccard (the union is dominated by the long
     doc), so a Jaccard-only pipeline ships the training set with the
-    quote duplicated. Same inverted-index join shape as the Jaccard
-    key; the threshold compares as pure integers (n_common * 10 >=
-    7 * least(na, nb)) and the output is the integer evidence triple
-    (n_common, na, nb), so the oracle hash-matches with no float
-    anywhere."""
-    sh = shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    quote duplicated. A pure integer filter (n_common * 10 >=
+    7 * least(na, nb)) over the shared ``shingle_evidence_cached``
+    frame — the output is the integer evidence triple (n_common, na,
+    nb), so the oracle hash-matches with no float anywhere."""
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        shingle_evidence_cached(spark, sf_dir)
         .filter(
             F.col("n_common") * _CONTAIN_DEN
             >= _CONTAIN_NUM * F.least("na", "nb")
@@ -257,26 +281,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
-    join, not an all-pairs cross join: pairs only materialize where a
-    shingle is shared)."""
-    # eager checkpoint: the shingle set feeds the self-join (twice) and
-    # the size aggregate inside one action — materialize once
-    sh = shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    """Exact n-gram Jaccard near-dup pairs: the Jaccard threshold as a
+    filter over the shared ``shingle_evidence_cached`` frame (pairs
+    only exist where a shingle is shared — never an all-pairs cross
+    join)."""
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shingle_evidence_cached(spark, sf_dir)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -346,7 +357,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+def minhash_verified_pairs(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact
     Jaccard. Pipeline: shingle -> crc32 -> 64 min-hashes -> 16 band
     keys -> self-join on (band_idx, band_hash) -> exact verify.
@@ -355,8 +366,17 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     so the shuffle volume is O(candidates), not O(n^2); buckets above
     BUCKET_CAP are dropped before the self-join (boilerplate-collision
     guard — at the measured testdata distribution the largest minhash
-    bucket is 4, so the cap is a pure safety rail here)."""
-    sh = _shingles(docs).localCheckpoint(eager=True)  # feeds the exact verify
+    bucket is 4, so the cap is a pure safety rail here).
+
+    ``shingles``: pass the session's memoized shingle frame
+    (``shingles_cached``) to avoid tokenizing and checkpointing the
+    corpus a second time for the exact-verify stage; without it the
+    function builds (and materializes) its own."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles(docs).localCheckpoint(eager=True)
+    )  # feeds the exact verify
     sig = minhash_signatures(docs)
     rows_per_band = N_PERMS // N_BANDS
     band_entries = sig.select(
@@ -397,14 +417,8 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     grouped = band_entries.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ms")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                F.slice("ms", i + F.lit(2), F.size("ms")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_arr = _sorted_array_pairs(
+        "ms", lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     candidates = (
         grouped.select(F.explode(pair_arr).alias("p")).select("p.*").distinct()
@@ -446,7 +460,8 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: minhash_verified_pairs(
-            load_table(spark, sf_dir, "documents")
+            load_table(spark, sf_dir, "documents"),
+            shingles=shingles_cached(spark, sf_dir),
         ).localCheckpoint(eager=True),
     )
 
@@ -524,7 +539,9 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
             for r, txt in enumerate(texts):
                 if not txt:
                     continue
-                counts = Counter(t for t in ws.split(txt.strip().lower()) if t)
+                # strip ' ' only — same edge-trim class as the shingle
+                # and minhash kernels (unicode .strip() would eat NBSP)
+                counts = Counter(t for t in ws.split(txt.strip(" ").lower()) if t)
                 if not counts:
                     continue
                 emitted[r] = True
@@ -559,6 +576,26 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
+def _sorted_array_pairs(ms_col: str, pair_struct):
+    """All (earlier, later) element pairs of a SORTED array column as
+    one narrow expression — the a<b bucket-expansion idiom shared by
+    the minhash and simhash candidate paths, kept in ONE place because
+    the 1-based ``slice(ms, i+2, size)`` off-by-one is exactly the kind
+    of subtlety a copy drifts on. ``pair_struct(x, y)`` builds the
+    output struct from the two (ordered) elements."""
+    return F.flatten(
+        F.transform(
+            ms_col,
+            lambda x, i: F.transform(
+                # 1-based slice starting just past element i (0-based):
+                # partners strictly later in the sorted array
+                F.slice(ms_col, i + F.lit(2), F.size(ms_col)),
+                lambda y: pair_struct(x, y),
+            ),
+        )
+    )
+
+
 def _bucket_pairs(members: DataFrame, key_cols: list[str]) -> DataFrame:
     """All a<b pairs within each bucket of ``members`` (doc_id,
     simhash, *key_cols), emitted WITHOUT a self-join: one groupBy
@@ -570,21 +607,14 @@ def _bucket_pairs(members: DataFrame, key_cols: list[str]) -> DataFrame:
     grouped = members.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms")
     )
-    pairs = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                # 1-based slice starting just past element i (0-based):
-                # partners with a strictly larger doc_id (array sorted)
-                F.slice("ms", i + F.lit(2), F.size("ms")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["simhash"].alias("ha"),
-                    y["simhash"].alias("hb"),
-                ),
-            ),
-        )
+    pairs = _sorted_array_pairs(
+        "ms",
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["simhash"].alias("ha"),
+            y["simhash"].alias("hb"),
+        ),
     )
     return grouped.select(F.explode(pairs).alias("p")).select("p.*")
 
@@ -895,7 +925,7 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCREMENTAL_ORACLE = f"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -1017,7 +1047,7 @@ SPAN_W = 8
 
 _SPANS_ORACLE = f"""
     WITH t AS (SELECT doc_id,
-                      string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+                      string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS toks
                FROM documents),
     w AS (SELECT DISTINCT doc_id,
                  array_to_string(toks[i:i+{SPAN_W - 1}], ' ') AS span

@@ -466,7 +466,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_term_stats",
     """WITH tok AS (
-         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+')) AS term
          FROM documents
        )
        SELECT term,
@@ -687,7 +687,7 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS b FROM events
        ),
        w AS (SELECT unnest([b, b - 1800000000]) AS ws FROM e)
-       SELECT strftime(to_timestamp(ws // 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       SELECT strftime(make_timestamp(CAST(ws AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
               COUNT(*) AS n
        FROM w GROUP BY 1""",
 )

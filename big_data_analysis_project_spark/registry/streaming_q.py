@@ -19,6 +19,9 @@ checkpoint-sharing incremental re-run over newly-arrived files
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -88,7 +91,7 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
 
 @q(
     "window_tumbling",
-    """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type,
               COUNT(*) AS n_events,
               ROUND(SUM(value), 2) AS total_value
@@ -120,7 +123,16 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     job: file source -> watermark -> windowed agg -> memory sink,
     driven to completion with availableNow (the batch-of-files
     trigger). At scale the source swaps to kafka/files-on-arrival and
-    the sink to a table — the query body is unchanged."""
+    the sink to a table — the query body is unchanged.
+
+    Accepted residual: both twins round the same double sum with the
+    same JVM HALF_UP, but the state-store merge can accumulate in a
+    different order than the batch aggregation, so a sum landing
+    within 1 ulp of a .005 boundary could round apart. Never observed
+    on this deterministic testdata across every round; the exact-cents
+    discipline that removes the class entirely is demonstrated by
+    ``stream_incremental``'s floor-cents surface — a production
+    pipeline needing bit-equal twins should adopt it."""
     stream = _stage_events_stream(spark, sf_dir, "bdap_stream_src_")
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -222,9 +234,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps to kafka and GroupStateTimeout evicts idle users.
     ref surface: SURVEY.md §2.10 (engine addition; the reference has
     no streaming)."""
-    import os
-    import tempfile
-    from pathlib import Path
 
     import numpy as np
     import pandas as pd
@@ -288,7 +297,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for s in out
                         ],
                         "n_events": [s[2] for s in out],
-                        "total_value": [round(s[3], 2) for s in out],
+                        # RAW double — rounding happens JVM-side below:
+                        # Python round() half-evens while Spark F.round
+                        # half-ups, so a kernel-side round diverges from
+                        # the batch twin on exactly-representable .xx5
+                        # sums (the verify-skill's LAO-154.535 class)
+                        "total_value": [s[3] for s in out],
                     }
                 )
             ]
@@ -317,6 +331,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.withColumn("_rn", F.row_number().over(wlast))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # same JVM HALF_UP rounding as the batch twin (see kernel note)
+        .withColumn("total_value", F.round("total_value", 2))
     )
 
 
@@ -336,6 +352,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_dedup_"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     os.symlink(f"{sf_dir}/documents.parquet", stage / "documents.parquet")
     stream = (
         spark.readStream.schema(doc_schema)
@@ -361,9 +378,6 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``window_sliding`` batch key (equality asserted in
     tests/test_recall.py). Same watermark + groupBy(window) body; only
     the source/sink wiring differs from batch."""
-    import os
-    import tempfile
-    from pathlib import Path
 
     stream = _stage_events_stream(spark, sf_dir, "bdap_stream_slide_")
     agg = (
@@ -423,9 +437,6 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim is re-broadcast per micro-batch, so slowly-changing dims are
     picked up between batches). Equivalence-tested row-for-row against
     events_enrich (tests/test_recall.py)."""
-    import os
-    import tempfile
-    from pathlib import Path
 
     stream = _stage_events_stream(spark, sf_dir, "bdap_stream_enrich_")
     cust = load_table(spark, sf_dir, "customer")
@@ -516,6 +527,7 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def src(tag: str) -> DataFrame:
         stage = Path(tempfile.mkdtemp(prefix=f"bdap_stream_pair_{tag}_"))
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
         os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
         return normalize_events_ts(
             spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
@@ -613,9 +625,6 @@ def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     was host noise, not structural — re-measured standalone at sf0.1
     in r4: 1.3-1.6s across repeated runs, identical staging (single
     symlinked file, one availableNow trigger) in both rounds."""
-    import os
-    import tempfile
-    from pathlib import Path
 
     stream = _stage_events_stream(spark, sf_dir, "bdap_stream_sessb_")
     agg = (
@@ -667,8 +676,10 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
     )
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_src_"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
     mart = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_mart_"))
+    atexit.register(shutil.rmtree, mart, ignore_errors=True)
     stream = normalize_events_ts(
         spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
     )
@@ -744,6 +755,7 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
         f"event_id bigint, ts {ts_t}, user_id bigint, event_type string, value double, props string"
     )
     root = Path(tempfile.mkdtemp(prefix="bdap_incremental_"))
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     landing, ckpt, mart = root / "landing", root / "ckpt", root / "mart"
     landing.mkdir()
 
@@ -815,7 +827,7 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
 
 @q(
     "stream_incremental",
-    """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type,
               COUNT(*) AS n_events,
               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
@@ -868,6 +880,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = 4
     span = (hi - lo) // n_files + 1
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_outer_"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     # ONE partitioned write produces all quartile files (vs 4 separate
     # filter+write jobs), then each part file moves to the stage root
     # with ascending mtimes so the file source replays them in
@@ -981,6 +994,11 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.monotonic() + 60
         while spark.table(qname).count() < STREAM_TOTAL_ROWS:
+            # fail FAST on a dead query: without this check a startup
+            # error (source registration, schema) would burn the whole
+            # deadline before awaitTermination surfaces the real cause
+            if q.exception() is not None:
+                raise q.exception()
             if time.monotonic() > deadline:
                 raise TimeoutError("stream_python_source never reached terminal count")
             time.sleep(0.2)
@@ -1024,6 +1042,7 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = ev.filter(F.unix_micros("ts") > mid).unionByName(redelivered)
 
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_dedup_wm_"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     for i, frame in enumerate((b1, b2)):
         tmp = stage / f"_w{i}"
         frame.coalesce(1).write.mode("overwrite").parquet(str(tmp))

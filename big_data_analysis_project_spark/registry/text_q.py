@@ -28,7 +28,7 @@ _STOPWORDS_RE = "\\b(the|a|an|and|of|to|in|is|on|for)\\b"
 @q(
     "text_tokens",
     f"""SELECT doc_id,
-              len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
+              len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
               len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
        FROM documents""",
 )
@@ -47,11 +47,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""SELECT doc_id,
               length(text) AS n_chars_measured,
-              len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
+              len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
               ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                     / length(text), 4) AS punct_ratio,
               ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS DOUBLE)
-                    / len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS stopword_ratio
+                    / len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS stopword_ratio
        FROM documents WHERE length(text) > 0""",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,10 +121,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_fingerprint",
     """SELECT doc_id,
-              md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
+              md5(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
               list_reduce(
                 list_prepend(CAST(0 AS BIGINT),
-                             list_transform(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''),
+                             list_transform(string_split(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''),
                                             c -> CAST(ascii(c) AS BIGINT))),
                 (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        FROM documents""",
@@ -151,7 +151,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_prep_report",
     """WITH quality AS (
          SELECT doc_id, text, lang,
-                len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words
+                len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words
          FROM documents WHERE length(text) > 0
        ),
        kept AS (SELECT * FROM quality WHERE n_words BETWEEN 20 AND 80),
@@ -210,7 +210,7 @@ def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM (
            SELECT doc_id, t AS term, COUNT(*) AS tf
            FROM (
-             SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t
+             SELECT doc_id, UNNEST(string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+')) AS t
              FROM documents
            ) WHERE len(t) >= 4
            GROUP BY doc_id, t
@@ -250,7 +250,7 @@ _CHUNK, _STRIDE = 32, 24
 @q(
     "text_chunk",
     f"""WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
+         SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        )
        SELECT doc_id,
@@ -286,7 +286,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_repetition",
     """WITH t AS (
-         SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+         SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        ), b AS (
          SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi
@@ -333,7 +333,7 @@ _CONTAM_MIN_SHARED = 3  # >=3 shared 3-gram shingles => contaminated
 
 @q(
     "text_contamination",
-    rf"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+    rf"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS w
                        FROM documents),
        sh AS (SELECT doc_id,
                      unnest(list_transform(range(1, len(w) - 1),
@@ -500,7 +500,7 @@ def corpus_mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "text_familiarity",
     """WITH t AS (
-         SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS w
+         SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w
          FROM documents WHERE length(text) > 0
        ),
        b AS (
@@ -573,10 +573,10 @@ def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AND n_stop >= 2
                         THEN 1 ELSE 0 END AS INT) AS keep
        FROM (SELECT doc_id,
-                    len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS nw,
+                    len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS nw,
                     length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS na,
                     len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS n_stop
-             FROM documents WHERE length(trim(text)) > 0) m""",
+             FROM documents WHERE length(trim(text, ' ')) > 0) m""",
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality rule gate (Rae et al. 2021,

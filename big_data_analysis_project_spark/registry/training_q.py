@@ -34,7 +34,7 @@ PACK_BUDGET = 2048
 
 # portable whitespace token count — the exact expression pair proven
 # hash-equal by the text_tokens key (text_q.py:40/50)
-_TOK_SQL = r"len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))"
+_TOK_SQL = r"len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+'))"
 
 
 @q(
@@ -49,7 +49,7 @@ _TOK_SQL = r"len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))"
                     AS start_off
          FROM toks
        )
-       SELECT CAST(FLOOR(COALESCE(start_off, 0) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       SELECT CAST(COALESCE(start_off, 0) // {PACK_BUDGET} AS BIGINT) AS seq_id,
               COUNT(*) AS n_docs,
               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
               MIN(doc_id) AS first_doc,
@@ -85,8 +85,11 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = global_prefix_sum(toks, ["doc_id"], "n_tok", alias="start_off")
     return (
         offsets.withColumn(
+            # integer division, never /2048.0 + FLOOR: the double path
+            # loses exactness past 2^53 total tokens — the offsets are
+            # exact bigints precisely so boundary docs can't misassign
             "seq_id",
-            F.floor(F.col("start_off") / F.lit(float(PACK_BUDGET))).cast("bigint"),
+            F.expr(f"start_off DIV {PACK_BUDGET}").cast("bigint"),
         )
         .groupBy("seq_id")
         .agg(
@@ -310,7 +313,7 @@ _ASSEMBLE_SHARDS = 8
        ),
        seqs AS (
          SELECT doc_id, n_tok,
-                CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+                CAST(start_off // {PACK_BUDGET} AS BIGINT) AS seq_id
          FROM offsets
        )
        SELECT CAST(seq_id % {_ASSEMBLE_SHARDS} AS INT) AS shard_id,
@@ -354,8 +357,10 @@ def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     kd = gated.select("doc_id", "n_tok").join(kept.select("doc_id"), "doc_id")
     seqs = global_prefix_sum(kd, ["doc_id"], "n_tok", alias="start_off").withColumn(
+        # integer division, same rationale as pack_chunks: exact at any
+        # total token count, where /2048.0 + FLOOR drifts past 2^53
         "seq_id",
-        F.floor(F.col("start_off") / F.lit(float(PACK_BUDGET))).cast("bigint"),
+        F.expr(f"start_off DIV {PACK_BUDGET}").cast("bigint"),
     )
     return (
         seqs.groupBy((F.col("seq_id") % _ASSEMBLE_SHARDS).cast("int").alias("shard_id"))

@@ -36,7 +36,7 @@ QUERIES, ORACLE, q = make_registry()
 
 def ws_token_counts(s: pd.Series) -> pd.Series:
     """Whitespace token count with EXACTLY the semantics of
-    size(split(trim(text), '[ \\t\\n\\x0B\\f\\r]+')): trim SPACES only (pandas
+    size(split(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')): trim SPACES only (pandas
     .str.strip() also eats \n/\t, which would undercount by one on
     text with leading/trailing non-space whitespace), then tokens =
     whitespace runs + 1. Shared by the udf_pandas_tokens UDF and the
@@ -47,7 +47,7 @@ def ws_token_counts(s: pd.Series) -> pd.Series:
 @q(
     "udf_pandas_tokens",
     r"""SELECT doc_id,
-              len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens
+              len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens
        FROM documents""",
 )
 def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def udaf_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_word_freq",
     r"""SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
        FROM (SELECT doc_id,
-                    unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
+                    unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS word
              FROM documents)
        WHERE word <> ''
        GROUP BY doc_id, word""",
@@ -129,11 +129,16 @@ def udtf_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string, n bigint")
     class WordFreq:
         def eval(self, text: str):
+            import re
             from collections import Counter
 
             if text is None:
                 return
-            for w, n in Counter(t for t in text.strip().lower().split()).items():
+            # the shared explicit ASCII class — Python's argless
+            # .split() is UNICODE whitespace (NBSP, \x1c-\x1f, NEL)
+            # and would silently diverge from the oracle's class
+            toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip(" ").lower())
+            for w, n in Counter(t for t in toks if t).items():
                 yield w, n
 
     spark.udtf.register("bdap_word_freq", WordFreq)

@@ -30,6 +30,12 @@ from big_data_analysis_project_spark.schemas import TESTDATA_TABLES as TABLES
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     conn = duckdb.connect()
+    # Spark's session tz is pinned to UTC (session.py); DuckDB defaults
+    # to the HOST zone, so any oracle touching TIMESTAMPTZ rendering
+    # (to_timestamp/strftime) would shift on a non-UTC machine. Oracles
+    # are written tz-naive (make_timestamp) anyway — this pin is the
+    # backstop for future oracles and non-UTC dev hosts.
+    conn.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():

@@ -318,7 +318,7 @@ def test_containment_catches_subset_pair_jaccard_misses(spark):
 
 def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
     """The Arrow shingle kernel must tokenize EXACTLY like the DuckDB
-    oracle expression (string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
+    oracle expression (string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+'))
     on text the fixed corpus never contains: trailing newlines/tabs,
     leading whitespace, whitespace-only and empty strings. A previous
     kernel revision popped trailing empty tokens "Java-style" while
@@ -360,7 +360,7 @@ def test_shingle_kernel_matches_duckdb_on_adversarial_whitespace(spark):
             r"""
             WITH words AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+                     string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS w
               FROM docs_adv
             )
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

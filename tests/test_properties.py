@@ -156,7 +156,7 @@ def test_tokenizer_parity_three_ways(spark, texts):
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     duck = dict(
         duckdb.sql(
-            r"SELECT doc_id, len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) FROM pdf"
+            r"SELECT doc_id, len(string_split_regex(trim(text, ' '), '[ \t\n\x0B\f\r]+')) FROM pdf"
         ).fetchall()
     )
 
