@@ -22,7 +22,32 @@ QUERIES, ORACLE, q = make_registry()
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-_STOPWORDS_RE = "\\b(the|a|an|and|of|to|in|is|on|for)\\b"
+# ASCII-\b-equivalent word counting, spelled out because the engines
+# do NOT share a \b: Java's \b is unicode-aware even though its \w is
+# ASCII (so 'aß' has no boundary after 'a'), RE2's \b is the ASCII set
+# [A-Za-z0-9_], and Python's default \b/\w are fully unicode. Tokens =
+# maximal [a-z0-9_] runs of lower(text); counting set membership is
+# exactly counting \b-delimited hits under an ASCII \w, the semantics
+# all three can express identically. Property-pinned in
+# tests/test_properties.py::test_stopword_boundary_parity_two_ways.
+_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+_WORD_BREAK = "[^a-z0-9_]+"
+
+
+def _sql_word_hits(words: tuple[str, ...]) -> str:
+    """DuckDB expression counting tokens of lower(text) in ``words``."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '{_WORD_BREAK}'), "
+        f"t -> t IN ({inlist})))"
+    )
+
+
+def _word_hits(col, words: tuple[str, ...]):
+    """Spark column counting tokens of lower(col) in ``words``."""
+    return F.size(
+        F.filter(F.split(F.lower(col), _WORD_BREAK), lambda t: t.isin(*words))
+    )
 
 
 @q(
@@ -50,7 +75,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
               len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
               ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                     / length(text), 4) AS punct_ratio,
-              ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS DOUBLE)
+              ROUND(CAST({_sql_word_hits(_STOPWORDS)} AS DOUBLE)
                     / len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS stopword_ratio
        FROM documents WHERE length(text) > 0""",
 )
@@ -69,10 +94,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("punct_ratio"),
         F.round(
-            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOPWORDS_RE), 0)).cast(
-                "double"
-            )
-            / n_words,
+            _word_hits(F.col("text"), _STOPWORDS).cast("double") / n_words,
             4,
         ).alias("stopword_ratio"),
     )
@@ -81,21 +103,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language-ID heuristic: score stopword families per language. The
 # synthetic corpus is English-vocabulary, so the point is determinism
 # of the classifier, not linguistic accuracy.
-_EN_RE = "\\b(the|and|of|is|a)\\b"
-_DE_RE = "\\b(der|die|das|und|ist)\\b"
-_ES_RE = "\\b(el|la|los|y|es)\\b"
+_EN_WORDS = ("the", "and", "of", "is", "a")
+_DE_WORDS = ("der", "die", "das", "und", "ist")
+_ES_WORDS = ("el", "la", "los", "y", "es")
 
 
 @q(
     "text_langid",
     f"""SELECT doc_id,
               CASE
-                WHEN len(regexp_extract_all(lower(text), '{_EN_RE}')) >=
-                     greatest(len(regexp_extract_all(lower(text), '{_DE_RE}')),
-                              len(regexp_extract_all(lower(text), '{_ES_RE}')), 1) THEN 'en'
-                WHEN len(regexp_extract_all(lower(text), '{_DE_RE}')) >=
-                     greatest(len(regexp_extract_all(lower(text), '{_ES_RE}')), 1) THEN 'de'
-                WHEN len(regexp_extract_all(lower(text), '{_ES_RE}')) >= 1 THEN 'es'
+                WHEN {_sql_word_hits(_EN_WORDS)} >=
+                     greatest({_sql_word_hits(_DE_WORDS)},
+                              {_sql_word_hits(_ES_WORDS)}, 1) THEN 'en'
+                WHEN {_sql_word_hits(_DE_WORDS)} >=
+                     greatest({_sql_word_hits(_ES_WORDS)}, 1) THEN 'de'
+                WHEN {_sql_word_hits(_ES_WORDS)} >= 1 THEN 'es'
                 ELSE 'unknown' END AS lang_pred
        FROM documents""",
 )
@@ -104,10 +126,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     class; real models plug in as a pandas UDF without changing the
     plan shape)."""
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
-    en = F.size(F.regexp_extract_all(low, F.lit(_EN_RE), 0))
-    de = F.size(F.regexp_extract_all(low, F.lit(_DE_RE), 0))
-    es = F.size(F.regexp_extract_all(low, F.lit(_ES_RE), 0))
+    en = _word_hits(F.col("text"), _EN_WORDS)
+    de = _word_hits(F.col("text"), _DE_WORDS)
+    es = _word_hits(F.col("text"), _ES_WORDS)
     return d.select(
         "doc_id",
         F.when(en >= F.greatest(de, es, F.lit(1)), "en")
@@ -575,7 +596,7 @@ def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM (SELECT doc_id,
                     len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS nw,
                     length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS na,
-                    len(regexp_extract_all(lower(text), '{_STOPWORDS_RE}')) AS n_stop
+                    {_sql_word_hits(_STOPWORDS)} AS n_stop
              FROM documents WHERE length(trim(text, ' ')) > 0) m""",
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +620,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nw = F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"))
     na = F.length(F.regexp_replace("text", r"[ \t\n\x0B\f\r]", ""))
-    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOPWORDS_RE), 0))
+    n_stop = _word_hits(F.col("text"), _STOPWORDS)
     m = d.select(
         "doc_id",
         nw.alias("nw"),

@@ -293,9 +293,13 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "udf_pandas_iter_score",
+    # ASCII-\b-equivalent stopword count (see text_q._sql_word_hits:
+    # Python/Java/RE2 \b all disagree on non-ASCII neighbours)
     """SELECT doc_id,
-              CAST(10 * len(regexp_extract_all(lower(text),
-                       '\\b(the|a|an|and|of|to|in|is|on|for)\\b'))
+              CAST(10 * len(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         t -> t IN ('the', 'a', 'an', 'and', 'of', 'to',
+                                    'in', 'is', 'on', 'for')))
                    + length(text) % 7 AS BIGINT) AS score
        FROM documents""",
 )
@@ -318,10 +322,21 @@ def udf_pandas_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import re
 
-        # per-worker setup, amortized over every batch of the partition
-        model = re.compile(r"\b(the|a|an|and|of|to|in|is|on|for)\b")
+        # per-worker setup, amortized over every batch of the partition.
+        # Explicit ASCII word-break, NOT \b: Python's \b is unicode
+        # (and Java's/RE2's each differ again) — tokens are maximal
+        # [a-z0-9_] runs, membership counted against the stopword set
+        br = re.compile(r"[^a-z0-9_]+")
+        stop = frozenset(
+            ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+        )
         for s in batches:
-            yield 10 * s.str.lower().str.count(model) + s.str.len() % 7
+            hits = s.str.lower().map(
+                lambda x: sum(t in stop for t in br.split(x))
+                if isinstance(x, str)
+                else None
+            )
+            yield 10 * hits + s.str.len() % 7
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", score(F.col("text")).alias("score"))

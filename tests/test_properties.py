@@ -223,6 +223,73 @@ def test_bpe_regex_parity_two_ways(spark, texts):
         )
 
 
+# \b and lower() parity surface (text_quality's stopword_ratio and
+# text_langid's marker counts): Java's default \w — and therefore \b —
+# is the ASCII set [A-Za-z0-9_], and RE2's \b is defined over the same
+# set, so 'thé' must NOT end a word at 'e' on either engine; lower()
+# must also agree on the dotted-İ / ß class for the counts to match.
+_stopword_texts = st.lists(
+    st.text(
+        alphabet=" \n\t.,!the*andisoflrß_Théİ0中",
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_stopword_texts)
+# regression (r5): with \b the engines disagreed here — Java's \b is
+# unicode-aware (no boundary between 'a' and 'ß' → 0 hits) while
+# RE2's is ASCII (boundary → 1 hit). Forced the explicit-word-break
+# restatement now under test.
+@example(texts=["aß"])
+@_SETTINGS
+def test_stopword_boundary_parity_three_ways(spark, texts):
+    """The stopword count (maximal [a-z0-9_] runs of lower(text),
+    membership in the stopword set) must be identical in Spark
+    (_word_hits), DuckDB (_sql_word_hits), and the Python kernel rule
+    used by udf_pandas_iter_score — on word boundaries the corpus
+    never stresses: stopwords glued to unicode letters (thé/aß),
+    underscores (the_ — in the word class, so NOT a break), digits,
+    and CJK neighbours. \\b could not express this identically on the
+    three engines, which is why the explicit class exists."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from big_data_analysis_project_spark.registry.text_q import (
+        _STOPWORDS,
+        _sql_word_hits,
+        _word_hits,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    jvm = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", _word_hits(F.col("text"), _STOPWORDS).alias("n")
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {_sql_word_hits(_STOPWORDS)} FROM pdf"
+        ).fetchall()
+    )
+    br = re.compile(r"[^a-z0-9_]+")
+    stop = frozenset(_STOPWORDS)
+    py = [sum(t in stop for t in br.split(t_.lower())) for _, t_ in rows]
+    for i, _ in rows:
+        assert jvm[i] == duck[i] == py[i], (
+            f"stopword-boundary divergence on {texts[i]!r}: "
+            f"jvm={jvm[i]} duckdb={duck[i]} python={py[i]}"
+        )
+
+
 def test_oracle_harness_detects_drift(spark):
     """Meta-test: the compare() gate itself must FAIL on value drift,
     row-count drift, and type-class drift — a harness that waves
