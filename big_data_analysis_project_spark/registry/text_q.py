@@ -124,16 +124,31 @@ _ES_WORDS = ("el", "la", "los", "y", "es")
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID via stopword-family scoring (n-gram heuristic
     class; real models plug in as a pandas UDF without changing the
-    plan shape)."""
+    plan shape). Tokenize ONCE into an intermediate array column and
+    count membership per family over it — the split is the dominant
+    per-row cost and Catalyst does not CSE it across the three
+    _word_hits copies or the repeated CASE branches."""
     d = load_table(spark, sf_dir, "documents")
-    en = _word_hits(F.col("text"), _EN_WORDS)
-    de = _word_hits(F.col("text"), _DE_WORDS)
-    es = _word_hits(F.col("text"), _ES_WORDS)
-    return d.select(
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), _WORD_BREAK).alias("w")
+    )
+
+    def hits(words: tuple[str, ...]):
+        return F.size(F.filter("w", lambda t: t.isin(*words)))
+
+    scored = toks.select(
         "doc_id",
-        F.when(en >= F.greatest(de, es, F.lit(1)), "en")
-        .when(de >= F.greatest(es, F.lit(1)), "de")
-        .when(es >= 1, "es")
+        hits(_EN_WORDS).alias("en"),
+        hits(_DE_WORDS).alias("de"),
+        hits(_ES_WORDS).alias("es"),
+    )
+    return scored.select(
+        "doc_id",
+        F.when(
+            F.col("en") >= F.greatest("de", "es", F.lit(1)), "en"
+        )
+        .when(F.col("de") >= F.greatest("es", F.lit(1)), "de")
+        .when(F.col("es") >= 1, "es")
         .otherwise("unknown")
         .alias("lang_pred"),
     )
