@@ -353,6 +353,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sample_weighted",
+    """SELECT doc_id, n_chars,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) AS u48
+       FROM documents
+       WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) * 1000 < (n_chars + 1) * 281474976710656""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (PPS / Poisson) sample: each document is
+    kept with probability proportional to its weight — here
+    (n_chars+1)/1000, capped at 1 — the quality- or length-weighted
+    subsample a curriculum builder draws (downstream estimators
+    reweight by 1/p_i, Horvitz-Thompson). The uniform is the first 48
+    md5 bits of the key as an INTEGER, and the inclusion test is pure
+    integer arithmetic (u48 * 1000 < (w) * 2^48 — no ln/pow, whose
+    libm last-ulp differences would reorder a top-k variant across
+    engines), so the subset is bit-stable across runs, engines,
+    partitionings, and retries, unlike df.sample(). Per-row filter
+    only: pushes toward the scan, no shuffle, and at 100 TB it
+    composes with any pre-filter without breaking determinism.
+    Fixed-k weighted reservoirs (Efraimidis-Spirakis) trade this
+    exactness for an ordering on float keys; PPS keeps the surface
+    integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    u48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return d.select("doc_id", "n_chars", u48.alias("u48")).filter(
+        F.col("u48") * 1000 < (F.col("n_chars") + 1) * F.lit(281474976710656)
+    )
+
+
+@q(
     "quantile_bins",
     """WITH th AS (
          SELECT quantile_cont(l_quantity, 0.25) AS p25,
