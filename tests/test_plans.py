@@ -83,6 +83,17 @@ def test_projection_prunes_scan(spark):
     assert schemas[0].count(":") - 1 == 3, schemas[0]
 
 
+def test_sample_weighted_prunes_and_stays_mapside(spark):
+    """The PPS sample must stay a pure scan-stage map: 2-column
+    ReadSchema (doc_id, n_chars — never text), no Exchange anywhere
+    (a sampler that shuffles before filtering moves 100 TB to drop
+    most of it)."""
+    plan = _plan(spark, QUERIES["sample_weighted"](spark, SF_SMOKE), "formatted")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and schemas[0].count(":") - 1 == 2, schemas
+    assert "Exchange" not in plan, plan
+
+
 @pytest.mark.parametrize("key", ["join_broadcast", "flagship", "serve_map_data"])
 def test_small_dims_broadcast(spark, key):
     plan = _plan(spark, QUERIES[key](spark, SF_SMOKE))
