@@ -26,27 +26,42 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 # do NOT share a \b: Java's \b is unicode-aware even though its \w is
 # ASCII (so 'aß' has no boundary after 'a'), RE2's \b is the ASCII set
 # [A-Za-z0-9_], and Python's default \b/\w are fully unicode. Tokens =
-# maximal [a-z0-9_] runs of lower(text); counting set membership is
-# exactly counting \b-delimited hits under an ASCII \w, the semantics
-# all three can express identically. Property-pinned in
-# tests/test_properties.py::test_stopword_boundary_parity_two_ways.
+# maximal [a-z0-9_] runs after an ASCII-ONLY lowercase; counting set
+# membership is exactly counting \b-delimited hits under an ASCII \w,
+# the semantics all three can express identically. The lowercase is
+# translate(A-Z, a-z), NOT lower(): unicode case mapping itself
+# diverges — Spark/Java/Python map 'İ' to 'i'+combining-dot (2
+# codepoints, which then SPLITS a token run) while DuckDB's utf8proc
+# maps it to plain 'i', and Greek final sigma is context-sensitive in
+# one and not the other — so lower('İa') token-izes differently per
+# engine, and only the ASCII map is portable. Property-pinned in
+# tests/test_properties.py::test_stopword_boundary_parity_three_ways.
 _STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 _WORD_BREAK = "[^a-z0-9_]+"
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _sql_word_hits(words: tuple[str, ...]) -> str:
-    """DuckDB expression counting tokens of lower(text) in ``words``."""
+    """DuckDB expression counting ASCII-lowercased tokens of text in
+    ``words``."""
     inlist = ", ".join(f"'{w}'" for w in words)
     return (
-        f"len(list_filter(string_split_regex(lower(text), '{_WORD_BREAK}'), "
+        f"len(list_filter(string_split_regex("
+        f"translate(text, '{_ASCII_UP}', '{_ASCII_LO}'), '{_WORD_BREAK}'), "
         f"t -> t IN ({inlist})))"
     )
 
 
+def _lower_ascii(col):
+    """ASCII-only lowercase — the portable case map (see block comment)."""
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
 def _word_hits(col, words: tuple[str, ...]):
-    """Spark column counting tokens of lower(col) in ``words``."""
+    """Spark column counting ASCII-lowercased tokens of col in ``words``."""
     return F.size(
-        F.filter(F.split(F.lower(col), _WORD_BREAK), lambda t: t.isin(*words))
+        F.filter(F.split(_lower_ascii(col), _WORD_BREAK), lambda t: t.isin(*words))
     )
 
 
@@ -130,7 +145,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _word_hits copies or the repeated CASE branches."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.split(F.lower("text"), _WORD_BREAK).alias("w")
+        "doc_id", F.split(_lower_ascii(F.col("text")), _WORD_BREAK).alias("w")
     )
 
     def hits(words: tuple[str, ...]):

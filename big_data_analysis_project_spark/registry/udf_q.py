@@ -297,7 +297,10 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python/Java/RE2 \b all disagree on non-ASCII neighbours)
     """SELECT doc_id,
               CAST(10 * len(list_filter(
-                         string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         string_split_regex(
+                           translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                           'abcdefghijklmnopqrstuvwxyz'),
+                           '[^a-z0-9_]+'),
                          t -> t IN ('the', 'a', 'an', 'and', 'of', 'to',
                                     'in', 'is', 'on', 'for')))
                    + length(text) % 7 AS BIGINT) AS score
@@ -323,16 +326,22 @@ def udf_pandas_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re
 
         # per-worker setup, amortized over every batch of the partition.
-        # Explicit ASCII word-break, NOT \b: Python's \b is unicode
-        # (and Java's/RE2's each differ again) — tokens are maximal
-        # [a-z0-9_] runs, membership counted against the stopword set
+        # Explicit ASCII word-break, NOT \b, and ASCII-only lowercase,
+        # NOT str.lower(): Python's \b/\w are unicode (Java's/RE2's
+        # each differ again), and unicode case mapping itself is
+        # engine-specific ('İ' → 'i̇' here vs 'i' in DuckDB) — tokens
+        # are maximal [a-z0-9_] runs after translate(A-Z, a-z),
+        # membership counted against the stopword set
         br = re.compile(r"[^a-z0-9_]+")
+        lo = str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
         stop = frozenset(
             ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
         )
         for s in batches:
-            hits = s.str.lower().map(
-                lambda x: sum(t in stop for t in br.split(x))
+            hits = s.map(
+                lambda x: sum(t in stop for t in br.split(x.translate(lo)))
                 if isinstance(x, str)
                 else None
             )

@@ -245,6 +245,12 @@ _stopword_texts = st.lists(
 # RE2's is ASCII (boundary → 1 hit). Forced the explicit-word-break
 # restatement now under test.
 @example(texts=["aß"])
+# regression (r5): with lower() the engines disagreed here — Java and
+# Python map 'İ' to 'i'+combining-dot (the dot then BREAKS the token
+# run, so 'İa' yields tokens [i, a] and counts stopword 'a') while
+# DuckDB's utf8proc maps it to plain 'i' (one token 'ia', 0 hits).
+# Forced the ASCII-only translate(A-Z, a-z) case map now under test.
+@example(texts=["İa"])
 @_SETTINGS
 def test_stopword_boundary_parity_three_ways(spark, texts):
     """The stopword count (maximal [a-z0-9_] runs of lower(text),
@@ -281,8 +287,9 @@ def test_stopword_boundary_parity_three_ways(spark, texts):
         ).fetchall()
     )
     br = re.compile(r"[^a-z0-9_]+")
+    lo = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     stop = frozenset(_STOPWORDS)
-    py = [sum(t in stop for t in br.split(t_.lower())) for _, t_ in rows]
+    py = [sum(t in stop for t in br.split(t_.translate(lo))) for _, t_ in rows]
     for i, _ in rows:
         assert jvm[i] == duck[i] == py[i], (
             f"stopword-boundary divergence on {texts[i]!r}: "
