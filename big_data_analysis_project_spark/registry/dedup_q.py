@@ -101,7 +101,17 @@ def _shingles(docs: DataFrame) -> DataFrame:
     string_split_regex all agree on that, so text ending in \\n
     tokenizes identically on every path (an earlier revision popped
     trailing empties "Java-style", which silently diverged from both
-    engines on trailing-whitespace text)."""
+    engines on trailing-whitespace text).
+
+    Case-map caveat: lower() here is FULL unicode lowercasing, where
+    Python and Spark/Java agree with each other but DuckDB's utf8proc
+    differs on two known classes — dotted 'İ' (→ 'i'+combining-dot vs
+    plain 'i') and Greek final sigma (context-sensitive vs not). The
+    engine and its kernels are self-consistent; only the DuckDB
+    oracle can diverge, and only on those classes, which the corpus
+    contract excludes. (The stopword/langid family, whose token runs
+    those classes can SPLIT, uses the portable ASCII translate map
+    instead — see text_q._lower_ascii.)"""
     import pyarrow as pa
     import re
 
