@@ -1143,17 +1143,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .similarity_q import _norm, assign_cells, train_ivf_centroids
+    from .similarity_q import (
+        assign_cells,
+        ivf_centroids_cached,
+        unit_vectors_cached,
+    )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
-    )
-    unit = (
-        e.withColumn("n", _norm(F.col("raw")))
-        .select("vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v"))
-        .localCheckpoint(eager=True)  # trainer + assignment reuse
-    )
-    assigned = assign_cells(unit, train_ivf_centroids(unit))
+    # shared with the ANN family: one checkpointed normalize and one
+    # trained coarse quantizer per (session, corpus snapshot)
+    unit = unit_vectors_cached(spark, sf_dir)
+    assigned = assign_cells(unit, ivf_centroids_cached(spark, sf_dir))
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
