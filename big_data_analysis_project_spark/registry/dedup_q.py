@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graphs import connected_components
 from ..sources.readers import load_table
-from ._memo import session_memo
+from ._memo import snapshot_memo
 
 from ._base import make_registry
 
@@ -214,7 +214,7 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, incremental probe, MLlib minhash) consume the identical
     tokenization; a real pipeline materializes the shingle index once
     per corpus snapshot (same pattern as ngram_pairs_cached below)."""
-    return session_memo(
+    return snapshot_memo(
         _SHINGLES_CACHE,
         spark,
         sf_dir,
@@ -257,7 +257,7 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter.join(na, "doc_a").join(nb, "doc_b").localCheckpoint(eager=True)
         )
 
-    return session_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
+    return snapshot_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
 
 
 @q("dedup_containment", _CONTAINMENT_ORACLE)
@@ -465,7 +465,7 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and the cluster key consume it, and a real pipeline
     materializes it once per snapshot rather than re-signing the
     corpus per query."""
-    return session_memo(
+    return snapshot_memo(
         _MINHASH_CACHE,
         spark,
         sf_dir,
@@ -888,7 +888,7 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus snapshot and serves every downstream graph query
     off it, rather than re-shingling the corpus per query — the memo
     models that shape (same pattern as pipeline_q.synthetic_marts)."""
-    return session_memo(
+    return snapshot_memo(
         _PAIRS_CACHE,
         spark,
         sf_dir,

@@ -1002,6 +1002,24 @@ _PR_SCALE = 10**9
 _PR_NUM, _PR_DEN = 17, 20
 _PR_BASE = _PR_SCALE - _PR_SCALE * _PR_NUM // _PR_DEN  # (1-d) * scale, exact
 
+# iterative-frame sizing: each loop-invariant/loop-carried partition
+# should hold about this many (int64 src, int64 dst, int64 deg) rows —
+# ~12 MB — small enough to sort/join in memory, big enough that task
+# overhead doesn't dominate. VERDICT r5 #6: the previous literal
+# repartition(4)/coalesce(4) was an sf0.1-sized constant inside the key
+# sold as the 100 TB iterative shape.
+_ITER_ROWS_PER_PARTITION = 500_000
+
+
+def _iter_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Partition count for the frames inside an iterative loop: enough
+    that no partition exceeds ``_ITER_ROWS_PER_PARTITION`` rows, capped
+    at the session's shuffle parallelism (the loop never needs MORE
+    tasks than a normal shuffle would get), floor 1 so a near-empty
+    graph doesn't shuffle into hundreds of empty files."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, -(-n_rows // _ITER_ROWS_PER_PARTITION)))
+
 
 @q("graph_pagerank")  # rows-only: iterative algorithm, not SQL-expressible
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,12 +1048,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     # degree pre-joined ONCE; the edge frame is the loop invariant, so
-    # materialize it src-partitioned (few partitions — the graph is
-    # ~|near-dup docs|, far smaller than the corpus) and every
-    # iteration's join co-locates on it without re-running jaccard
+    # materialize it src-partitioned and every iteration's join
+    # co-locates on it without re-running jaccard. Partition count is
+    # DERIVED from the symmetrized edge count (the pairs frame is a
+    # memoized checkpoint, so the count is a cheap scan), not a fixed
+    # literal — see _iter_partitions above (VERDICT r5 #6)
+    n_parts = _iter_partitions(spark, edges.count() * 2)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     symdeg = (
-        sym.join(deg, "src").repartition(4, "src").localCheckpoint(eager=True)
+        sym.join(deg, "src").repartition(n_parts, "src").localCheckpoint(eager=True)
     )
     ranks = symdeg.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "rank_e9", F.lit(_PR_SCALE).cast("bigint")
@@ -1057,7 +1078,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"{_PR_NUM} * SUM(c) DIV {_PR_DEN}")
                 ).cast("bigint").alias("rank_e9")
             )
-            .coalesce(4)
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
     return ranks

@@ -71,10 +71,13 @@ def unit_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir): ann_ivf / ann_ivf_pq / ann_knn_join /
     dedup_semantic all consume the identical normalize across several
     actions each — one materialization serves the whole family, the
-    way a production deployment normalizes at ingest once."""
-    from ._memo import session_memo
+    way a production deployment normalizes at ingest once. Keyed on
+    the snapshot FINGERPRINT, not just the path, so a rewritten
+    sf_dir within one session rebuilds instead of serving the stale
+    checkpoint (ADVICE r5 #4)."""
+    from ._memo import snapshot_memo
 
-    return session_memo(
+    return snapshot_memo(
         _UNIT_CACHE,
         spark,
         sf_dir,
@@ -89,14 +92,16 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     ann_knn_join, dedup_semantic) routes through the SAME model, so
     training (count + bounded collect + driver Lloyd) runs once per
     corpus snapshot instead of once per key. Deterministic input →
-    identical centroids, so per-key results are unchanged."""
-    from ._memo import session_memo
+    identical centroids, so per-key results are unchanged. Snapshot-
+    fingerprint keyed like ``unit_vectors_cached``."""
+    from ._memo import snapshot_memo
 
-    return session_memo(
+    return snapshot_memo(
         _CENTROID_CACHE,
         spark,
-        (sf_dir, N_CENTROIDS, _LLOYD_ITERS, _TRAIN_SAMPLE_TARGET),
+        sf_dir,
         lambda: train_ivf_centroids(unit_vectors_cached(spark, sf_dir)),
+        extra=(N_CENTROIDS, _LLOYD_ITERS, _TRAIN_SAMPLE_TARGET),
     )
 
 
@@ -184,7 +189,17 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     a sequential C loop over its own values, so assignment is
     deterministic run-to-run regardless of partitioning — unlike any
     distributed-sum restatement. np.argmax ties break to the FIRST
-    (lowest) cell id, matching argmax-first semantics."""
+    (lowest) cell id, matching argmax-first semantics.
+
+    The routing dots are floor-quantized at 1e-6 before the argmax —
+    the same fixed-point discipline as the kNN scoring kernel (ADVICE
+    r5 #1: a raw float64 BLAS matmul's blocked reductions can differ
+    across BLAS builds, and a near-tie at the argmax boundary would
+    flip the assignment — and every downstream rows-only hash — on
+    another host). After flooring, a cross-build ulp difference can
+    change the result only when a true dot sits exactly on a 1e-6
+    quantization boundary AND ties another cell's bucket — the same
+    measure-zero caveat embed_pca documents."""
     import numpy as np
     import pyarrow as pa
 
@@ -200,7 +215,9 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
             offs = v.offsets.to_numpy(zero_copy_only=False)
             dim = int(offs[1] - offs[0])
             flat = v.flatten().to_numpy(zero_copy_only=False)
-            dots = flat.reshape(n, dim) @ cmat.T  # (n, k)
+            dots = np.floor(
+                (flat.reshape(n, dim) @ cmat.T) * 1_000_000
+            ).astype(np.int64)  # (n, k) fixed-point
             cell = np.argmax(dots, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [ids, v, pa.array(cell, type=pa.int32())],
@@ -806,7 +823,11 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
     closure, no shuffle); the p-way expansion happens inside the Arrow
     batch via ``RecordBatch.take``, so only the exploded rows exist,
     never an intermediate (n x k) frame. Stable argsort ties to the
-    lowest cell id — deterministic regardless of partitioning."""
+    lowest cell id — deterministic regardless of partitioning; routing
+    dots floor-quantized at 1e-6 like ``assign_cells`` (ADVICE r5 #1),
+    so a cross-BLAS-build ulp difference at the p-th-probe boundary
+    cannot flip the probed cell set away from quantization
+    boundaries."""
     import numpy as np
     import pyarrow as pa
 
@@ -821,7 +842,7 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
             offs = v.offsets.to_numpy(zero_copy_only=False)
             dim = int(offs[1] - offs[0])
             x = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
-            dots = x @ cmat.T  # (n, k)
+            dots = np.floor((x @ cmat.T) * 1_000_000).astype(np.int64)  # (n, k)
             order = np.argsort(-dots, axis=1, kind="stable")[:, :p]  # (n, p)
             taken = batch.take(pa.array(np.repeat(np.arange(n), p)))
             yield taken.append_column(
@@ -856,7 +877,10 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced quantizer — a hot cell is a data-model smell the
     key_distribution profiler surfaces. Driver check is rows-only
     (an eigenless ANN blocking has no SQL oracle), but the fixed-point
-    kernel makes the surface bit-stable; recall@{KNN_K} against the
+    scoring kernel plus 1e-6-quantized cell routing (assign_cells /
+    probe_cells_multi) make the surface bit-stable up to the
+    measure-zero exact-quantization-boundary caveat those kernels
+    document; recall@{KNN_K} against the
     exact brute-force kNN graph is pinned in tests/test_recall.py,
     plus the structural contract (no self pairs, dense ranks 1..k,
     one row per (query, rank))."""

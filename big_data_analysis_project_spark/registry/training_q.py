@@ -334,13 +334,19 @@ def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass) a trainer's loader consumes.
 
     Scale notes: the gate and hash are narrow map work fused into the
-    scan; the dedup shuffle carries md5 keys, not documents; the
-    global running sum is the two-level ``global_prefix_sum``
-    (range-partitioned local sums + broadcast base offsets — see
-    pack_chunks), so no single task ever holds the corpus; the stripe
-    keeps consecutive sequences on different shards so loader reads
-    parallelize. Every stage reuses the exact expression pair its
-    standalone key proved hash-equal."""
+    scan; the dedup is ONE hash aggregation — ``min(doc_id)`` picks
+    the keeper per md5 key and ``min_by(n_tok, doc_id)`` carries that
+    same row's token count through the agg, so there is no join back
+    to the corpus at all (r5 #3 claw-back: the previous
+    groupBy-then-self-join shape paid a second shuffle plus a join for
+    data the aggregate already held; at 100 TB that join's build side
+    is corpus-sized). The shuffle carries md5 keys + two ints, not
+    documents; the global running sum is the two-level
+    ``global_prefix_sum`` (range-partitioned local sums + broadcast
+    base offsets — see pack_chunks), so no single task ever holds the
+    corpus; the stripe keeps consecutive sequences on different shards
+    so loader reads parallelize. Every stage reuses the exact
+    expression pair its standalone key proved hash-equal."""
     from ..operators.windows import global_prefix_sum
 
     d = load_table(spark, sf_dir, "documents")
@@ -354,8 +360,13 @@ def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").between(_ASSEMBLE_MIN_TOK, PACK_BUDGET)
         & (F.col("n_chars") <= _ASSEMBLE_MAX_CHARS)
     )
-    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    kd = gated.select("doc_id", "n_tok").join(kept.select("doc_id"), "doc_id")
+    # identical-text rows tokenize identically, so min_by's n_tok IS
+    # the keeper row's n_tok (any member's would match) — the pair
+    # (min, min_by) stays one partial-aggregating shuffle
+    kd = gated.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tok", "doc_id").alias("n_tok"),
+    ).select("doc_id", "n_tok")
     seqs = global_prefix_sum(kd, ["doc_id"], "n_tok", alias="start_off").withColumn(
         # integer division, same rationale as pack_chunks: exact at any
         # total token count, where /2048.0 + FLOOR drifts past 2^53
