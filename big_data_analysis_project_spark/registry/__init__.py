@@ -126,3 +126,43 @@ QUERIES = {
     k: QUERIES[k]
     for k in sorted(QUERIES, key=lambda k: (_BANKED.get(k, 0), k not in ORACLE, k))
 }
+
+
+def warm_shared_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Pre-materialize every session-memoized corpus-snapshot artifact
+    and return per-artifact build seconds (VERDICT r5 #2: the bench
+    previously charged each artifact to whichever key touched it
+    first, so per-key deltas across rounds were attribution shifts,
+    not plan changes). Each builder is an eager localCheckpoint (or a
+    driver-side model fit), so timing the cached accessor times the
+    real build; a second call is a cache hit and costs ~nothing.
+
+    Order matters only for attribution *within* this dict: evidence
+    consumes shingles, the IVF model consumes unit vectors, so each
+    entry's time is the marginal cost given its predecessors."""
+    import time
+
+    builders = [
+        ("shingles", lambda: dedup_q.shingles_cached(spark, sf_dir).count()),
+        (
+            "shingle_evidence",
+            lambda: dedup_q.shingle_evidence_cached(spark, sf_dir).count(),
+        ),
+        (
+            "minhash_pairs",
+            lambda: dedup_q.minhash_pairs_cached(spark, sf_dir).count(),
+        ),
+        ("ngram_pairs", lambda: dedup_q.ngram_pairs_cached(spark, sf_dir).count()),
+        (
+            "unit_vectors",
+            lambda: similarity_q.unit_vectors_cached(spark, sf_dir).count(),
+        ),
+        ("ivf_model", lambda: similarity_q.ivf_centroids_cached(spark, sf_dir)),
+        ("tb_marts", lambda: pipeline_q.synthetic_marts(spark)),
+    ]
+    out: dict[str, float] = {}
+    for name, build in builders:
+        t0 = time.perf_counter()
+        build()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out

@@ -127,3 +127,28 @@ def test_rank_by_allows_mart_sized_input(spark):
     out = rank_by(mart, "o_totalprice", max_rows=10)
     assert out.count() == 5
     assert "rank" in out.columns
+
+
+def test_global_prefix_sum_rejects_fractional_val(spark):
+    """ADVICE r5 #3: a float val_col must raise, not silently
+    floor-truncate every value into the offsets."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(TypeError, match="exact-integer"):
+        global_prefix_sum(orders, ["o_orderkey"], "o_totalprice")
+    # explicit cast at the call site is the documented opt-in
+    ok = global_prefix_sum(
+        orders.withColumn("v", F.col("o_totalprice").cast("bigint")),
+        ["o_orderkey"],
+        "v",
+    )
+    assert ok.count() == orders.count()
+
+
+def test_rank_by_single_scan_guard_ranks_admitted_rows(spark):
+    """ADVICE r5 #2: the guard materializes limit(max_rows+1) once and
+    ranks over the SAME admitted rows — an input at exactly max_rows
+    passes and produces a complete ranking."""
+    mart = load_table(spark, SF_SMOKE, "orders").limit(10)
+    out = rank_by(mart, "o_totalprice", max_rows=10)
+    assert out.count() == 10
+    assert {r["rank"] for r in out.collect()} <= set(range(1, 11))

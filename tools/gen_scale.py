@@ -1,0 +1,195 @@
+"""Deterministic scale-up generator: replicate an existing sf dir R
+times (default 10 — sf0.1 -> an sf1-equivalent) so the 100 TB design
+claims can be MEASURED instead of only plan-asserted (VERDICT r5 #1).
+
+Replication is Spark-native (a union of R per-replica projections —
+no driver loop over rows, no collect) and STRUCTURE-PRESERVING, which
+is the part that matters for honest scaling numbers:
+
+- fact tables (lineitem/orders/customer/events) shift their keys by a
+  per-replica stride, so key cardinality grows linearly and per-key
+  group sizes stay constant — the TPC-H scaling model;
+- documents get a per-replica token salt (every non-space run suffixed
+  ``_r{i}``; replica 0 is the original corpus verbatim). Token counts
+  per doc are unchanged, but shingle sets across replicas are fully
+  DISJOINT, so the near-dup pair/edge count grows linearly with the
+  corpus instead of quadratically exploding on cross-replica
+  self-matches — naive text replication would measure the blow-up of
+  the generator, not the scaling of the operator. n_chars is
+  recomputed to stay consistent with the salted text;
+- embeddings get a per-replica circular rotation of the vector (norms
+  and within-replica geometry exactly preserved; cross-replica cosines
+  decorrelate), with vec_id strided and label kept, so ANN cell sizes
+  scale linearly and recall structure per replica is identical;
+- dimension tables (region/nation/part/supplier) are copied verbatim —
+  dims grow sublinearly in real deployments, and keeping them fixed
+  makes fact-side per-key densities grow, the conservative direction
+  for join/agg scaling.
+
+Everything is a deterministic column expression (no rand), so two runs
+produce byte-identical data and probe timings are reproducible.
+
+Usage: python tools/gen_scale.py [--base /root/testdata/sf0.1]
+           [--out scale_data/sf1] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COPY_TABLES = ("region", "nation", "part", "supplier")
+
+
+def _stride(df: DataFrame, key: str) -> int:
+    """Replica key offset: one above the max existing id, so replica
+    key ranges never collide and replica 0 keeps the original ids."""
+    return int(df.agg(F.max(key)).collect()[0][0]) + 1
+
+
+def _union_replicas(base: DataFrame, r: int, project) -> DataFrame:
+    return functools.reduce(
+        DataFrame.unionByName, [project(base, i) for i in range(r)]
+    )
+
+
+def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) -> None:
+    base = Path(base_dir)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rd = lambda t: spark.read.parquet(str(base / f"{t}.parquet"))  # noqa: E731
+    wr = lambda df, t, parts: df.repartition(parts).write.mode(  # noqa: E731
+        "overwrite"
+    ).parquet(str(out / f"{t}.parquet"))
+
+    for t in COPY_TABLES:
+        rd(t).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+        print(f"[gen_scale] copied {t}")
+
+    cust = rd("customer")
+    cust_stride = _stride(cust, "c_custkey")
+    wr(
+        _union_replicas(
+            cust,
+            replicas,
+            lambda d, i: d.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * cust_stride)
+            ),
+        ),
+        "customer",
+        4,
+    )
+    print(f"[gen_scale] customer x{replicas} (stride {cust_stride})")
+
+    orders = rd("orders")
+    okey_stride = _stride(orders, "o_orderkey")
+    wr(
+        _union_replicas(
+            orders,
+            replicas,
+            lambda d, i: d.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_stride)
+            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * cust_stride)),
+        ),
+        "orders",
+        8,
+    )
+    print(f"[gen_scale] orders x{replicas} (stride {okey_stride})")
+
+    wr(
+        _union_replicas(
+            rd("lineitem"),
+            replicas,
+            lambda d, i: d.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_stride)
+            ),
+        ),
+        "lineitem",
+        32,
+    )
+    print(f"[gen_scale] lineitem x{replicas}")
+
+    ev = rd("events")
+    ev_stride = _stride(ev, "event_id")
+    user_stride = _stride(ev, "user_id")
+    wr(
+        _union_replicas(
+            ev,
+            replicas,
+            lambda d, i: d.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * ev_stride)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * user_stride)),
+        ),
+        "events",
+        8,
+    )
+    print(f"[gen_scale] events x{replicas}")
+
+    docs = rd("documents")
+    doc_stride = _stride(docs, "doc_id")
+
+    def doc_replica(d: DataFrame, i: int) -> DataFrame:
+        text = (
+            F.col("text")
+            if i == 0
+            else F.regexp_replace("text", r"(\S+)", rf"$1_r{i}")
+        )
+        return d.select(
+            (F.col("doc_id") + F.lit(i * doc_stride)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text"))
+
+    wr(_union_replicas(docs, replicas, doc_replica), "documents", 8)
+    print(f"[gen_scale] documents x{replicas} (token-salted)")
+
+    emb = rd("embeddings")
+    vec_stride = _stride(emb, "vec_id")
+    dim = len(emb.select("embedding").first()[0])
+
+    def emb_replica(d: DataFrame, i: int) -> DataFrame:
+        rot = i % dim
+        vec = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+        )
+        return d.select(
+            (F.col("vec_id") + F.lit(i * vec_stride)).alias("vec_id"),
+            vec.alias("embedding"),
+            "label",
+        )
+
+    wr(_union_replicas(emb, replicas, emb_replica), "embeddings", 4)
+    print(f"[gen_scale] embeddings x{replicas} (rotated, dim={dim})")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "scale_data/sf1"))
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from big_data_analysis_project_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-scale", master="local[32]")
+    t0 = time.perf_counter()
+    generate(spark, args.base, args.out, args.replicas)
+    print(f"[gen_scale] done in {time.perf_counter() - t0:.1f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

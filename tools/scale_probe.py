@@ -1,0 +1,159 @@
+"""Measure how the headline scale keys actually scale: run each at the
+base sf dir (default /root/testdata/sf0.1) and at the generated
+10x-equivalent (scale_data/sf1, from tools/gen_scale.py), report
+steady-state times (min of N reps) and the empirical scaling exponent
+
+    alpha = log(t_big / t_base) / log(replicas)
+
+(alpha = 1 is perfectly linear; < 1 means fixed overhead still
+dominates at the bigger scale; > 1 names a super-linear cause to
+explain). Shared memoized artifacts are built in their own timed phase
+PER sf dir — artifact build time is itself part of the scaling story
+(the shingle/LSH/normalize index builds are the dominant corpus-linear
+work), so it is reported as its own row family rather than smeared
+into whichever key runs first.
+
+Also times `connected_components` with ``driver_edge_limit=0`` on the
+big dir's exact edge set — the distributed min-label path — next to
+the default union-find, measuring the crossover the 2M-edge gate
+encodes instead of asserting it.
+
+Writes bench_scale_raw.json (gitignored); BENCH_SCALE.md is authored
+from it. Never run concurrently with bench.py (two local[32] JVMs
+starve each other).
+
+Usage: python tools/scale_probe.py [--reps 2] [--keys k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+# headline scale keys: the dedup/ANN/packing/window/TPC-H shapes whose
+# 100 TB claims VERDICT r5 #1 asked to convert into measurements
+DEFAULT_KEYS = [
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "ann_cosine_topk",
+    "ann_ivf",
+    "ann_knn_join",
+    "pack_chunks",
+    "corpus_assemble",
+    "window_rank",
+    "text_tokens",
+    "text_contamination",
+    "embed_gram",
+    "sql_tpch_q1",
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+]
+
+
+def time_min(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=str(REPO / "scale_data/sf1"))
+    ap.add_argument("--replicas", type=float, default=10.0)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    args = ap.parse_args()
+    keys = [k for k in args.keys.split(",") if k]
+
+    import __spark_entry__ as E
+    from big_data_analysis_project_spark.operators.graphs import connected_components
+    from big_data_analysis_project_spark.registry import warm_shared_artifacts
+    from big_data_analysis_project_spark.registry.dedup_q import ngram_pairs_cached
+    from big_data_analysis_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe", master="local[32]")
+    Q = E.queries()
+    print(f"[probe] loadavg={os.getloadavg()}", file=sys.stderr)
+
+    result: dict = {"base": args.base, "big": args.big, "replicas": args.replicas,
+                    "reps": args.reps, "shared": {}, "keys": {}, "rows": {},
+                    "extra": {}}
+
+    for tag, sf_dir in (("base", args.base), ("big", args.big)):
+        spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet")).count()  # warm
+        t0 = time.perf_counter()
+        shared = warm_shared_artifacts(spark, sf_dir)
+        shared["_total_first_build"] = round(time.perf_counter() - t0, 3)
+        result["shared"][tag] = shared
+        print(f"[probe] {tag} shared: {shared}", file=sys.stderr)
+        for key in keys:
+            try:
+                n_holder = {}
+
+                def run():
+                    n_holder["n"] = Q[key](spark, sf_dir).count()
+
+                t = time_min(run, args.reps)
+                result["keys"].setdefault(key, {})[tag] = t
+                result["rows"].setdefault(key, {})[tag] = n_holder["n"]
+                print(f"[probe] {tag} {key}: {t}s rows={n_holder['n']}",
+                      file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                result["keys"].setdefault(key, {})[tag] = f"ERR {exc}"[:200]
+                print(f"[probe] {tag} {key}: FAILED {exc}", file=sys.stderr)
+
+        # distributed CC vs the gated default on the SAME edge set
+        edges = ngram_pairs_cached(spark, sf_dir)
+        n_edges = edges.count()
+        t_dist = time_min(
+            lambda: connected_components(
+                edges, src="doc_a", dst="doc_b", driver_edge_limit=0
+            ).count(),
+            args.reps,
+        )
+        t_uf = time_min(
+            lambda: connected_components(edges, src="doc_a", dst="doc_b").count(),
+            args.reps,
+        )
+        result["extra"][tag] = {
+            "n_exact_edges": n_edges,
+            "cc_distributed": t_dist,
+            "cc_union_find": t_uf,
+        }
+        print(f"[probe] {tag} edges={n_edges} cc_dist={t_dist}s cc_uf={t_uf}s",
+              file=sys.stderr)
+
+    import math
+
+    for key, t in result["keys"].items():
+        if isinstance(t.get("base"), float) and isinstance(t.get("big"), float):
+            if t["base"] > 0:
+                t["ratio"] = round(t["big"] / t["base"], 2)
+                t["alpha"] = round(
+                    math.log(max(t["big"], 1e-3) / max(t["base"], 1e-3))
+                    / math.log(args.replicas),
+                    2,
+                )
+
+    out = REPO / "bench_scale_raw.json"
+    out.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
+    print(json.dumps({k: v for k, v in result["keys"].items()}, sort_keys=True))
+    print(f"[probe] raw -> {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
