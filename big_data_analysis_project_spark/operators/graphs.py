@@ -102,11 +102,18 @@ def connected_components(
     # ever decreases labels, so sum(component) strictly decreases
     # until fixpoint — one scalar agg per round instead of a
     # join+count job (halves per-round cost)
+    # every loop join carries a MERGE hint: this branch only runs past
+    # driver_edge_limit (vertex/edge frames too big to collect), yet
+    # both sides are localCheckpoint-backed, whose misreported tiny
+    # sizeInBytes would statically plan a BROADCAST of the vertex-sized
+    # label frame — the round-6 scale-probe OOM shape, fatal at exactly
+    # the scale this path exists for. Sort-merge shuffles on the key
+    # and spills instead.
     prev_sum = None
     for _ in range(max_iter):
         # labels flowing across edges: neighbor's current component
-        msgs = both.join(
-            labels.withColumnRenamed("vertex", "a"), "a"
+        msgs = both.hint("merge").join(
+            labels.withColumnRenamed("vertex", "a").hint("merge"), "a"
         ).select(F.col("b").alias("vertex"), "component")
         labels = (
             labels.union(msgs)
@@ -122,7 +129,7 @@ def connected_components(
             F.col("vertex").alias("component"), F.col("component").alias("_pc")
         )
         labels = (
-            labels.join(parent, "component", "left")
+            labels.join(parent.hint("merge"), "component", "left")
             .select(
                 "vertex", F.coalesce("_pc", "component").alias("component")
             )

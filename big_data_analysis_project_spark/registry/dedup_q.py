@@ -239,12 +239,22 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ran its own copy-pasted join)."""
 
     def build() -> DataFrame:
+        # every join side here is CORPUS-sized (the shingle frame and
+        # the per-doc size frame), so each join carries an explicit
+        # MERGE hint: a localCheckpoint frame reports a bogus tiny
+        # sizeInBytes (measured 2.6 MiB for 2.6M string rows at the
+        # 10x probe scale), which statically planned a BROADCAST of
+        # the corpus side and OOMed the driver — the exact failure a
+        # 100 TB run would hit. Sort-merge shuffles on the join key,
+        # spills instead of OOMing, and AQE's skew-join splitting
+        # still applies (round-6 scale-probe finding).
         sh = shingles_cached(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
-            a.join(
-                b,
+            a.hint("merge")
+            .join(
+                b.hint("merge"),
                 (F.col("a.s") == F.col("b.s"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
@@ -254,7 +264,9 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
         nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
         return (
-            inter.join(na, "doc_a").join(nb, "doc_b").localCheckpoint(eager=True)
+            inter.join(na.hint("merge"), "doc_a")
+            .join(nb.hint("merge"), "doc_b")
+            .localCheckpoint(eager=True)
         )
 
     return snapshot_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
@@ -435,12 +447,16 @@ def minhash_verified_pairs(docs: DataFrame, shingles: DataFrame | None = None) -
     )
     # exact-Jaccard verification restricted to candidates (reuses the
     # cached shingle frame from the signature pass)
+    # MERGE hints on every corpus-sized side (shingle projections and
+    # per-doc sizes): checkpoint-backed frames misreport sizeInBytes
+    # as tiny, so the planner would otherwise BROADCAST the corpus —
+    # the round-6 scale-probe OOM (see shingle_evidence_cached)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
+        candidates.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -448,8 +464,8 @@ def minhash_verified_pairs(docs: DataFrame, shingles: DataFrame | None = None) -
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -980,8 +996,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sh.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("dup_of"), "s"
     )
+    # the probe join must SHUFFLE on the shingle key, never broadcast
+    # the base corpus: checkpoint-backed frames misreport sizeInBytes,
+    # and in the demo both halves are corpus-sized anyway (a real
+    # deployment with a genuinely small delta would broadcast the
+    # DELTA — the other direction — via delta.hint("broadcast"))
     inter = (
-        delta.join(base, "s")
+        delta.hint("merge")
+        .join(base.hint("merge"), "s")
         .groupBy("new_doc", "dup_of")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -989,8 +1011,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "new_doc")
-        .join(sb, "dup_of")
+        inter.join(sa.hint("merge"), "new_doc")
+        .join(sb.hint("merge"), "dup_of")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard"))
     )

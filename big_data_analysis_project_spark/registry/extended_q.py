@@ -1065,8 +1065,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # symmetric graph: every vertex has >=1 in-edge, so the inbound
         # aggregate already covers the whole vertex set — no left join
         # back onto a vertex frame needed
+        # merge hint: both sides are checkpoint-backed (misreported
+        # tiny stats — round-6 scale-probe finding), and at the scale
+        # this key models, the rank frame is vertex-sized: a static
+        # broadcast of it per iteration is the OOM path
         ranks = (
-            symdeg.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            symdeg.hint("merge")
+            .join(ranks.withColumnRenamed("doc_id", "src").hint("merge"), "src")
             .select(
                 F.col("dst").alias("doc_id"),
                 F.expr("rank_e9 DIV out_deg").alias("c"),
