@@ -51,6 +51,18 @@ def get_spark(
     cores = _default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local-mode driver == every executor: Spark's 1g default heap
+        # shared by N concurrent task threads gives each task ~20 MB of
+        # execution memory at N=32 — the round-6 10x scale probe OOMed
+        # exactly there. Size the heap to the task concurrency (512 MB
+        # per slot, floor 2g) the way any real submit would; applies
+        # only when THIS process launches the JVM (a pre-existing
+        # session keeps its heap — heap size is launch-time-only).
+        # Override with SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(2, cores // 2)}g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
