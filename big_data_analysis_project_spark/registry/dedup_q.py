@@ -1055,9 +1055,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers swap policies freely."""
     labels = connected_components(ngram_pairs_cached(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # merge hint: the label frame is checkpoint-backed (misreported
+    # tiny stats) and vertex-sized — the planner would statically
+    # broadcast IT against the corpus scan, backwards at scale
     members = labels.select(
         F.col("vertex").alias("doc_id"), "component"
-    ).join(docs, "doc_id")
+    ).hint("merge").join(docs, "doc_id")
     best = (
         members.groupBy("component")
         .agg(

@@ -856,14 +856,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_q import ngram_pairs_cached
 
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    # merge hints: all three sides are the edge-list artifact, whose
+    # checkpoint-backed stats misreport as tiny (round-6 scale-probe
+    # finding) — statically broadcasting the FULL edge list is exactly
+    # the plan that dies on a 100 TB-scale graph
     xy, xz, yz = e.alias("xy"), e.alias("xz"), e.alias("yz")
-    wedges = xy.join(
-        xz,
+    wedges = xy.hint("merge").join(
+        xz.hint("merge"),
         (F.col("xz.doc_a") == F.col("xy.doc_a"))
         & (F.col("xz.doc_b") > F.col("xy.doc_b")),
     )
     closed = wedges.join(
-        yz,
+        yz.hint("merge"),
         (F.col("yz.doc_a") == F.col("xy.doc_b"))
         & (F.col("yz.doc_b") == F.col("xz.doc_b")),
     )
