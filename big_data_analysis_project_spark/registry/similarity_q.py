@@ -872,10 +872,17 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     over <= {KNN_PROBE}*k candidate rows picks the global top-k
     (partitioned by query_id: parallel, bounded per group). Work is
     quadratic only WITHIN a cell, the same confinement contract as
-    ``dedup_semantic``; at 100 TB the levers are centroid count
-    (cells ~ sqrt(n) keeps cell cost flat) and the skew guard of a
-    balanced quantizer — a hot cell is a data-model smell the
-    key_distribution profiler surfaces. Driver check is rows-only
+    ``dedup_semantic``; at 100 TB the lever is CONSTANT CELL
+    POPULATION: scored pairs total n*probes*(n/cells), so growing the
+    centroid count in proportion to the corpus (cells ~ n/c, bounded
+    cell size c — the IVF analogue of the LSH BUCKET_CAP) holds
+    per-query candidate count constant and makes the batch join
+    linear; k ~ sqrt(n) is the SINGLE-QUERY latency optimum (routing
+    k + scan n/k), not the batch law. Fixed probe count over more
+    cells scans a smaller corpus fraction — the standard recall/cost
+    dial, measured in BENCH_SCALE.md. The other guard is quantizer
+    balance — a hot cell is a data-model smell the key_distribution
+    profiler surfaces. Driver check is rows-only
     (an eigenless ANN blocking has no SQL oracle), but the fixed-point
     scoring kernel plus 1e-6-quantized cell routing (assign_cells /
     probe_cells_multi) make the surface bit-stable up to the
@@ -884,13 +891,26 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force kNN graph is pinned in tests/test_recall.py,
     plus the structural contract (no self pairs, dense ranks 1..k,
     one row per (query, rank))."""
+    return knn_join_blocked(
+        unit_vectors_cached(spark, sf_dir),
+        ivf_centroids_cached(spark, sf_dir),
+    )
+
+
+def knn_join_blocked(
+    unit: DataFrame,
+    centroids: list[list[float]],
+    k: int = KNN_K,
+    n_probe: int = KNN_PROBE,
+) -> DataFrame:
+    """The IVF-blocked batch kNN join over an explicit (unit frame,
+    centroid model) pair — ``ann_knn_join`` is this with the shared
+    session artifacts; the scale probe calls it with a
+    constant-cell-population model to measure the linearity lever."""
     import numpy as np
 
-    unit = unit_vectors_cached(spark, sf_dir)
-    centroids = ivf_centroids_cached(spark, sf_dir)
     index = assign_cells(unit, centroids)
-    probes = probe_cells_multi(unit, centroids, KNN_PROBE)
-    k = KNN_K
+    probes = probe_cells_multi(unit, centroids, min(n_probe, len(centroids)))
 
     import pyarrow as pa
 

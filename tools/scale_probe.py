@@ -116,6 +116,33 @@ def main() -> None:
                 result["keys"].setdefault(key, {})[tag] = f"ERR {exc}"[:200]
                 print(f"[probe] {tag} {key}: FAILED {exc}", file=sys.stderr)
 
+        # the kNN-join linearity lever, measured: same corpus, same
+        # probe count, but a CONSTANT-CELL-POPULATION model (cells
+        # grown with the corpus) — per-query candidates stay ~c*probes,
+        # so the batch join should track linear where the fixed-k
+        # registry key tracks quadratic
+        from big_data_analysis_project_spark.registry.similarity_q import (
+            N_CENTROIDS,
+            knn_join_blocked,
+            train_ivf_centroids,
+            unit_vectors_cached,
+        )
+
+        unit = unit_vectors_cached(spark, sf_dir)
+        n_vec = unit.count()
+        k_const = max(N_CENTROIDS, round(N_CENTROIDS * n_vec / 2000))  # c = 125
+        cents = train_ivf_centroids(unit, k=k_const)
+        t_lever = time_min(
+            lambda: knn_join_blocked(unit, cents).count(), args.reps
+        )
+        result["extra"].setdefault(tag, {})["knn_const_cell"] = {
+            "n_vec": n_vec,
+            "cells": k_const,
+            "sec": t_lever,
+        }
+        print(f"[probe] {tag} knn const-cell k={k_const}: {t_lever}s",
+              file=sys.stderr)
+
         # distributed CC vs the gated default on the SAME edge set
         edges = ngram_pairs_cached(spark, sf_dir)
         n_edges = edges.count()
@@ -129,11 +156,13 @@ def main() -> None:
             lambda: connected_components(edges, src="doc_a", dst="doc_b").count(),
             args.reps,
         )
-        result["extra"][tag] = {
-            "n_exact_edges": n_edges,
-            "cc_distributed": t_dist,
-            "cc_union_find": t_uf,
-        }
+        result["extra"].setdefault(tag, {}).update(
+            {
+                "n_exact_edges": n_edges,
+                "cc_distributed": t_dist,
+                "cc_union_find": t_uf,
+            }
+        )
         print(f"[probe] {tag} edges={n_edges} cc_dist={t_dist}s cc_uf={t_uf}s",
               file=sys.stderr)
 
