@@ -1163,21 +1163,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow pass; the quadratic pairwise work is confined to one
     cluster at a time inside ``applyInPandas`` (one shuffle on cell),
     and the paper's regime k ∝ n keeps per-cluster membership bounded
-    as the corpus grows. Full greedy contract (keeper validity,
-    maximality, determinism) is pinned in tests/test_recall.py."""
+    as the corpus grows — implemented: the quantizer is
+    ``batch_centroids_cached`` (cells ~ n/125, identical to the shared
+    fixed-k model at every driver-checked scale; the fixed-k quadratic
+    asymptote is MEASURED in BENCH_SCALE.md). Full greedy contract
+    (keeper validity, maximality, determinism) is pinned in
+    tests/test_recall.py."""
     import numpy as np
     import pandas as pd
 
     from .similarity_q import (
         assign_cells,
-        ivf_centroids_cached,
+        batch_centroids_cached,
         unit_vectors_cached,
     )
 
     # shared with the ANN family: one checkpointed normalize and one
     # trained coarse quantizer per (session, corpus snapshot)
     unit = unit_vectors_cached(spark, sf_dir)
-    assigned = assign_cells(unit, ivf_centroids_cached(spark, sf_dir))
+    assigned = assign_cells(unit, batch_centroids_cached(spark, sf_dir))
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")

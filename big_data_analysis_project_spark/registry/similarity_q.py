@@ -105,6 +105,51 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     )
 
 
+# target per-cell population for BATCH (all-vs-all) consumers. Derived
+# so k == N_CENTROIDS at the bench corpus (2000 vectors / 16 cells =
+# 125): every driver-checked scale (sf0.001/0.01/0.1 — at most 2000
+# vectors) gets the IDENTICAL model and identical results, while any
+# larger corpus gets proportionally more cells. The law this encodes
+# is MEASURED in BENCH_SCALE.md: at 30x bench scale the fixed-k batch
+# join hit its quadratic asymptote (6.2 s -> 108 s for 3x data) while
+# constant-cell-population stayed flat (3.9 s -> 4.1 s).
+BATCH_CELL_TARGET = 125
+
+
+def batch_centroids_cached(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The BATCH-consumer quantizer: cells grown in proportion to the
+    corpus (k = max(N_CENTROIDS, round(n / BATCH_CELL_TARGET))) so the
+    per-cell population — and with it the n*probes*(n/k) scored-pair
+    total of ann_knn_join / the (n/k)^2-per-cell prune of
+    dedup_semantic — stays bounded as the corpus grows. Single-query
+    keys keep the fixed-k ``ivf_centroids_cached`` model (k ~ sqrt(n)
+    is their latency optimum; more cells at fixed probes only cuts
+    their recall). Delegates to the shared model when the sizes agree,
+    so at every test/bench scale this IS the shared model — one
+    training, bit-identical results."""
+    n_vec = unit_vectors_cached(spark, sf_dir).count()  # checkpointed: cheap
+    k = max(N_CENTROIDS, round(n_vec / BATCH_CELL_TARGET))
+    if k == N_CENTROIDS:
+        return ivf_centroids_cached(spark, sf_dir)
+    from ._memo import snapshot_memo
+
+    # training sample grows with k (>=4 points/cell) but stays
+    # driver-bounded at 50k x dim doubles (~25 MB); past that a real
+    # deployment hands quantizer training to distributed k-means
+    # (MLlib KMeans) — the assignment/probe kernels are unchanged
+    # either way, only the model fit moves off the driver
+    sample = min(50_000, max(_TRAIN_SAMPLE_TARGET, 4 * k))
+    return snapshot_memo(
+        _CENTROID_CACHE,
+        spark,
+        sf_dir,
+        lambda: train_ivf_centroids(
+            unit_vectors_cached(spark, sf_dir), k=k, sample_target=sample
+        ),
+        extra=(k, _LLOYD_ITERS, sample),
+    )
+
+
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings -> (vec_id, v): float32 promoted to double (exact)
     and normalized onto the unit sphere — the shared working form of
@@ -890,10 +935,13 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; recall@{KNN_K} against the
     exact brute-force kNN graph is pinned in tests/test_recall.py,
     plus the structural contract (no self pairs, dense ranks 1..k,
-    one row per (query, rank))."""
+    one row per (query, rank)). Routes through the BATCH quantizer
+    (``batch_centroids_cached``): identical to the shared model at
+    every driver-checked scale, constant-cell-population above it —
+    the measured 26x difference at 30x bench scale (BENCH_SCALE.md)."""
     return knn_join_blocked(
         unit_vectors_cached(spark, sf_dir),
-        ivf_centroids_cached(spark, sf_dir),
+        batch_centroids_cached(spark, sf_dir),
     )
 
 
