@@ -57,6 +57,25 @@ def _drain(spark: SparkSession, writer) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+
+def _stage_table_files(stage, sf_dir: str, table: str) -> None:
+    """Symlink a parquet table's data file(s) flat into a staging dir.
+    A real parquet TABLE is a directory of part files, and
+    FileStreamSource does not recurse into subdirectories — a directory
+    symlink silently matches ZERO files (round-6 scale probe: every
+    events-driven stream key returned 0 rows on a multi-file table).
+    Flat part links are also the honest layout: a production arrival
+    directory receives files, not table directories."""
+    import os
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{table}.parquet"
+    if src.is_dir():
+        for i, part in enumerate(sorted(src.glob("*.parquet"))):
+            os.symlink(part, Path(stage) / f"part-{i:05d}.parquet")
+    else:
+        os.symlink(src, Path(stage) / f"{table}.parquet")
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """Shared file-source staging for the events-driven streaming
     keys: probe the on-disk ts encoding (nanos-as-long vs
@@ -82,7 +101,7 @@ def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataF
     # the dir is only needed while the query drains; reclaim it when
     # the process exits so repeated bench/test cycles don't litter /tmp
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    _stage_table_files(stage, sf_dir, "events")
     return normalize_events_ts(
         spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
     )
@@ -353,7 +372,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_dedup_"))
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    os.symlink(f"{sf_dir}/documents.parquet", stage / "documents.parquet")
+    _stage_table_files(stage, sf_dir, "documents")
     stream = (
         spark.readStream.schema(doc_schema)
         .format("parquet")
@@ -528,7 +547,7 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def src(tag: str) -> DataFrame:
         stage = Path(tempfile.mkdtemp(prefix=f"bdap_stream_pair_{tag}_"))
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
-        os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+        _stage_table_files(stage, sf_dir, "events")
         return normalize_events_ts(
             spark.readStream.schema(raw_schema).format("parquet").load(str(stage))
         )
@@ -677,7 +696,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_src_"))
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    _stage_table_files(stage, sf_dir, "events")
     mart = Path(tempfile.mkdtemp(prefix="bdap_stream_feb_mart_"))
     atexit.register(shutil.rmtree, mart, ignore_errors=True)
     stream = normalize_events_ts(
