@@ -822,6 +822,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     same role LSH plays for text; at 100 TB the blocking key comes
     from an ANN index (see similarity_q.ann_lsh_bucketed).
 
+    SCALE CONTRACT (measured, BENCH_SCALE.md): the label count does
+    NOT grow with the corpus, so per-block population — and with it
+    this key's cost — grows quadratically (α = 1.68 at the 10× probe).
+    That is declared, not accidental: this is the exact-oracle twin of
+    the embedding-dedup family, the same role ``dedup_clusters`` plays
+    for the text family. The scale paths are ``dedup_semantic`` and
+    ``ann_knn_join`` (constant-cell-population quantizer, measured
+    flat) and ``dedup_mllib_minhash``; this key exists to hash-check
+    them against DuckDB.
+
     Threshold 0.3 (not the usual ~0.9): the synthetic embeddings'
     max in-label cosine is ~0.47, so a 0.9 cut returns zero rows on
     both engines and verifies nothing (VERDICT r1 #3). 0.3 keeps the
