@@ -631,6 +631,33 @@ def pq_adc_scores(codes: DataFrame, lut) -> DataFrame:
     return codes.select(*cols).mapInArrow(kernel, "vec_id bigint, adc double")
 
 
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def pq_codebooks_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    unit: DataFrame,
+    dim: int,
+    variant: str,
+) -> dict[int, list[list[float]]]:
+    """``train_pq_codebooks`` memoized per (session, corpus snapshot,
+    variant): the codebook is index-build state exactly like the IVF
+    centroids — a deployment trains it once at ingest, not per query.
+    ``variant`` separates the plain-vector codebooks (ann_pq) from the
+    residual ones (ann_ivf_pq); training is deterministic, so cached
+    and fresh models are identical."""
+    from ._memo import snapshot_memo
+
+    return snapshot_memo(
+        _PQ_CODEBOOK_CACHE,
+        spark,
+        sf_dir,
+        lambda: train_pq_codebooks(unit, dim),
+        extra=(variant, _PQ_M, _PQ_K, _PQ_ITERS, _TRAIN_SAMPLE_TARGET),
+    )
+
+
 def train_pq_codebooks(
     unit: DataFrame,
     dim: int,
@@ -707,7 +734,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = e.withColumn("n", _norm(F.col("raw"))).select(
         "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
     )
-    codebooks = train_pq_codebooks(unit, dim)
+    codebooks = pq_codebooks_cached(spark, sf_dir, unit, dim, "plain")
     # encode the corpus: m packed 4-bit codes per vector (stored form)
     codes = pq_encode(unit, codebooks, dim)
 
@@ -812,8 +839,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (trainer count, trainer sample collect, probed
     # encode) — materialize the assign+residualize kernels once
     res = residualize(assigned, centroids).localCheckpoint(eager=True)
-    codebooks = train_pq_codebooks(
-        res.select("vec_id", F.col("r").alias("v")), dim
+    codebooks = pq_codebooks_cached(
+        spark, sf_dir, res.select("vec_id", F.col("r").alias("v")), dim, "residual"
     )
     probed = res.filter(F.col("cell").isin(probe_cells))
     codes = pq_encode(probed, codebooks, dim, vec_col="r", with_cell=True)
