@@ -27,7 +27,9 @@ is the part that matters for honest scaling numbers:
   for join/agg scaling.
 
 Everything is a deterministic column expression (no rand), so two runs
-produce byte-identical data and probe timings are reproducible.
+produce identical ROW CONTENT (parquet part filenames embed writer
+UUIDs, so files are not byte-identical) and probe timings are
+reproducible.
 
 Usage: python tools/gen_scale.py [--base /root/testdata/sf0.1]
            [--out scale_data/sf1] [--replicas 10]
