@@ -44,9 +44,15 @@ def snapshot_memo(
     extra=(),
 ):
     """``session_memo`` keyed additionally on the snapshot fingerprint
-    of ``sf_dir``. Entries for the SAME (sf_dir, extra) under an older
-    fingerprint are evicted first, so a rewritten snapshot cannot pin
-    a stale data-sized checkpoint for the session's lifetime."""
+    of ``sf_dir``. ALL entries for the same ``sf_dir`` under an older
+    fingerprint are evicted first — deliberately ignoring ``extra``
+    (ADVICE r6 #5): callers like ``batch_centroids_cached`` derive
+    parts of ``extra`` from the snapshot's CONTENT (e.g. a row-count-
+    proportional k), so a rewritten snapshot changes the extra and an
+    extra-exact eviction would leave the old entry pinned for the
+    application's lifetime. Stale-fingerprint artifacts are useless to
+    every consumer regardless of their hyperparameters, so the wider
+    sweep cannot evict anything still servable."""
     fp = snapshot_fingerprint(sf_dir)
     app = spark.sparkContext.applicationId
     for stale in [
@@ -56,7 +62,6 @@ def snapshot_memo(
         and isinstance(k[1], tuple)
         and len(k[1]) == 3
         and k[1][0] == sf_dir
-        and k[1][2] == extra
         and k[1][1] != fp
     ]:
         del cache[stale]

@@ -71,7 +71,19 @@ def _stage_table_files(stage, sf_dir: str, table: str) -> None:
 
     src = Path(sf_dir) / f"{table}.parquet"
     if src.is_dir():
-        for i, part in enumerate(sorted(src.glob("*.parquet"))):
+        # rglob, not glob: a PARTITIONED table nests part files under
+        # key=value subdirectories, where a top-level *.parquet glob
+        # matches nothing — the same silent 0-row failure class this
+        # helper exists to prevent (ADVICE r6 #4). Note flat links drop
+        # directory-encoded partition VALUES; callers stage plain
+        # tables, and the raise below makes any empty staging loud.
+        parts = sorted(p for p in src.rglob("*.parquet") if p.is_file())
+        if not parts:
+            raise ValueError(
+                f"no parquet part files found under {src} — staging "
+                "would silently stream zero rows"
+            )
+        for i, part in enumerate(parts):
             os.symlink(part, Path(stage) / f"part-{i:05d}.parquet")
     else:
         os.symlink(src, Path(stage) / f"{table}.parquet")

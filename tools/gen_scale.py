@@ -157,6 +157,19 @@ def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) ->
     emb = rd("embeddings")
     vec_stride = _stride(emb, "vec_id")
     dim = len(emb.select("embedding").first()[0])
+    if replicas > dim:
+        # rotation is circular: replica i and i+dim would carry
+        # byte-identical vectors, and those cross-replica EXACT
+        # duplicates quadratically inflate ANN/dedup pair counts —
+        # the probe would measure the generator's blow-up, not the
+        # operator's scaling (ADVICE r6 #2). Refuse rather than
+        # silently corrupt the measurement.
+        raise ValueError(
+            f"replicas={replicas} > embedding dim={dim}: circular "
+            "rotation wraps to identity, creating cross-replica exact "
+            "duplicate vectors; use <= dim replicas (or compose a "
+            "second transform before scaling further)"
+        )
 
     def emb_replica(d: DataFrame, i: int) -> DataFrame:
         rot = i % dim
