@@ -158,6 +158,18 @@ def warm_shared_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             lambda: similarity_q.unit_vectors_cached(spark, sf_dir).count(),
         ),
         ("ivf_model", lambda: similarity_q.ivf_centroids_cached(spark, sf_dir)),
+        # ADVICE r6 #1: PQ codebooks (plain + residual) and the batch
+        # quantizer are memoized exactly like the IVF model — without
+        # warming them here their training hides in run 0 of the
+        # min-of-runs protocol and appears in NO reported number
+        (
+            "pq_codebooks",
+            lambda: similarity_q.warm_pq_codebooks(spark, sf_dir),
+        ),
+        (
+            "batch_model",
+            lambda: similarity_q.batch_centroids_cached(spark, sf_dir),
+        ),
         ("tb_marts", lambda: pipeline_q.synthetic_marts(spark)),
     ]
     out: dict[str, float] = {}

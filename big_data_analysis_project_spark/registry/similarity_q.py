@@ -658,6 +658,26 @@ def pq_codebooks_cached(
     )
 
 
+def warm_pq_codebooks(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-train BOTH memoized PQ codebook variants against the current
+    corpus snapshot (ADVICE r6 #1): without this the plain codebooks
+    train inside ann_pq's first bench run and cache-hit in the second,
+    so the min-of-runs protocol reports neither the training cost in
+    the per-key timing nor in shared setup. The frames passed here are
+    value-identical to the ones ann_pq / ann_ivf_pq construct (same
+    normalize, same assign+residualize kernels), and training is
+    deterministic, so the warmed model is bit-identical to a per-key
+    build."""
+    unit = unit_vectors_cached(spark, sf_dir)
+    dim = len(unit.select("v").first()[0])
+    pq_codebooks_cached(spark, sf_dir, unit, dim, "plain")
+    centroids = ivf_centroids_cached(spark, sf_dir)
+    res = residualize(assign_cells(unit, centroids), centroids)
+    pq_codebooks_cached(
+        spark, sf_dir, res.select("vec_id", F.col("r").alias("v")), dim, "residual"
+    )
+
+
 def train_pq_codebooks(
     unit: DataFrame,
     dim: int,
