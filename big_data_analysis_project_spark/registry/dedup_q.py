@@ -30,6 +30,9 @@ against the exact-Jaccard oracle at sf0.001.
 
 from __future__ import annotations
 
+import sys
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +229,44 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVIDENCE_CACHE: dict = {}
 
+# shingle document frequencies above this trip a loud audit warning at
+# evidence-build time: a shingle present in m documents contributes
+# m*(m-1)/2 rows to the inverted-index self-join (m x batch for the
+# incremental probe), so one boilerplate phrase with df ~ 1e5 costs
+# ~5e9 join rows before any threshold can filter. 512 is far above any
+# honest near-dup signal at NGRAM=3 and far below where the join hurts.
+_DF_WARN = 512
+
+
+def shingle_df_profile(sh: DataFrame) -> dict:
+    """One-aggregation audit of the shingle document-frequency
+    distribution — the quantity that decides whether the EXACT
+    evidence join is safe to run on a corpus (VERDICT r6 #3): returns
+    ``n_shingles``, ``max_df``, ``p99_df``, and ``pairs_bound`` =
+    sum over shingles of df*(df-1)/2, the exact upper bound on the
+    self-join's pre-aggregation row count. Costs one shuffle over the
+    shingle frame (the same key_distribution-profiler shape), which is
+    negligible next to the join it guards."""
+    row = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.max("df").alias("max_df"),
+            F.expr("percentile_approx(df, 0.99)").alias("p99_df"),
+            F.floor(F.sum(F.col("df") * (F.col("df") - 1) / 2))
+            .cast("bigint")
+            .alias("pairs_bound"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_shingles": int(row.n_shingles or 0),
+        "max_df": int(row.max_df or 0),
+        "p99_df": int(row.p99_df or 0),
+        "pairs_bound": int(row.pairs_bound or 0),
+    }
+
 
 def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_common, na, nb) for every doc pair sharing at
@@ -249,6 +290,25 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spills instead of OOMing, and AQE's skew-join splitting
         # still applies (round-6 scale-probe finding).
         sh = shingles_cached(spark, sf_dir)
+        # df AUDIT before the join (VERDICT r6 #3): the exact evidence
+        # join is quadratic in each shingle's document frequency, and
+        # a boilerplate-heavy corpus detonates it silently — one
+        # profile pass makes the hazard loud before the cost is paid.
+        # The capped tier (dedup_ngram_dfcap / the banded minhash
+        # table) is the production escape hatch; this EXACT frame is
+        # the oracle surface and stays uncapped by contract.
+        profile = shingle_df_profile(sh)
+        print(f"[shingle_evidence] df profile {sf_dir}: {profile}", file=sys.stderr)
+        if profile["max_df"] > _DF_WARN:
+            warnings.warn(
+                f"shingle df audit: max_df={profile['max_df']} (> {_DF_WARN}) "
+                f"bounds the exact evidence self-join at "
+                f"{profile['pairs_bound']} candidate pairs — boilerplate-"
+                "heavy corpus; route near-dup through dedup_ngram_dfcap "
+                "or the banded minhash table (dedup_minhash_lsh) instead "
+                "of the exact evidence frame",
+                stacklevel=2,
+            )
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
@@ -312,6 +372,91 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_evidence_cached(spark, sf_dir)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# document-frequency cap for the bounded-evidence tier: shingles in
+# more than DF_CAP documents are excluded from pair EVIDENCE (the same
+# boilerplate rationale as BUCKET_CAP for LSH bands — a df-m shingle
+# is template text carrying ~zero near-dup signal but m^2/2 join rows)
+DF_CAP = 32
+
+_DFCAP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, LATERAL unnest(range(1, len(w) - {NGRAM - 2})) AS t(i)
+  WHERE len(w) >= {NGRAM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN rare r ON a.s = r.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard_lb
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@q("dedup_ngram_dfcap", _DFCAP_ORACLE)
+def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-evidence tier of exact Jaccard dedup (VERDICT r6
+    #3): identical to ``dedup_ngram_jaccard`` except shingles whose
+    document frequency exceeds {DF_CAP} are dropped BEFORE the
+    inverted-index self-join, capping the join at DF_CAP rows per
+    shingle — sum df^2 becomes sum min(df, DF_CAP)^2, so one hot
+    boilerplate phrase can no longer detonate the build (the df audit
+    in ``shingle_evidence_cached`` makes that hazard loud; this key is
+    the escape hatch it points at).
+
+    Semantics are a documented one-sided bound, not an approximation
+    in the LSH sense: n_common only LOSES capped shingles while the
+    denominators (na, nb) keep true set sizes, so the emitted
+    ``jaccard_lb`` is a LOWER bound of true Jaccard and every emitted
+    pair is a true >= threshold pair (precision 1 vs the exact key;
+    recall drops only where boilerplate carried the overlap —
+    tests/test_recall.py pins the subset/lower-bound property). The
+    df filter is a semi-join against the (s, df<=cap) frame — both
+    sides corpus-sized and checkpoint-free here, but the shingle side
+    carries the same MERGE discipline as the evidence build."""
+    sh = shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("s")
+    )
+    capped = sh.hint("merge").join(rare.hint("merge"), "s")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_lb"))
     )
 
 
@@ -992,12 +1137,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing corpus against itself. Only the new batch's shingles probe
     the base inverted index, so per-arrival cost is O(batch x shared
     shingles), not O(corpus^2) — the dedup analogue of
-    stream_incremental's checkpointed re-run. At 100 TB the base side
-    is the PERSISTED corpus artifact (this shingle index, or
-    dedup_minhash_lsh's band-bucket table for the approximate tier)
-    maintained across arrivals; the batch-vs-batch self-check composes
-    the same machinery over the small delta. Output is the
-    (new_doc, dup_of, jaccard) reject list an ingest gate consumes."""
+    stream_incremental's checkpointed re-run. Output is the
+    (new_doc, dup_of, jaccard) reject list an ingest gate consumes.
+
+    PRODUCTION CONTRACT (VERDICT r6 #3): this EXACT probe is
+    O(batch x df) per shared shingle — a shingle present in m base
+    documents contributes m rows per probing batch doc, so on a
+    boilerplate-heavy corpus (one template phrase with df ~ 1e5) the
+    probe detonates regardless of the merge hints. The df audit in
+    ``shingle_evidence_cached`` measures exactly this hazard at build
+    time. At 100 TB, route arrivals through the BOUNDED tiers and use
+    this key as their oracle: probe ``dedup_minhash_lsh``'s persisted
+    band-bucket table (per-arrival cost O(batch x bands), BUCKET_CAP
+    bounds every bucket) or the ``DF_CAP``ped shingle index
+    (``dedup_ngram_dfcap`` — precision-1 lower-bound Jaccard), then
+    exact-verify only the surviving candidate pairs with this key's
+    machinery over the candidate list instead of the full index."""
     sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     delta = sh.filter(F.col("doc_id") % 2 == 1).select(

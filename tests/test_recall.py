@@ -635,3 +635,43 @@ def test_ann_knn_join_recall_and_contract(spark):
         np.mean([len(got[q] & true[q]) / KNN_K for q in true])
     )
     assert recall >= 0.8, f"kNN-join mean recall@{KNN_K} {recall:.3f} < 0.8"
+
+
+def test_dfcap_pairs_are_lower_bound_subset(spark):
+    """dedup_ngram_dfcap contract (VERDICT r6 #3): dropping df>DF_CAP
+    shingles from EVIDENCE while keeping true set sizes makes the
+    emitted jaccard_lb a lower bound of true Jaccard, so the capped
+    pair set is a precision-1 subset of the exact >=threshold pairs."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard_lb
+        for r in QUERIES["dedup_ngram_dfcap"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact oracle produced no pairs — test data changed?"
+    assert capped, "capped tier emitted nothing at the smoke scale"
+    for pair, lb in capped.items():
+        assert pair in exact, f"dfcap emitted non-duplicate pair {pair}"
+        assert lb <= exact[pair] + 1e-9, f"lb above true jaccard for {pair}"
+
+
+def test_shingle_df_profile_bounds_evidence_join(spark):
+    """The build-time df audit: pairs_bound must equal the evidence
+    self-join's actual pre-aggregation row count upper bound — i.e.
+    at least the number of realized evidence pairs — and max_df must
+    bound every shingle's realized df."""
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        shingle_df_profile,
+        shingle_evidence_cached,
+        shingles_cached,
+    )
+
+    sh = shingles_cached(spark, SF_SMOKE)
+    prof = shingle_df_profile(sh)
+    assert prof["n_shingles"] > 0 and prof["max_df"] >= 1
+    assert prof["p99_df"] <= prof["max_df"]
+    # sum df*(df-1)/2 bounds the realized evidence pair count
+    n_pairs = shingle_evidence_cached(spark, SF_SMOKE).count()
+    assert prof["pairs_bound"] >= n_pairs
