@@ -953,6 +953,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# largest label block dedup_embedding will all-pairs without refusing:
+# a 10k block is 5e7 scored pairs — the top of what the declared-
+# quadratic oracle twin legitimately needs (the sf3 probe's largest
+# block is 7.5k); anything bigger is a corpus-sized block that belongs
+# to the measured-flat scale paths, not this key
+EMB_BLOCK_CAP = 10_000
+
+
 @q(
     "dedup_embedding",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -961,7 +969,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          ON a.label = b.label AND a.vec_id < b.vec_id
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3""",
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, block_cap: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (label).
     Blocking turns the all-pairs O(n^2) into sum over blocks — the
     same role LSH plays for text; at 100 TB the blocking key comes
@@ -977,6 +987,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat) and ``dedup_mllib_minhash``; this key exists to hash-check
     them against DuckDB.
 
+    POPULATION GUARD (VERDICT r6 #5): before planning the pair join,
+    one cheap aggregation probes the largest label block; above
+    ``EMB_BLOCK_CAP`` (default; override via ``block_cap``, 0 =
+    unlimited for a deliberate oracle run) the key REFUSES with the
+    scale paths named — the same probe-and-refuse discipline as
+    rank_by's single-partition guard, so the declared-quadratic twin
+    cannot be pointed at a corpus-sized block by accident. Every
+    driver/bench/probe scale (largest measured block: 7.5k at sf3)
+    passes untouched.
+
     Threshold 0.3 (not the usual ~0.9): the synthetic embeddings'
     max in-label cosine is ~0.47, so a 0.9 cut returns zero rows on
     both engines and verifies nothing (VERDICT r1 #3). 0.3 keeps the
@@ -991,6 +1011,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", norm(F.col("v")))
+    cap = EMB_BLOCK_CAP if block_cap is None else block_cap
+    if cap:
+        biggest = (
+            e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+            or 0
+        )
+        if biggest > cap:
+            raise ValueError(
+                f"dedup_embedding: largest label block has {biggest} vectors "
+                f"(> block cap {cap}); the within-block all-pairs join is "
+                f"quadratic by declared contract and this block would score "
+                f"~{biggest * (biggest - 1) // 2} pairs. Use the measured-"
+                "flat scale paths (dedup_semantic / ann_knn_join, constant-"
+                "cell-population quantizer) or pass block_cap=0 for a "
+                "deliberate oracle run."
+            )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("la"),

@@ -407,3 +407,27 @@ def test_arrow_norm_exact_before_trailing_empty_list(spark, tmp_path):
         for vid, vec in rows
     }
     assert got == want, (got, want)
+
+
+def test_dedup_embedding_refuses_corpus_sized_block(spark, tmp_path):
+    """VERDICT r6 #5: the declared-quadratic oracle twin probes its
+    largest label block and REFUSES above the cap (override runs it)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.dedup_q import dedup_embedding
+
+    n = 40
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.col("id") * (p + 1), F.lit(7)) + 1).cast("float")
+                  for p in range(4)]).alias("embedding"),
+        F.lit(0).alias("label"),  # one block holding every vector
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    with pytest.raises(ValueError, match="largest label block"):
+        dedup_embedding(spark, str(tmp_path), block_cap=n - 1).count()
+    # deliberate oracle run: cap disabled, the join executes
+    assert dedup_embedding(spark, str(tmp_path), block_cap=0).count() >= 0
+    # default cap passes any driver/bench-scale block untouched
+    assert dedup_embedding(spark, str(tmp_path)).count() >= 0
