@@ -31,8 +31,30 @@ produce identical ROW CONTENT (parquet part filenames embed writer
 UUIDs, so files are not byte-identical) and probe timings are
 reproducible.
 
+``--skew`` (VERDICT r6 #4) layers deterministic ADVERSARIAL skew on
+top of the same replication, producing the hostile-key-distribution
+twin of the uniform scale-up (out dir default scale_data/sf1skew):
+
+- fact keys go zipf(1): orders.o_custkey and events.user_id are
+  remapped to ``floor(n_keys ** u)`` with ``u`` a per-row hash uniform
+  in (0,1) — frequency of rank k is ~1/k, so key 1 alone carries
+  ~1/ln(n) of the fact table (hot-key joins, hot window partitions);
+- one hot near-dup FAMILY: 1-in-20 documents (by doc_id hash, across
+  ALL replicas — deliberately unsalted) become one shared 30-word
+  template plus a tiny per-doc unique tail, so ~5% of the corpus is
+  pairwise near-identical: the hot shingles' document frequency is
+  ~corpus/20 (the exact hazard the shingle-df audit warns about) and
+  the minhash/simhash buckets for the family blow past BUCKET_CAP;
+- one DENSE embedding cluster: 1-in-4 vectors are pulled toward a
+  fixed direction (0.2*v + 0.8*ones/dim before normalization), giving
+  pairwise cosines ~0.95 — one hot IVF cell family and a dense
+  semantic-dedup block.
+
+All transforms are hash-derived column expressions — deterministic,
+no RNG, same reproducibility contract as the uniform generator.
+
 Usage: python tools/gen_scale.py [--base /root/testdata/sf0.1]
-           [--out scale_data/sf1] [--replicas 10]
+           [--out scale_data/sf1] [--replicas 10] [--skew]
 """
 
 from __future__ import annotations
@@ -63,7 +85,32 @@ def _union_replicas(base: DataFrame, r: int, project) -> DataFrame:
     )
 
 
-def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) -> None:
+def _zipf_key(src: F.Column, n_keys: int) -> F.Column:
+    """Deterministic zipf(1) rank in [1, n_keys]: u = hash-uniform in
+    (0,1), rank = floor(n^u) — log-uniform ranks, frequency ~ 1/k."""
+    u = (F.pmod(F.xxhash64(src), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    return F.least(
+        F.lit(n_keys).cast("bigint"),
+        F.floor(F.pow(F.lit(float(n_keys)), u)).cast("bigint"),
+    )
+
+
+# the hot near-dup template: 30 shared words -> 28 shared 3-gram
+# shingles per hot doc, document frequency ~ corpus/20
+_HOT_TEMPLATE = (
+    "this content is provided as is without warranty of any kind either "
+    "express or implied including but not limited to fitness for a "
+    "particular purpose and"
+)
+
+
+def generate(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    replicas: int,
+    skew: bool = False,
+) -> None:
     base = Path(base_dir)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -93,18 +140,21 @@ def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) ->
 
     orders = rd("orders")
     okey_stride = _stride(orders, "o_orderkey")
-    wr(
-        _union_replicas(
-            orders,
-            replicas,
-            lambda d, i: d.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_stride)
-            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * cust_stride)),
-        ),
-        "orders",
-        8,
+    orders_big = _union_replicas(
+        orders,
+        replicas,
+        lambda d, i: d.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_stride)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * cust_stride)),
     )
-    print(f"[gen_scale] orders x{replicas} (stride {okey_stride})")
+    if skew:
+        # zipf the FK side only: o_orderkey keeps its stride (lineitem
+        # FK integrity), o_custkey concentrates on low ranks
+        orders_big = orders_big.withColumn(
+            "o_custkey", _zipf_key(F.col("o_orderkey"), cust_stride * replicas)
+        )
+    wr(orders_big, "orders", 8)
+    print(f"[gen_scale] orders x{replicas} (stride {okey_stride}, skew={skew})")
 
     wr(
         _union_replicas(
@@ -122,18 +172,20 @@ def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) ->
     ev = rd("events")
     ev_stride = _stride(ev, "event_id")
     user_stride = _stride(ev, "user_id")
-    wr(
-        _union_replicas(
-            ev,
-            replicas,
-            lambda d, i: d.withColumn(
-                "event_id", F.col("event_id") + F.lit(i * ev_stride)
-            ).withColumn("user_id", F.col("user_id") + F.lit(i * user_stride)),
-        ),
-        "events",
-        8,
+    ev_big = _union_replicas(
+        ev,
+        replicas,
+        lambda d, i: d.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * ev_stride)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * user_stride)),
     )
-    print(f"[gen_scale] events x{replicas}")
+    if skew:
+        # hot users: sessionize/window state concentrates on rank 1
+        ev_big = ev_big.withColumn(
+            "user_id", _zipf_key(F.col("event_id"), user_stride * replicas)
+        )
+    wr(ev_big, "events", 8)
+    print(f"[gen_scale] events x{replicas} (skew={skew})")
 
     docs = rd("documents")
     doc_stride = _stride(docs, "doc_id")
@@ -144,15 +196,33 @@ def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) ->
             if i == 0
             else F.regexp_replace("text", r"(\S+)", rf"$1_r{i}")
         )
+        new_id = F.col("doc_id") + F.lit(i * doc_stride)
+        if skew:
+            # hot family by FINAL doc_id, template deliberately
+            # UNSALTED: members share it across replicas, so the hot
+            # shingles' df grows with the corpus — the adversarial
+            # case BUCKET_CAP and the df audit exist for. The per-doc
+            # tail keeps members near- (not exact-) duplicates.
+            text = F.when(
+                F.pmod(F.xxhash64(new_id), F.lit(20)) == 0,
+                F.concat(
+                    F.lit(_HOT_TEMPLATE),
+                    F.lit(" tail"),
+                    new_id.cast("string"),
+                    F.lit(" t"),
+                    new_id.cast("string"),
+                    F.lit(" end"),
+                ),
+            ).otherwise(text)
         return d.select(
-            (F.col("doc_id") + F.lit(i * doc_stride)).alias("doc_id"),
+            new_id.alias("doc_id"),
             text.alias("text"),
             "lang",
             "source",
         ).withColumn("n_chars", F.length("text"))
 
     wr(_union_replicas(docs, replicas, doc_replica), "documents", 8)
-    print(f"[gen_scale] documents x{replicas} (token-salted)")
+    print(f"[gen_scale] documents x{replicas} (token-salted, skew={skew})")
 
     emb = rd("embeddings")
     vec_stride = _stride(emb, "vec_id")
@@ -181,28 +251,42 @@ def generate(spark: SparkSession, base_dir: str, out_dir: str, replicas: int) ->
                 F.slice("embedding", 1, rot),
             )
         )
+        new_id = F.col("vec_id") + F.lit(i * vec_stride)
+        if skew:
+            # dense cluster: 1-in-4 vectors pulled toward a fixed
+            # direction (pairwise cosine ~0.95 after normalization) —
+            # one hot cell family for the IVF quantizer and a dense
+            # block for semantic dedup
+            vec = F.when(
+                F.pmod(F.xxhash64(new_id), F.lit(4)) == 0,
+                F.transform(vec, lambda x: (x * 0.2 + 0.8 / dim).cast("float")),
+            ).otherwise(vec)
         return d.select(
-            (F.col("vec_id") + F.lit(i * vec_stride)).alias("vec_id"),
+            new_id.alias("vec_id"),
             vec.alias("embedding"),
             "label",
         )
 
     wr(_union_replicas(emb, replicas, emb_replica), "embeddings", 4)
-    print(f"[gen_scale] embeddings x{replicas} (rotated, dim={dim})")
+    print(f"[gen_scale] embeddings x{replicas} (rotated, dim={dim}, skew={skew})")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "scale_data/sf1"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        name = "sf1skew" if args.skew else "sf1"
+        args.out = str(Path(__file__).resolve().parents[1] / "scale_data" / name)
 
     from big_data_analysis_project_spark.session import get_spark
 
     spark = get_spark(app_name="gen-scale", master="local[32]")
     t0 = time.perf_counter()
-    generate(spark, args.base, args.out, args.replicas)
+    generate(spark, args.base, args.out, args.replicas, skew=args.skew)
     print(f"[gen_scale] done in {time.perf_counter() - t0:.1f}s -> {args.out}")
 
 
