@@ -962,9 +962,14 @@ KNN_K = 5
 # N_PROBE: the synthetic embeddings are near-random (max in-cluster
 # cosine ~0.47), so true neighbors scatter across cells and mean
 # recall@5 over ALL queries is probe-bound (measured at sf0.001:
-# 4 probes -> 0.57, 8 -> 0.82, 10 -> 0.90). Production embeddings
-# cluster, pushing the same curve far left; the knob is the standard
-# IVF recall/cost dial either way.
+# 4 probes -> 0.57, 8 -> 0.82, 10 -> 0.90). In the grown-k regime the
+# full curve is measured per scale and distribution by
+# tools/recall_probe.py (BENCH_SCALE.md round-7 table: isotropic
+# recall tracks ~10x the probed fraction and decays with scale;
+# clustered data holds >=0.78 at 1/3 probed —
+# tests/test_recall.py::test_knn_join_grown_k_recall_clustered).
+# Production embeddings cluster, pushing the curve far left; the knob
+# is the standard IVF recall/cost dial either way.
 KNN_PROBE = 8
 
 

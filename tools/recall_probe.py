@@ -18,7 +18,7 @@ Per sf dir (bench sf0.1, scale_data/sf1, scale_data/sf3):
   driver-side in numpy over the collected unit matrix — 60k x 64
   doubles = 30 MB at sf3, bounded by construction of the probe).
 
-Writes bench_scale_recall_raw.json (gitignored); the BENCH_SCALE.md
+Writes bench_scale_recall_raw.json (committed); the BENCH_SCALE.md
 recall section is authored from it. Never run concurrently with
 bench.py (two local[32] JVMs starve each other).
 

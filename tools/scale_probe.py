@@ -42,21 +42,30 @@ sys.path.insert(0, str(REPO))
 DEFAULT_KEYS = [
     "dedup_exact",
     "dedup_containment",
+    "dedup_ngram_dfcap",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_clusters",
     "dedup_clusters_lsh",
+    "dedup_semantic",
     "ann_cosine_topk",
     "ann_ivf",
     "ann_knn_join",
     "pack_chunks",
     "corpus_assemble",
     "window_rank",
+    "join_salted",
     "text_tokens",
     "text_contamination",
     "embed_gram",
     "sql_tpch_q1",
     "sql_tpch_q5",
     "sql_tpch_q18",
+    # streaming family (VERDICT r6 #8): availableNow micro-batch runs
+    # over the staged table files — counted like any batch key
+    "stream_sessionize",
+    "stream_hourly",
+    "stream_dedup",
 ]
 
 
@@ -76,6 +85,7 @@ def main() -> None:
     ap.add_argument("--replicas", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--out", default=str(REPO / "bench_scale_raw.json"))
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
 
@@ -178,7 +188,7 @@ def main() -> None:
                     2,
                 )
 
-    out = REPO / "bench_scale_raw.json"
+    out = Path(args.out)
     out.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
     print(json.dumps({k: v for k, v in result["keys"].items()}, sort_keys=True))
     print(f"[probe] raw -> {out}", file=sys.stderr)
