@@ -874,6 +874,130 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+# Per-vertex adjacency cap for the capped triangle tier: the wedge
+# fan-out of any vertex is bounded at CAP^2 regardless of its degree,
+# so total wedge work is <= n_vertices * CAP^2 — the BUCKET_CAP
+# analogue for triangle counting. 64 is far above every driver-scale
+# degree (exact there) while bounding a 2 400-member near-clique's
+# 2.3e9-wedge enumeration (measured 190 s at sf1skew) to ~10M.
+TRIANGLE_ADJ_CAP = 64
+
+
+@q(
+    "graph_triangles_capped",
+    """WITH pairs AS (
+"""
+    + _NGRAM_PAIR_SQL
+    + f"""
+       ),
+       e AS (SELECT doc_a, doc_b FROM pairs),
+       deg AS (SELECT v, COUNT(*) AS d FROM (
+                 SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e
+               ) GROUP BY v),
+       dir AS (SELECT
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+                      THEN e.doc_a ELSE e.doc_b END AS src,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+                      THEN e.doc_b ELSE e.doc_a END AS dst,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+                      THEN db.d ELSE da.d END AS dd
+               FROM e
+               JOIN deg da ON da.v = e.doc_a
+               JOIN deg db ON db.v = e.doc_b),
+       adj AS (SELECT src, dst, dd FROM dir
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY dd, dst)
+                       <= {TRIANGLE_ADJ_CAP})
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM adj a1
+       JOIN adj a2 ON a2.src = a1.src
+                  AND (a2.dd > a1.dd OR (a2.dd = a1.dd AND a2.dst > a1.dst))
+       JOIN adj a3 ON a3.src = a1.dst AND a3.dst = a2.dst""",
+)
+def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded triangle count: degree-ordered orientation + a
+    per-vertex adjacency cap — the scale path next to the exact
+    ``graph_triangles`` twin, the same exact-twin/capped-tier split as
+    `dedup_embedding`/`dedup_semantic`.
+
+    Degree-ordered orientation (each edge points to its higher-
+    (degree, id) endpoint — the classic triangle-enumeration trick)
+    already kills the hub-star blow-up: a zipf hub's fan-out under id
+    ordering is its full adjacency squared with zero triangles to
+    show for it, while under degree ordering the hub absorbs in-edges
+    and fans out nothing. What orientation cannot fix is a true
+    near-CLIQUE (the sf1skew hot template family: ~2 400 docs, 2.9 M
+    edges, ~2.3e9 real triangles — measured 190 s), because the
+    output itself is cubic in the clique size. The adjacency cap
+    bounds that: each vertex keeps its {TRIANGLE_ADJ_CAP} lowest-rank
+    out-neighbors, so wedge work is <= n * CAP^2 and the count becomes
+    a deterministic truncation LOWER BOUND — exact whenever every
+    out-degree is <= CAP (all driver scales: max degree there is far
+    below {TRIANGLE_ADJ_CAP}, so this key equals the exact twin and
+    stays oracle-green; the DuckDB oracle applies the identical
+    orientation + QUALIFY cap, so the hash-compare is exact at every
+    scale, capped or not).
+
+    100 TB: two shuffles on vertex keys for degrees + orientation,
+    one bounded per-src window (partition size <= degree, never the
+    corpus), then the same MERGE-hinted SMJ wedge pipeline as the
+    exact twin — no broadcast of checkpoint-backed sides (round-6
+    rule), no CartesianProduct, per-task memory O(CAP) rows."""
+    from .dedup_q import ngram_pairs_cached
+
+    e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return count_triangles_capped(e, TRIANGLE_ADJ_CAP)
+
+
+def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
+    """Degree-oriented, adjacency-capped triangle count over an edge
+    frame (doc_a < doc_b, one row per undirected edge). Exact whenever
+    every oriented out-degree is <= cap; deterministic truncation
+    lower bound otherwise. See ``graph_triangles_capped``."""
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("v").alias("doc_a"), F.col("d").alias("da")).hint("merge"),
+        "doc_a",
+    ).join(
+        deg.select(F.col("v").alias("doc_b"), F.col("d").alias("db")).hint("merge"),
+        "doc_b",
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    dird = ed.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    adj = (
+        dird.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("src").orderBy("dd", "dst")),
+        )
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a1, a2, a3 = adj.alias("a1"), adj.alias("a2"), adj.alias("a3")
+    wedges = a1.hint("merge").join(
+        a2.hint("merge"),
+        (F.col("a2.src") == F.col("a1.src"))
+        & (
+            (F.col("a2.dd") > F.col("a1.dd"))
+            | ((F.col("a2.dd") == F.col("a1.dd")) & (F.col("a2.dst") > F.col("a1.dst")))
+        ),
+    )
+    closed = wedges.join(
+        a3.hint("merge"),
+        (F.col("a3.src") == F.col("a1.dst")) & (F.col("a3.dst") == F.col("a2.dst")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 # --- incremental ingest / skew profiling -------------------------------
 
 

@@ -431,3 +431,71 @@ def test_dedup_embedding_refuses_corpus_sized_block(spark, tmp_path):
     assert dedup_embedding(spark, str(tmp_path), block_cap=0).count() >= 0
     # default cap passes any driver/bench-scale block untouched
     assert dedup_embedding(spark, str(tmp_path)).count() >= 0
+
+
+# --- capped triangle counting ------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a bigint, doc_b bigint"
+    )
+
+
+def _exact_triangles(pairs):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for x, y, z in combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+
+
+def test_triangles_capped_star_plus_clique(spark):
+    """Orientation + cap contract on a composite graph: a hub star
+    (zipf hot vertex, zero triangles — the case degree orientation
+    exists for) glued to a clique and a few chained triangles. With
+    cap above every degree the count is EXACT."""
+    from big_data_analysis_project_spark.registry.extended_q import (
+        count_triangles_capped,
+    )
+
+    star = [(0, h) for h in range(100, 160)]  # hub 0, 60 leaves
+    clique = [(a, b) for a in range(10, 18) for b in range(a + 1, 18)]
+    chain = [(200, 201), (201, 202), (200, 202), (202, 203), (203, 204), (202, 204)]
+    pairs = star + clique + chain
+    got = count_triangles_capped(_edges_df(spark, pairs), cap=64).collect()[0][0]
+    assert got == _exact_triangles(pairs)  # C(8,3) + 2 = 58
+
+
+def test_triangles_capped_truncation_bound(spark):
+    """Cap below the clique degree: the count is a deterministic LOWER
+    bound, monotone in cap, and recovers exactness once cap >= max
+    out-degree — the documented BUCKET_CAP-style contract."""
+    from big_data_analysis_project_spark.registry.extended_q import (
+        count_triangles_capped,
+    )
+
+    c = 12
+    pairs = [(a, b) for a in range(c) for b in range(a + 1, c)]
+    exact = _exact_triangles(pairs)
+    e = _edges_df(spark, pairs)
+    counts = [
+        count_triangles_capped(e, cap).collect()[0][0] for cap in (3, 6, c - 1)
+    ]
+    assert counts[-1] == exact  # cap >= max oriented out-degree -> exact
+    assert counts == sorted(counts)  # monotone in cap
+    assert all(0 < n <= exact for n in counts)
+
+
+def test_triangles_capped_matches_exact_twin(spark):
+    """At driver scales every degree is far below TRIANGLE_ADJ_CAP, so
+    the capped tier must be bit-equal to the exact wedge-join twin."""
+    ex = QUERIES["graph_triangles"](spark, SF_SMOKE).collect()[0][0]
+    cp = QUERIES["graph_triangles_capped"](spark, SF_SMOKE).collect()[0][0]
+    assert ex == cp

@@ -96,3 +96,56 @@ def test_gen_scale_structure(spark, tmp_path_factory):
         .count()
         == 0
     )
+
+
+def test_gen_scale_skew_structure(spark, tmp_path_factory):
+    """--skew contract (VERDICT r6 #4): same sizes as the uniform twin,
+    but zipf fact keys, one hot near-dup document family, and a dense
+    embedding cluster — each pinned black-box so the skew probe's
+    'cost of skew' ratios measure the operators, not generator drift."""
+    out = tmp_path_factory.mktemp("genskew")
+    from gen_scale import generate
+
+    generate(spark, SF_SMOKE, str(out), REPLICAS, skew=True)
+    rd = lambda t: spark.read.parquet(str(out / f"{t}.parquet"))  # noqa: E731
+    base = lambda t: spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")  # noqa: E731
+
+    # sizes match the uniform twin exactly — skew changes values only
+    for t in ("orders", "events", "documents", "embeddings"):
+        assert rd(t).count() == REPLICAS * base(t).count(), t
+
+    # zipf o_custkey: hottest key carries a real share (zipf(1) rank-1
+    # share ~ 1/H_n >> uniform 1/n) and every key stays a valid FK rank
+    orders = rd("orders")
+    n = orders.count()
+    cust_stride = base("customer").agg(F.max("c_custkey")).collect()[0][0] + 1
+    top = (
+        orders.groupBy("o_custkey").count()
+        .orderBy(F.desc("count")).first()
+    )
+    assert top["count"] / n >= 0.04, "zipf hot key share too small"
+    lo, hi = orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    assert lo >= 1 and hi <= cust_stride * REPLICAS
+
+    # hot doc family: ~1/20 of docs share the template's shingles but
+    # are pairwise DISTINCT texts (near-dups, not exact dups)
+    docs = rd("documents")
+    hot = docs.filter(F.col("text").startswith("this content is provided"))
+    share = hot.count() / docs.count()
+    assert 0.02 <= share <= 0.10, f"hot family share {share:.3f}"
+    assert hot.select("text").distinct().count() == hot.count()
+
+    # dense embedding cluster: ~1/4 of vectors pulled toward a fixed
+    # direction (cosine to all-ones ~1); the uniform twin has none
+    emb = rd("embeddings").select(F.col("embedding").cast("array<double>").alias("e"))
+    dot1 = F.aggregate("e", F.lit(0.0), lambda a, x: a + x)
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    dim = len(base("embeddings").select("embedding").first()[0])
+    cos1 = dot1 / (norm * F.sqrt(F.lit(float(dim))))
+    dense_share = emb.filter(cos1 > 0.9).count() / emb.count()
+    assert 0.15 <= dense_share <= 0.35, f"dense cluster share {dense_share:.3f}"
+
+    # zipf event users: hottest user concentrates session/window state
+    ev = rd("events")
+    top_u = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert top_u["count"] / ev.count() >= 0.04

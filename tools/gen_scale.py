@@ -253,13 +253,18 @@ def generate(
         )
         new_id = F.col("vec_id") + F.lit(i * vec_stride)
         if skew:
-            # dense cluster: 1-in-4 vectors pulled toward a fixed
-            # direction (pairwise cosine ~0.95 after normalization) —
-            # one hot cell family for the IVF quantizer and a dense
-            # block for semantic dedup
+            # dense cluster: 1-in-4 vectors pulled toward the all-ones
+            # DIRECTION: v = 0.2*x + 0.8*(1/sqrt(dim))*ones. Source
+            # embeddings are zero-centered unit vectors, so pairwise
+            # cos among pulled ~ 0.8^2/(0.2^2+0.8^2) ~ 0.94 — one hot
+            # cell family for the IVF quantizer and a dense block for
+            # semantic dedup. (0.8/dim — a constant, not the unit
+            # direction — gave cos ~0.2: no adversary at all.)
             vec = F.when(
                 F.pmod(F.xxhash64(new_id), F.lit(4)) == 0,
-                F.transform(vec, lambda x: (x * 0.2 + 0.8 / dim).cast("float")),
+                F.transform(
+                    vec, lambda x: (x * 0.2 + 0.8 * dim**-0.5).cast("float")
+                ),
             ).otherwise(vec)
         return d.select(
             new_id.alias("vec_id"),
