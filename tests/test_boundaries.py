@@ -499,3 +499,33 @@ def test_triangles_capped_matches_exact_twin(spark):
     ex = QUERIES["graph_triangles"](spark, SF_SMOKE).collect()[0][0]
     cp = QUERIES["graph_triangles_capped"](spark, SF_SMOKE).collect()[0][0]
     assert ex == cp
+
+
+def test_stage_table_files_relative_dir(tmp_path):
+    """Staging must survive a RELATIVE sf_dir: symlink targets are
+    resolved to absolute paths, otherwise every link re-resolves
+    against the /tmp staging dir and silently dangles (round-7 probe:
+    all stream keys read 0 rows under a repo-relative data dir)."""
+    import os
+
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        _stage_table_files,
+    )
+
+    table = tmp_path / "data" / "events.parquet"
+    table.mkdir(parents=True)
+    for i in range(3):
+        (table / f"part-{i}.parquet").write_bytes(b"PAR1")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        _stage_table_files(stage, "data", "events")
+    finally:
+        os.chdir(cwd)
+    links = sorted(stage.iterdir())
+    assert len(links) == 3
+    for ln in links:
+        assert ln.is_symlink() and ln.resolve().is_file(), ln
+        assert ln.read_bytes() == b"PAR1"
