@@ -128,7 +128,9 @@ QUERIES = {
 }
 
 
-def warm_shared_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def warm_shared_artifacts(
+    spark: SparkSession, sf_dir: str, skip: frozenset[str] = frozenset()
+) -> dict[str, float]:
     """Pre-materialize every session-memoized corpus-snapshot artifact
     and return per-artifact build seconds (VERDICT r5 #2: the bench
     previously charged each artifact to whichever key touched it
@@ -139,7 +141,16 @@ def warm_shared_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     Order matters only for attribution *within* this dict: evidence
     consumes shingles, the IVF model consumes unit vectors, so each
-    entry's time is the marginal cost given its predecessors."""
+    entry's time is the marginal cost given its predecessors.
+
+    ``skip``: artifact names to leave cold — for probes whose key list
+    does not consume them. Exists because the UNCAPPED exact-evidence
+    build is quadratic in a hot near-dup family by declared contract
+    (dedup_q.shingle_evidence_cached): at sf3skew's 7 200-doc family
+    it needs ~1.45e9 join rows and a ~64 g heap, and a probe of the
+    CAPPED tiers must not pay (or die on) a bill none of its keys
+    incur. bench.py never passes skip — the full registry consumes
+    everything."""
     import time
 
     builders = [
@@ -174,6 +185,8 @@ def warm_shared_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     ]
     out: dict[str, float] = {}
     for name, build in builders:
+        if name in skip:
+            continue
         t0 = time.perf_counter()
         build()
         out[name] = round(time.perf_counter() - t0, 3)

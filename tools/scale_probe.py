@@ -86,6 +86,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument("--out", default=str(REPO / "bench_scale_raw.json"))
+    ap.add_argument(
+        "--skip-warm",
+        default="",
+        help="comma-separated shared-artifact names to leave cold "
+        "(e.g. shingle_evidence,ngram_pairs when probing only capped "
+        "tiers on a hot-family corpus where the uncapped exact "
+        "evidence build is quadratic by contract)",
+    )
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
 
@@ -106,7 +114,9 @@ def main() -> None:
     for tag, sf_dir in (("base", args.base), ("big", args.big)):
         spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet")).count()  # warm
         t0 = time.perf_counter()
-        shared = warm_shared_artifacts(spark, sf_dir)
+        shared = warm_shared_artifacts(
+            spark, sf_dir, skip=frozenset(s for s in args.skip_warm.split(",") if s)
+        )
         shared["_total_first_build"] = round(time.perf_counter() - t0, 3)
         result["shared"][tag] = shared
         print(f"[probe] {tag} shared: {shared}", file=sys.stderr)
@@ -153,7 +163,11 @@ def main() -> None:
         print(f"[probe] {tag} knn const-cell k={k_const}: {t_lever}s",
               file=sys.stderr)
 
-        # distributed CC vs the gated default on the SAME edge set
+        # distributed CC vs the gated default on the SAME edge set —
+        # skipped when the evidence family is deliberately left cold
+        # (the edge list IS the uncapped quadratic artifact)
+        if {"shingle_evidence", "ngram_pairs"} & set(args.skip_warm.split(",")):
+            continue
         edges = ngram_pairs_cached(spark, sf_dir)
         n_edges = edges.count()
         t_dist = time_min(
