@@ -580,3 +580,18 @@ def test_distributed_cc_loop_joins_are_sort_merge(spark):
     plan = _plan(spark, msgs)
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_triangles_capped_plan_shape(spark):
+    """The capped triangle tier's scale contract, pinned in the plan:
+    the per-vertex adjacency cap must compile to WindowGroupLimit
+    (Catalyst's partial+final rank-limit pushdown — the cap applies
+    MAP-SIDE, so a hot vertex's adjacency never fully shuffles), the
+    wedge pipeline must stay SortMergeJoin (all sides derive from the
+    checkpoint-backed edge artifact whose stats misreport as tiny),
+    and the per-src window must never degrade to a partition-less
+    global sort."""
+    plan = _plan(spark, QUERIES["graph_triangles_capped"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
