@@ -254,9 +254,14 @@ def shingle_df_profile(sh: DataFrame) -> dict:
             F.count(F.lit(1)).alias("n_shingles"),
             F.max("df").alias("max_df"),
             F.expr("percentile_approx(df, 0.99)").alias("p99_df"),
-            F.floor(F.sum(F.col("df") * (F.col("df") - 1) / 2))
-            .cast("bigint")
-            .alias("pairs_bound"),
+            # pure int64 arithmetic (ADVICE r7): df*(df-1) summed as
+            # bigint, halved by shift (each term is even, so the sum
+            # is even and the shift is exact division) — a double
+            # SUM loses integer exactness past 2^53, precisely the
+            # huge-corpus regime this audit exists to price
+            F.shiftright(
+                F.sum(F.col("df").cast("bigint") * (F.col("df") - 1)), 1
+            ).alias("pairs_bound"),
         )
         .collect()[0]
     )

@@ -378,7 +378,19 @@ def train_ivf_centroids_mllib(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = unit.select(array_to_vector(F.col("v")).alias("features"))
+    # Deterministic INPUT PARTITIONING before the fit (ADVICE r7):
+    # k-means|| init samples per partition, so a fixed seed alone only
+    # pins the model given identical partitioning — the same corpus
+    # read with a different split count (other host, other
+    # maxPartitionBytes) would train a different model and grown-k
+    # consumers (ann_knn_join, dedup_semantic) would emit different
+    # rows across hosts. Hash-repartitioning by vec_id to a fixed
+    # count makes (corpus, seed) -> model a pure function, matching
+    # the hash-sample determinism of the driver-Lloyd trainer.
+    feat = (
+        unit.repartition(32, "vec_id")
+        .select(array_to_vector(F.col("v")).alias("features"))
+    )
     model = KMeans(
         k=k, maxIter=iters, seed=seed, featuresCol="features"
     ).fit(feat)

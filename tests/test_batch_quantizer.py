@@ -69,6 +69,25 @@ def test_mllib_path_engages_past_driver_cap(spark, tmp_path, monkeypatch):
     assert S.batch_centroids_cached(spark, str(tmp_path)) == got
 
 
+def test_mllib_retrain_deterministic_across_input_partitioning(spark, tmp_path):
+    """ADVICE r7: k-means|| init samples per partition, so seed alone
+    pins the model only GIVEN identical partitioning. The trainer
+    hash-repartitions by vec_id to a fixed count before the fit, so
+    the same corpus arriving with any upstream split count must train
+    the IDENTICAL model — the end-to-end determinism every other
+    trainer in the repo already has."""
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        train_ivf_centroids_mllib,
+        unit_vectors_cached,
+    )
+
+    _write_embeddings(spark, tmp_path, 600)
+    unit = unit_vectors_cached(spark, str(tmp_path))
+    a = train_ivf_centroids_mllib(unit.repartition(7), k=8)
+    b = train_ivf_centroids_mllib(unit.repartition(13), k=8)
+    assert a == b
+
+
 def test_mllib_model_matches_driver_lloyd_recall_class(spark, tmp_path):
     """Equivalence at a checked scale: the SAME corpus quantized by
     driver-Lloyd and by the distributed MLlib trainer must put

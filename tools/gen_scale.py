@@ -119,6 +119,25 @@ def generate(
         "overwrite"
     ).parquet(str(out / f"{t}.parquet"))
 
+    # validate replicas against the embedding dim BEFORE writing any
+    # table (ADVICE r7): the rotation-wrap refusal used to fire only
+    # when the embeddings table was reached, after six tables had
+    # already been written — leaving a partially generated out dir
+    dim = len(rd("embeddings").select("embedding").first()[0])
+    if replicas > dim:
+        # rotation is circular: replica i and i+dim would carry
+        # byte-identical vectors, and those cross-replica EXACT
+        # duplicates quadratically inflate ANN/dedup pair counts —
+        # the probe would measure the generator's blow-up, not the
+        # operator's scaling (ADVICE r6 #2). Refuse rather than
+        # silently corrupt the measurement.
+        raise ValueError(
+            f"replicas={replicas} > embedding dim={dim}: circular "
+            "rotation wraps to identity, creating cross-replica exact "
+            "duplicate vectors; use <= dim replicas (or compose a "
+            "second transform before scaling further)"
+        )
+
     for t in COPY_TABLES:
         rd(t).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
         print(f"[gen_scale] copied {t}")
@@ -226,20 +245,6 @@ def generate(
 
     emb = rd("embeddings")
     vec_stride = _stride(emb, "vec_id")
-    dim = len(emb.select("embedding").first()[0])
-    if replicas > dim:
-        # rotation is circular: replica i and i+dim would carry
-        # byte-identical vectors, and those cross-replica EXACT
-        # duplicates quadratically inflate ANN/dedup pair counts —
-        # the probe would measure the generator's blow-up, not the
-        # operator's scaling (ADVICE r6 #2). Refuse rather than
-        # silently corrupt the measurement.
-        raise ValueError(
-            f"replicas={replicas} > embedding dim={dim}: circular "
-            "rotation wraps to identity, creating cross-replica exact "
-            "duplicate vectors; use <= dim replicas (or compose a "
-            "second transform before scaling further)"
-        )
 
     def emb_replica(d: DataFrame, i: int) -> DataFrame:
         rot = i % dim

@@ -69,6 +69,59 @@ DEFAULT_KEYS = [
 ]
 
 
+# Lazy cached-artifact dependencies per registry key (TRANSITIVE:
+# ngram_pairs is built FROM shingle_evidence, which is built from
+# shingles — skipping any ancestor leaves every descendant's consumer
+# exposed). Keys not listed consume none of the skippable artifacts.
+# Used to auto-drop keys whose deps intersect --skip-warm (ADVICE r7:
+# previously only the CC section was gated, so e.g. dedup_containment
+# would lazily trigger the uncapped quadratic evidence build INSIDE
+# its timed run — paying, or OOMing on, exactly the bill skip-warm
+# exists to avoid).
+_EVIDENCE = {"shingles", "shingle_evidence"}
+_PAIRS = _EVIDENCE | {"ngram_pairs"}
+KEY_ARTIFACT_DEPS: dict[str, set] = {
+    "dedup_containment": _EVIDENCE,
+    "dedup_ngram_jaccard": _PAIRS,
+    "dedup_clusters": _PAIRS,
+    "dedup_keep_best": _PAIRS,
+    "graph_degree": _PAIRS,
+    "graph_triangles": _PAIRS,
+    "graph_triangles_capped": _PAIRS,
+    "graph_pagerank": _PAIRS,
+    "dedup_exact": set(),  # hash-groupBy only — listed to be explicit
+    "dedup_ngram_dfcap": {"shingles"},
+    "dedup_incremental": {"shingles"},
+    "dedup_mllib_minhash": {"shingles"},
+    "dedup_minhash_lsh": {"shingles", "minhash_pairs"},
+    "dedup_clusters_lsh": {"shingles", "minhash_pairs"},
+    "dedup_simhash": set(),  # own fingerprint kernel, no shingle index
+    "dedup_semantic": {"unit_vectors", "batch_model"},
+    "ann_cosine_topk": {"unit_vectors"},
+    "ann_ivf": {"unit_vectors", "ivf_model"},
+    "ann_knn_join": {"unit_vectors", "batch_model"},
+}
+
+
+def filter_keys_for_skip(keys: list, skip: set) -> list:
+    """Drop keys whose lazy cached-artifact deps intersect the
+    skip-warm set, warning loudly per drop — running them would
+    trigger the skipped build inside the timed run anyway."""
+    kept = []
+    for k in keys:
+        hit = KEY_ARTIFACT_DEPS.get(k, set()) & skip
+        if hit:
+            print(
+                f"[probe] DROPPING {k}: consumes skipped artifact(s) "
+                f"{sorted(hit)} — it would lazily trigger the build "
+                "skip-warm left cold (drop --skip-warm to run it)",
+                file=sys.stderr,
+            )
+        else:
+            kept.append(k)
+    return kept
+
+
 def time_min(fn, reps: int) -> float:
     best = float("inf")
     for _ in range(reps):
@@ -96,6 +149,9 @@ def main() -> None:
     )
     args = ap.parse_args()
     keys = [k for k in args.keys.split(",") if k]
+    skip_set = {s for s in args.skip_warm.split(",") if s}
+    if skip_set:
+        keys = filter_keys_for_skip(keys, skip_set)
 
     import __spark_entry__ as E
     from big_data_analysis_project_spark.operators.graphs import connected_components
@@ -115,7 +171,7 @@ def main() -> None:
         spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet")).count()  # warm
         t0 = time.perf_counter()
         shared = warm_shared_artifacts(
-            spark, sf_dir, skip=frozenset(s for s in args.skip_warm.split(",") if s)
+            spark, sf_dir, skip=frozenset(skip_set)
         )
         shared["_total_first_build"] = round(time.perf_counter() - t0, 3)
         result["shared"][tag] = shared
@@ -166,7 +222,7 @@ def main() -> None:
         # distributed CC vs the gated default on the SAME edge set —
         # skipped when the evidence family is deliberately left cold
         # (the edge list IS the uncapped quadratic artifact)
-        if {"shingle_evidence", "ngram_pairs"} & set(args.skip_warm.split(",")):
+        if {"shingles", "shingle_evidence", "ngram_pairs"} & skip_set:
             continue
         edges = ngram_pairs_cached(spark, sf_dir)
         n_edges = edges.count()
