@@ -30,6 +30,7 @@ against the exact-Jaccard oracle at sf0.001.
 
 from __future__ import annotations
 
+import os
 import sys
 import warnings
 
@@ -237,6 +238,20 @@ _EVIDENCE_CACHE: dict = {}
 # honest near-dup signal at NGRAM=3 and far below where the join hurts.
 _DF_WARN = 512
 
+# Refusal budget for the UNCAPPED exact evidence build (VERDICT r7
+# #4): pairs_bound above this raises instead of warn-and-proceed —
+# measured at sf3skew the uncapped build is 189 s and needs a 64 g
+# heap (14 task OOMs on the default), a bill that must not be payable
+# by accident. 2.5e8 candidate pairs clears every measured legitimate
+# scale (pairs_bound measured r8: sf0.1 1.3e6, sf1 1.27e7, sf3 3.8e7,
+# sf1skew 8.19e7 — the last built fine on the default heap in the r7
+# full-registry run) and refuses the sf3skew regime (6.93e8).
+# Deliberate oracle/probe runs override via
+# SPARK_GRAFT_EVIDENCE_PAIRS_CAP (an integer; 0 = unlimited) — env,
+# not an arg, because the build fires lazily underneath registry keys
+# whose driver-called signature is fixed at (spark, sf_dir).
+EVIDENCE_PAIRS_BUDGET = 250_000_000
+
 
 def shingle_df_profile(sh: DataFrame) -> dict:
     """One-aggregation audit of the shingle document-frequency
@@ -304,6 +319,28 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the oracle surface and stays uncapped by contract.
         profile = shingle_df_profile(sh)
         print(f"[shingle_evidence] df profile {sf_dir}: {profile}", file=sys.stderr)
+        # PROBE-AND-REFUSE above the pair budget (VERDICT r7 #4): the
+        # audit already computed the exact pre-aggregation row count
+        # of the self-join; past the budget the build refuses with the
+        # bounded tiers named, instead of warning and then detonating
+        # (the warn-only path let a 189 s / 64 g build start by
+        # accident at sf3skew). Env override for deliberate oracle
+        # runs, read at BUILD time so a probe can flip it per run.
+        env_cap = os.environ.get("SPARK_GRAFT_EVIDENCE_PAIRS_CAP")
+        budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
+        if budget and profile["pairs_bound"] > budget:
+            raise ValueError(
+                f"shingle_evidence: the exact inverted-index self-join "
+                f"would generate {profile['pairs_bound']} candidate "
+                f"pairs (> budget {budget}; max_df="
+                f"{profile['max_df']}) — boilerplate-heavy corpus, the "
+                "uncapped build is quadratic in shingle df by declared "
+                "contract. Route near-dup through dedup_ngram_dfcap "
+                "(df-capped evidence, precision-1 lower-bound Jaccard) "
+                "or dedup_minhash_lsh (banded, BUCKET_CAP), or set "
+                "SPARK_GRAFT_EVIDENCE_PAIRS_CAP=0 (unlimited) for a "
+                "deliberate oracle run."
+            )
         if profile["max_df"] > _DF_WARN:
             warnings.warn(
                 f"shingle df audit: max_df={profile['max_df']} (> {_DF_WARN}) "

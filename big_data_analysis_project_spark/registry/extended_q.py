@@ -836,7 +836,9 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN e xz ON xz.doc_a = xy.doc_a AND xz.doc_b > xy.doc_b
        JOIN e yz ON yz.doc_a = xy.doc_b AND yz.doc_b = xz.doc_b""",
 )
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangles(
+    spark: SparkSession, sf_dir: str, wedge_cap: int | None = None
+) -> DataFrame:
     """Triangle count over the near-dup similarity graph — the density
     probe that tells CLIQUE boilerplate (template families, where
     transitive dedup is safe) from CHAIN drift (A~B~C with A!~C, where
@@ -856,10 +858,49 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_triangles_capped`` (degree-ordered orientation + per-
     vertex adjacency cap: 4.3 s on the same graph, bit-equal to this
     key at every driver scale). Rides the per-snapshot memoized pair
-    list like the other graph consumers."""
+    list like the other graph consumers.
+
+    WEDGE-WORK GUARD (VERDICT r7 #1): before planning the join, one
+    cheap aggregation over the (already-checkpointed) edge artifact
+    computes the EXACT row count of the wedge join — the edges arrive
+    id-oriented, so it is sum over doc_a of outdeg*(outdeg-1)/2, not
+    an estimate. Above ``TRIANGLE_WEDGE_BUDGET`` (override via
+    ``wedge_cap``; 0 = unlimited for a deliberate oracle run) the key
+    REFUSES with the capped tier named — the same probe-and-refuse
+    discipline as dedup_embedding's block guard, so the declared-cubic
+    exact twin cannot silently burn hours on a clique-bearing corpus
+    (measured: sf1skew's 2 400-doc family is ~2.3e9 wedges / 153 s;
+    sf3skew's ~6.2e10 wedges would be hours). Every driver/bench/
+    uniform-probe scale passes untouched (sf3 uniform is 7 680 edges
+    -> well under 1e6 wedges)."""
     from .dedup_q import ngram_pairs_cached
 
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    cap = TRIANGLE_WEDGE_BUDGET if wedge_cap is None else wedge_cap
+    if cap:
+        # int64 throughout (same discipline as shingle_df_profile):
+        # each outdeg*(outdeg-1) term is even, so the shift is exact
+        wedges = (
+            e.groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.shiftright(
+                    F.sum(F.col("d").cast("bigint") * (F.col("d") - 1)), 1
+                )
+            )
+            .collect()[0][0]
+            or 0
+        )
+        if wedges > cap:
+            raise ValueError(
+                f"graph_triangles: the id-oriented wedge join would "
+                f"enumerate {wedges} wedge rows (> wedge budget {cap}); "
+                "the exact twin is output-cubic in the largest near-"
+                "clique by declared contract. Use graph_triangles_capped "
+                "(degree-ordered orientation + adjacency cap, exact "
+                "whenever every oriented out-degree <= cap) or pass "
+                "wedge_cap=0 for a deliberate oracle run."
+            )
     # merge hints: all three sides are the edge-list artifact, whose
     # checkpoint-backed stats misreport as tiny (round-6 scale-probe
     # finding) — statically broadcasting the FULL edge list is exactly
@@ -877,6 +918,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
+
+# Wedge budget for the EXACT triangle twin's probe-and-refuse guard:
+# 2e8 wedge-join rows is ~15 s of local join work — an order above any
+# uniform-corpus probe scale (sf3: 7 680 edges, < 1e6 wedges) and an
+# order below the sf1skew clique (~2.3e9 wedges, 153 s) whose silent
+# burn the guard exists to stop.
+TRIANGLE_WEDGE_BUDGET = 200_000_000
 
 # Per-vertex adjacency cap for the capped triangle tier: the wedge
 # fan-out of any vertex is bounded at CAP^2 regardless of its degree,

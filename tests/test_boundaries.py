@@ -433,6 +433,34 @@ def test_dedup_embedding_refuses_corpus_sized_block(spark, tmp_path):
     assert dedup_embedding(spark, str(tmp_path)).count() >= 0
 
 
+def test_shingle_evidence_refuses_above_pair_budget(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #4: the uncapped exact evidence build now REFUSES
+    (not warn-and-proceed) when the df audit's exact pair bound
+    exceeds the budget, naming the bounded tiers; the
+    SPARK_GRAFT_EVIDENCE_PAIRS_CAP env override (0 = unlimited) is the
+    deliberate-oracle escape hatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(3)]
+    rows.append((9, "zeta eta theta iota kappa", "en", "t"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+    with pytest.raises(ValueError, match="dedup_ngram_dfcap"):
+        D.shingle_evidence_cached(spark, str(tmp_path)).count()
+    # deliberate oracle run: env override disables the budget
+    monkeypatch.setenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", "0")
+    assert D.shingle_evidence_cached(spark, str(tmp_path)).count() > 0
+
+
 # --- capped triangle counting ------------------------------------------
 
 
@@ -491,6 +519,25 @@ def test_triangles_capped_truncation_bound(spark):
     assert counts[-1] == exact  # cap >= max oriented out-degree -> exact
     assert counts == sorted(counts)  # monotone in cap
     assert all(0 < n <= exact for n in counts)
+
+
+def test_graph_triangles_refuses_above_wedge_budget(spark):
+    """VERDICT r7 #1: the declared-cubic exact twin computes the exact
+    wedge-join row count from the id-oriented out-degree distribution
+    (one agg over the checkpointed edge artifact) and REFUSES above
+    the budget, naming the capped tier; wedge_cap=0 is the deliberate
+    oracle override and the default budget passes every driver scale
+    untouched (SF_SMOKE has 5 wedges vs a 2e8 budget)."""
+    import pytest
+
+    from big_data_analysis_project_spark.registry.extended_q import graph_triangles
+
+    with pytest.raises(ValueError, match="graph_triangles_capped"):
+        graph_triangles(spark, SF_SMOKE, wedge_cap=1).count()
+    # deliberate oracle run: guard disabled, the join executes
+    assert graph_triangles(spark, SF_SMOKE, wedge_cap=0).count() == 1
+    # default budget: driver scales pass untouched
+    assert graph_triangles(spark, SF_SMOKE).count() == 1
 
 
 def test_triangles_capped_matches_exact_twin(spark):
