@@ -19,6 +19,8 @@ work on model-sized data; only assignment touches the corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -294,7 +296,11 @@ _TRAIN_SAMPLE_TARGET = 2_000
 # (4 points/cell => k > 12 500 => n > 1.56 M vectors) trains its
 # quantizer DISTRIBUTED instead (train_ivf_centroids_mllib) — nothing
 # corpus-sized ever crosses the driver regardless of scale.
-_DRIVER_SAMPLE_CAP = 50_000
+# SPARK_GRAFT_DRIVER_SAMPLE_CAP overrides (VERDICT r7 #2): the probe
+# scales top out at 60 k vectors, so exercising the distributed
+# trainer in a MEASURED run (not just the lowered-cap unit test)
+# requires forcing the handoff below its natural n ~ 1.56 M threshold.
+_DRIVER_SAMPLE_CAP = int(os.environ.get("SPARK_GRAFT_DRIVER_SAMPLE_CAP", 50_000))
 
 
 def train_ivf_centroids(

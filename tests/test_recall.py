@@ -716,7 +716,12 @@ def _knn_recall(spark, sf_dir, n_probe):
     x = np.asarray([r.v for r in rows], dtype=np.float64)
     xe6 = np.floor(x * 1_000_000).astype(np.int64)
     s = xe6 @ xe6.T // 1_000_000
-    np.fill_diagonal(s, np.iinfo(np.int64).min)
+    # min+1, NOT min: argsort(-s) negates and -int64_min overflows
+    # back to int64_min, sorting self FIRST into every true set and
+    # capping measured recall at (k-1)/k = 0.8 — the round-7 bug that
+    # deflated every recall floor (the old 0.78 clustered "floor" was
+    # ~0.98 real recall squashed against the 0.8 cap)
+    np.fill_diagonal(s, np.iinfo(np.int64).min + 1)
     true = {
         ids[i]: {ids[j] for j in np.argsort(-s[i], kind="stable")[:KNN_K]}
         for i in range(len(ids))
@@ -737,31 +742,44 @@ def test_knn_join_grown_k_recall_clustered(spark, tmp_path):
     true neighbors live in the query's own cluster, so recall stays
     high even though only ~1/3 of cells are probed. This is the pinned
     floor for the adaptive quantizer's operating regime; the isotropic
-    floor below documents the worst case."""
+    floor below documents the worst case.
+
+    Floor raised 0.78 -> 0.95 in round 8: the old exact baseline
+    negated an int64_min self-sentinel (overflow — self sorted FIRST
+    into every true set), capping measured recall at 4/5; the real
+    clustered recall was ~1.0 squashed to ~0.80 against that cap."""
     _write_clustered_embeddings(spark, tmp_path, 3000)
     cells, recall = _knn_recall(spark, str(tmp_path), n_probe=8)
     assert cells == 24  # grown-k engaged, not the fixed-k delegation
-    assert recall >= 0.78, f"clustered grown-k recall {recall:.3f} < 0.78"
+    assert recall >= 0.95, f"clustered grown-k recall {recall:.3f} < 0.95"
 
 
 def test_knn_join_grown_k_recall_isotropic_floor(spark, tmp_path):
-    """The grown-k worst case: near-isotropic vectors, where blocked
-    recall cannot beat ~the probed corpus fraction by much (measured
-    in BENCH_SCALE.md at sf1/sf3: 0.25/0.17 at 8 probes). At k=24
-    cells / 8 probes (1/3 probed) the floor is well above fraction —
-    locality exists even here — but far under the clustered pin."""
+    """The grown-k worst case: genuinely isotropic vectors — zero-
+    centered per-coordinate HASH values, no lattice structure. (The
+    round-7 version used ``(id*p mod 97)/98``, which repeats every 97
+    ids: ~31 distinct vectors each duplicated ~31x, so the corpus was
+    secretly duplicate-heavy, and its low measured "floor" of 0.35 was
+    entirely the int64_min self-sentinel overflow described above —
+    with the baseline fixed, that degenerate corpus scores a
+    meaningless 1.0.) At k=24 cells / 8 probes (1/3 of cells probed,
+    dim 16, n 3000) the honest measured recall is ~0.93: locality
+    exists even without clusters at this dim/density, but the margin
+    over the probed fraction shrinks with scale (BENCH_SCALE.md's
+    sf1/sf3 rows are the large-scale version of this number)."""
     import pyspark.sql.functions as F
 
     spark.range(3000).select(
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(16)),
-            lambda p: ((F.pmod(F.col("id") * p, F.lit(97)) + 1) / 98.0).cast(
-                "float"
-            ),
+            lambda p: (
+                (F.pmod(F.xxhash64(F.col("id"), p), F.lit(2001)) - 1000)
+                / 1000.0
+            ).cast("float"),
         ).alias("embedding"),
         F.lit(0).alias("label"),
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     cells, recall = _knn_recall(spark, str(tmp_path), n_probe=8)
     assert cells == 24
-    assert recall >= 0.35, f"isotropic grown-k recall {recall:.3f} < 0.35"
+    assert recall >= 0.85, f"isotropic grown-k recall {recall:.3f} < 0.85"

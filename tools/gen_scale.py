@@ -53,8 +53,21 @@ twin of the uniform scale-up (out dir default scale_data/sf1skew):
 All transforms are hash-derived column expressions — deterministic,
 no RNG, same reproducibility contract as the uniform generator.
 
+``--clustered`` (VERDICT r7 #5) replaces the embedding distribution
+with the regime IVF actually assumes: EVERY vector is pulled toward
+one of ``_N_PLANTED`` planted unit directions (coordinate basis
+vectors — exactly orthogonal, so inter-cluster cosine ~ 0 while
+within-cluster cosine ~ 0.94), cluster assigned by vec_id hash. The
+previous recall floors were pinned either on isotropic corpora (no
+structure — recall necessarily tracks the probed fraction) or a
+24 %-cluster skew corpus; this mode produces a FULLY clustered corpus
+at scale so recall_probe can measure the clustered-regime floor at
+>= 20 k vectors. Only the embeddings table differs from the uniform
+scale-up; mutually exclusive with --skew (one adversary per corpus,
+or the measurement explains nothing).
+
 Usage: python tools/gen_scale.py [--base /root/testdata/sf0.1]
-           [--out scale_data/sf1] [--replicas 10] [--skew]
+           [--out scale_data/sf1] [--replicas 10] [--skew|--clustered]
 """
 
 from __future__ import annotations
@@ -103,6 +116,13 @@ _HOT_TEMPLATE = (
     "particular purpose and"
 )
 
+# planted cluster count for --clustered: <= embedding dim (centers are
+# coordinate basis vectors, pairwise-orthogonal by construction); 48
+# of 64 keeps centers exactly orthogonal while giving ~n/48 members
+# per cluster (~417 at sf1 — far above KNN_K, the regime where a
+# query's true neighbors all share its cluster)
+_N_PLANTED = 48
+
 
 def generate(
     spark: SparkSession,
@@ -110,7 +130,14 @@ def generate(
     out_dir: str,
     replicas: int,
     skew: bool = False,
+    clustered: bool = False,
 ) -> None:
+    if skew and clustered:
+        raise ValueError(
+            "--skew and --clustered are mutually exclusive: one "
+            "adversarial distribution per corpus, or the probe cannot "
+            "attribute what it measures"
+        )
     base = Path(base_dir)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -271,6 +298,22 @@ def generate(
                     vec, lambda x: (x * 0.2 + 0.8 * dim**-0.5).cast("float")
                 ),
             ).otherwise(vec)
+        if clustered:
+            # EVERY vector pulled toward its planted basis direction
+            # e_c (c = vec_id hash mod _N_PLANTED): v = 0.2*x + 0.8*e_c.
+            # |v|^2 ~ 0.68, so within-cluster cos ~ 0.64/0.68 ~ 0.94
+            # and inter-cluster cos ~ 0.04*x.y/0.68 ~ 0 (centers are
+            # exactly orthogonal) — the fully clustered regime. The
+            # transform-with-index lambda keeps it a pure column
+            # expression (deterministic, no RNG), like every other
+            # generator transform.
+            cid = F.pmod(F.xxhash64(new_id), F.lit(_N_PLANTED))
+            vec = F.transform(
+                vec,
+                lambda x, i: (
+                    x * 0.2 + F.when(i == cid, F.lit(0.8)).otherwise(F.lit(0.0))
+                ).cast("float"),
+            )
         return d.select(
             new_id.alias("vec_id"),
             vec.alias("embedding"),
@@ -287,16 +330,20 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--clustered", action="store_true")
     args = ap.parse_args()
     if args.out is None:
-        name = "sf1skew" if args.skew else "sf1"
+        name = "sf1skew" if args.skew else (
+            "sf1clustered" if args.clustered else "sf1"
+        )
         args.out = str(Path(__file__).resolve().parents[1] / "scale_data" / name)
 
     from big_data_analysis_project_spark.session import get_spark
 
     spark = get_spark(app_name="gen-scale", master="local[32]")
     t0 = time.perf_counter()
-    generate(spark, args.base, args.out, args.replicas, skew=args.skew)
+    generate(spark, args.base, args.out, args.replicas, skew=args.skew,
+             clustered=args.clustered)
     print(f"[gen_scale] done in {time.perf_counter() - t0:.1f}s -> {args.out}")
 
 

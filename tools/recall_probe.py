@@ -47,7 +47,14 @@ def exact_knn_sets(x, ids, q_rows, k):
     out = {}
     for r in q_rows:
         s = xe6[r] @ xe6.T // 1_000_000  # int64, engine-identical
-        s[r] = np.iinfo(np.int64).min
+        # min+1, NOT min: np.argsort(-s) negates, and -int64_min
+        # overflows back to int64_min — the self row then sorts FIRST
+        # and every "true" top-k contains the query itself, silently
+        # capping measured recall at (k-1)/k. This bug deflated every
+        # round-7 recall number (the flat 0.800 rows); found when the
+        # clustered corpus pinned recall at exactly 4/5 at every
+        # probe setting. -(min+1) == max: self sorts last, excluded.
+        s[r] = np.iinfo(np.int64).min + 1
         top = np.argsort(-s, kind="stable")[:k]
         out[ids[r]] = {int(ids[j]) for j in top}
     return out
@@ -93,6 +100,12 @@ def main() -> None:
     )
     ap.add_argument("--n-queries", type=int, default=200)
     ap.add_argument("--probes", default="4,8,16")
+    ap.add_argument(
+        "--out",
+        default=str(REPO / "bench_scale_recall_raw.json"),
+        help="output json (give a different path for a different "
+        "corpus family so runs don't clobber each other's evidence)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -167,7 +180,7 @@ def main() -> None:
         print(f"[recall] {tag} semantic: {entry['semantic']}", file=sys.stderr)
         result["dirs"][tag] = entry
 
-    out = REPO / "bench_scale_recall_raw.json"
+    out = Path(args.out)
     out.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
     print(json.dumps(result, sort_keys=True))
     print(f"[recall] raw -> {out}", file=sys.stderr)
