@@ -1160,14 +1160,21 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2^18 buckets keeps that rare); tests/test_recall.py asserts pair
     recall against the exact oracle and score agreement to 0.05.
 
-    Skew contract: ``approxSimilarityJoin`` has NO bucket-population
-    cap, so a near-dup family of m docs contributes ~m^2/2 candidate
-    pairs that all get scored — sf1skew's 2 400-doc hot family adds
-    ~2.9 M evaluations (measured 16.1 s vs 14.1 s uniform; the m^2
-    term grows quadratically with the family while the capped
-    hand-rolled ``dedup_minhash_lsh`` stays flat at 0.05 s). This key
-    stays uncapped on purpose, as the library-behavior reference
-    point."""
+    Skew contract — PRICED, do not use as a scale path (measured
+    round 8, BENCH_SCALE.md): ``approxSimilarityJoin`` has NO
+    bucket-population cap, so a near-dup family of m docs contributes
+    ~m^2/2 candidate pairs that ALL get scored, and they land in
+    whichever tasks own the family's band hashes — the quadratic
+    comes with a parallelism collapse on top. sf1skew's 2 400-doc hot
+    family adds ~2.9 M evaluations (16.1 s vs 14.1 s uniform); at
+    sf3skew's 7 200-doc family (~26 M in-family pairs x 8 tables) the
+    join took 1 219 s — 76x wall-clock for 3x corpus — with 26 of 32
+    task slots idle behind the 6 owning the hot buckets, vs 0.05 s for the
+    BUCKET_CAP'd hand-rolled ``dedup_minhash_lsh`` through the same
+    9x pair blowup. This key stays uncapped on purpose as the
+    library-behavior reference point; production near-dup routes
+    through ``dedup_minhash_lsh`` / ``dedup_ngram_dfcap`` (the same
+    contract split as the df audit's escape hatch)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sets = (
