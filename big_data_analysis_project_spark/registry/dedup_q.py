@@ -502,6 +502,53 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the df-audit as an ORACLE-CHECKED registry surface (round 8): the
+# same aggregate shingle_df_profile computes before every evidence
+# build, exposed as a query so the audit arithmetic itself — including
+# the int64-exact pairs_bound (ADVICE r7) — is hash-verified against
+# DuckDB. p99_df stays internal-only: percentile_approx is not
+# portably exact across engines, and the refusal logic never uses it.
+_DF_AUDIT_ORACLE = (
+    _NGRAM_ORACLE.split("sizes AS")[0]
+    + """df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST(SUM(df * (df - 1)) // 2 AS BIGINT) AS pairs_bound
+FROM df
+"""
+)
+
+
+@q("shingle_df_audit", _DF_AUDIT_ORACLE)
+def shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight cost audit of the exact dedup family as a
+    first-class query: one aggregation over the corpus shingle index
+    returning ``n_shingles``, ``max_df``, and ``pairs_bound`` =
+    sum over shingles of df*(df-1)/2 — the EXACT pre-aggregation row
+    count of the evidence self-join. This is the number a 100 TB
+    pipeline checks BEFORE scheduling exact near-dup (the refusal in
+    ``shingle_evidence_cached`` consumes the same aggregate; measured
+    round 8: 1.3e6 at sf0.1, 8.2e7 at sf1skew — build fine — 6.9e8 at
+    sf3skew, where the uncapped build needs 189 s + a 64 g heap and
+    the budget refuses). Pure int64 arithmetic end to end: df*(df-1)
+    summed as bigint and halved by shift (every term even, shift is
+    exact division), so the bound stays exact past 2^53 — the regime
+    a 100 TB corpus actually occupies; the DuckDB oracle uses HUGEINT
+    integer division for the same exactness."""
+    sh = shingles_cached(spark, sf_dir)
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.shiftright(
+                F.sum(F.col("df").cast("bigint") * (F.col("df") - 1)), 1
+            ).alias("pairs_bound"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> array<long> MinHash signature (N_PERMS universal
     hashes over crc32(shingle)%PRIME, min per permutation; signature

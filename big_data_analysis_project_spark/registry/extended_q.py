@@ -878,19 +878,7 @@ def graph_triangles(
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     cap = TRIANGLE_WEDGE_BUDGET if wedge_cap is None else wedge_cap
     if cap:
-        # int64 throughout (same discipline as shingle_df_profile):
-        # each outdeg*(outdeg-1) term is even, so the shift is exact
-        wedges = (
-            e.groupBy("doc_a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(
-                F.shiftright(
-                    F.sum(F.col("d").cast("bigint") * (F.col("d") - 1)), 1
-                )
-            )
-            .collect()[0][0]
-            or 0
-        )
+        wedges = wedge_stats(e).collect()[0]["wedges"]
         if wedges > cap:
             raise ValueError(
                 f"graph_triangles: the id-oriented wedge join would "
@@ -917,6 +905,58 @@ def graph_triangles(
         & (F.col("yz.doc_b") == F.col("xz.doc_b")),
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def wedge_stats(e: DataFrame) -> DataFrame:
+    """(n_edges, wedges) of an id-oriented edge frame in one
+    aggregation: wedges = sum over doc_a of outdeg*(outdeg-1)/2 — the
+    EXACT pre-filter row count of the triangle wedge join, not an
+    estimate (edges arrive doc_a < doc_b, so out-adjacency under id
+    orientation is exactly what the join enumerates). Pure int64:
+    each term is even, so the halving shift is exact division, and
+    the bound stays exact past 2^53. Shared by the
+    ``graph_triangles`` refusal guard and the ``graph_wedge_audit``
+    registry surface — one implementation, oracle-checked."""
+    deg = e.groupBy("doc_a").agg(F.count(F.lit(1)).alias("c"))
+    return deg.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.shiftright(
+                F.sum(F.col("c").cast("bigint") * (F.col("c") - 1)), 1
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("wedges"),
+    )
+
+
+@q(
+    "graph_wedge_audit",
+    """WITH pairs AS (
+"""
+    + _NGRAM_PAIR_SQL
+    + """
+       ),
+       d AS (SELECT doc_a, COUNT(*) AS c FROM pairs GROUP BY doc_a)
+       SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_edges,
+              CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT) AS wedges
+       FROM d""",
+)
+def graph_wedge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triangle pre-flight audit as a first-class query (round 8):
+    the exact wedge-join row count of ``graph_triangles``, computed
+    from the out-degree distribution of the id-oriented edge artifact
+    in one cheap aggregation. This is the number a pipeline checks
+    BEFORE scheduling exact triangle counting — the refusal guard in
+    ``graph_triangles`` consumes the same aggregate (measured round 8:
+    13 wedges at sf0.1, <1e6 at sf3 uniform, ~2.3e9 at sf1skew's
+    near-clique where the exact join costs 153 s, ~6.2e10 at sf3skew
+    — hours). Exposing it oracle-checked hash-verifies the guard's
+    arithmetic against DuckDB, the same discipline as
+    ``shingle_df_audit`` for the evidence build."""
+    from .dedup_q import ngram_pairs_cached
+
+    e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return wedge_stats(e)
 
 
 # Wedge budget for the EXACT triangle twin's probe-and-refuse guard:
