@@ -1042,6 +1042,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "embedding_block_audit",
+    """SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+              CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              CAST(MAX(n) AS BIGINT) AS max_block,
+              CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS pairs_bound
+       FROM (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)""",
+)
+def embedding_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-dedup pre-flight cost audit as a first-class
+    query — third of the round-8 audit family (``shingle_df_audit``,
+    ``graph_wedge_audit``): block count, largest block, and
+    pairs_bound = sum over label blocks of n*(n-1)/2, the EXACT row
+    count of ``dedup_embedding``'s within-block all-pairs join. The
+    guard in that key (EMB_BLOCK_CAP probe-and-refuse, VERDICT r6 #5)
+    consumes the max-block aggregate; exposing the full audit
+    oracle-checked hash-verifies the arithmetic and gives a 100 TB
+    pipeline the number it checks BEFORE scheduling the exact twin
+    (largest measured block: 7.5 k at sf3 -> ~2.8e7 pairs; a corpus-
+    sized block belongs to dedup_semantic / ann_knn_join instead).
+    Same int64 discipline as its siblings: n*(n-1) summed as bigint,
+    halved by exact shift; HUGEINT integer division on the DuckDB
+    side."""
+    blocks = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return blocks.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("n").cast("bigint").alias("max_block"),
+        F.shiftright(
+            F.sum(F.col("n").cast("bigint") * (F.col("n") - 1)), 1
+        ).alias("pairs_bound"),
+    )
+
+
 # largest label block dedup_embedding will all-pairs without refusing:
 # a 10k block is 5e7 scored pairs — the top of what the declared-
 # quadratic oracle twin legitimately needs (the sf3 probe's largest

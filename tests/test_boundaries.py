@@ -521,6 +521,21 @@ def test_triangles_capped_truncation_bound(spark):
     assert all(0 < n <= exact for n in counts)
 
 
+def test_wedge_stats_empty_edges(spark):
+    """The shared guard/audit aggregate must return (0, 0) — not a
+    null row — on an edge-free graph, so the refusal comparison and
+    the oracle hash both stay well-defined."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.extended_q import wedge_stats
+
+    e = spark.range(0).select(
+        F.col("id").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    row = wedge_stats(e).collect()[0]
+    assert (row["n_edges"], row["wedges"]) == (0, 0)
+
+
 def test_graph_triangles_refuses_above_wedge_budget(spark):
     """VERDICT r7 #1: the declared-cubic exact twin computes the exact
     wedge-join row count from the id-oriented out-degree distribution
