@@ -124,6 +124,25 @@ _HOT_TEMPLATE = (
 _N_PLANTED = 48
 
 
+def clustered_pull(vec: F.Column, new_id: F.Column, n_planted: int) -> F.Column:
+    """The --clustered embedding transform, factored out so its
+    adversary PROPERTIES are pytest-pinned (round-7 rule: validate
+    generator adversaries black-box before trusting probe conclusions
+    — the r6 dense-cluster pull was silently fake). Every vector is
+    pulled toward its planted basis direction e_c (c = vec_id hash mod
+    n_planted): v = 0.2*x + 0.8*e_c. |v|^2 ~ 0.68, so within-cluster
+    cos ~ 0.64/0.68 ~ 0.94 and inter-cluster cos ~ 0.04*x.y/0.68 ~ 0
+    (centers exactly orthogonal). A pure column expression —
+    deterministic, no RNG, like every other generator transform."""
+    cid = F.pmod(F.xxhash64(new_id), F.lit(n_planted))
+    return F.transform(
+        vec,
+        lambda x, i: (
+            x * 0.2 + F.when(i == cid, F.lit(0.8)).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+
+
 def generate(
     spark: SparkSession,
     base_dir: str,
@@ -299,21 +318,9 @@ def generate(
                 ),
             ).otherwise(vec)
         if clustered:
-            # EVERY vector pulled toward its planted basis direction
-            # e_c (c = vec_id hash mod _N_PLANTED): v = 0.2*x + 0.8*e_c.
-            # |v|^2 ~ 0.68, so within-cluster cos ~ 0.64/0.68 ~ 0.94
-            # and inter-cluster cos ~ 0.04*x.y/0.68 ~ 0 (centers are
-            # exactly orthogonal) — the fully clustered regime. The
-            # transform-with-index lambda keeps it a pure column
-            # expression (deterministic, no RNG), like every other
-            # generator transform.
-            cid = F.pmod(F.xxhash64(new_id), F.lit(_N_PLANTED))
-            vec = F.transform(
-                vec,
-                lambda x, i: (
-                    x * 0.2 + F.when(i == cid, F.lit(0.8)).otherwise(F.lit(0.0))
-                ).cast("float"),
-            )
+            # the fully clustered regime: see clustered_pull above
+            # (properties pinned in tests/test_gen_scale_adversaries.py)
+            vec = clustered_pull(vec, new_id, _N_PLANTED)
         return d.select(
             new_id.alias("vec_id"),
             vec.alias("embedding"),
