@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..errors import ScaleRefusal
+
 
 def rank_by(
     df: DataFrame,
@@ -50,7 +52,7 @@ def rank_by(
     if max_rows is not None:
         probed = df.limit(max_rows + 1).localCheckpoint(eager=True)
         if probed.count() > max_rows:
-            raise ValueError(
+            raise ScaleRefusal(
                 f"rank_by: input exceeds max_rows={max_rows} — a "
                 "partition-less window would sort it in ONE task. Use "
                 "global_rank (two-phase, scale-safe) for data-sized "

@@ -5,6 +5,10 @@ exactly one place."""
 
 from __future__ import annotations
 
+from ..errors import ScaleRefusal
+
+__all__ = ["ScaleRefusal", "make_registry"]
+
 
 def make_registry():
     """Return (QUERIES, ORACLE, q): the module's key->fn map, its

@@ -41,7 +41,7 @@ from ..operators.graphs import connected_components
 from ..sources.readers import load_table
 from ._memo import snapshot_memo
 
-from ._base import make_registry
+from ._base import ScaleRefusal, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -253,15 +253,46 @@ _DF_WARN = 512
 EVIDENCE_PAIRS_BUDGET = 250_000_000
 
 
+def audit_exceeds_budget(
+    bound: int, bound_dbl: float, max_term_count: int, budget: int
+) -> bool:
+    """Overflow-safe budget comparison shared by every probe-and-refuse
+    guard (ADVICE r8): with ANSI off, the bigint SUM(c*(c-1)) under
+    ``pairs_bound`` / ``wedges`` can silently wrap negative past 2^63
+    — exactly the huge-count regime the guards exist to refuse — and a
+    wrapped-negative bound would read as "under budget" and disable
+    the guard when it matters most. Three overflow-immune signals, any
+    one of which trips the refusal:
+
+    * the bigint bound itself, when non-negative and over budget;
+    * a wrapped (negative) bigint bound — definitionally > 2^63 pairs;
+    * the float64 shadow sum (monotone, never wraps; ~1e-16 relative
+      error is irrelevant for an order-of-magnitude budget);
+    * the single largest term, recomputed in Python's arbitrary-
+      precision ints from the (wrap-proof) max count — ADVICE r8's
+      cheap pre-check, which alone catches any dominant-key blowup.
+    """
+    max_term = max_term_count * (max_term_count - 1) // 2
+    return (
+        bound > budget
+        or bound < 0
+        or bound_dbl > float(budget)
+        or max_term > budget
+    )
+
+
 def shingle_df_profile(sh: DataFrame) -> dict:
     """One-aggregation audit of the shingle document-frequency
     distribution — the quantity that decides whether the EXACT
     evidence join is safe to run on a corpus (VERDICT r6 #3): returns
-    ``n_shingles``, ``max_df``, ``p99_df``, and ``pairs_bound`` =
-    sum over shingles of df*(df-1)/2, the exact upper bound on the
-    self-join's pre-aggregation row count. Costs one shuffle over the
-    shingle frame (the same key_distribution-profiler shape), which is
-    negligible next to the join it guards."""
+    ``n_shingles``, ``max_df``, ``p99_df``, ``pairs_bound`` =
+    sum over shingles of df*(df-1)/2 (the exact upper bound on the
+    self-join's pre-aggregation row count), and ``pairs_bound_dbl``
+    (the same sum in float64 — a wrap-proof shadow the budget guards
+    cross-check, since the bigint sum can silently wrap past 2^63
+    with ANSI off; see ``audit_exceeds_budget``). Costs one shuffle
+    over the shingle frame (the same key_distribution-profiler
+    shape), which is negligible next to the join it guards."""
     row = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -277,6 +308,9 @@ def shingle_df_profile(sh: DataFrame) -> dict:
             F.shiftright(
                 F.sum(F.col("df").cast("bigint") * (F.col("df") - 1)), 1
             ).alias("pairs_bound"),
+            (
+                F.sum(F.col("df").cast("double") * (F.col("df") - 1)) / 2
+            ).alias("pairs_bound_dbl"),
         )
         .collect()[0]
     )
@@ -285,6 +319,7 @@ def shingle_df_profile(sh: DataFrame) -> dict:
         "max_df": int(row.max_df or 0),
         "p99_df": int(row.p99_df or 0),
         "pairs_bound": int(row.pairs_bound or 0),
+        "pairs_bound_dbl": float(row.pairs_bound_dbl or 0.0),
     }
 
 
@@ -328,8 +363,13 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # runs, read at BUILD time so a probe can flip it per run.
         env_cap = os.environ.get("SPARK_GRAFT_EVIDENCE_PAIRS_CAP")
         budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
-        if budget and profile["pairs_bound"] > budget:
-            raise ValueError(
+        if budget and audit_exceeds_budget(
+            profile["pairs_bound"],
+            profile["pairs_bound_dbl"],
+            profile["max_df"],
+            budget,
+        ):
+            raise ScaleRefusal(
                 f"shingle_evidence: the exact inverted-index self-join "
                 f"would generate {profile['pairs_bound']} candidate "
                 f"pairs (> budget {budget}; max_df="
@@ -1056,8 +1096,10 @@ def embedding_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_wedge_audit``): block count, largest block, and
     pairs_bound = sum over label blocks of n*(n-1)/2, the EXACT row
     count of ``dedup_embedding``'s within-block all-pairs join. The
-    guard in that key (EMB_BLOCK_CAP probe-and-refuse, VERDICT r6 #5)
-    consumes the max-block aggregate; exposing the full audit
+    guard in that key (EMB_PAIRS_BUDGET probe-and-refuse, re-based
+    round 9 per VERDICT r8 #2) consumes this same pairs_bound
+    aggregate — the quantity that actually prices the join, not the
+    max-block size it used to gate on; exposing the full audit
     oracle-checked hash-verifies the arithmetic and gives a 100 TB
     pipeline the number it checks BEFORE scheduling the exact twin
     (largest measured block: 7.5 k at sf3 -> ~2.8e7 pairs; a corpus-
@@ -1080,12 +1122,19 @@ def embedding_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# largest label block dedup_embedding will all-pairs without refusing:
-# a 10k block is 5e7 scored pairs — the top of what the declared-
-# quadratic oracle twin legitimately needs (the sf3 probe's largest
-# block is 7.5k); anything bigger is a corpus-sized block that belongs
-# to the measured-flat scale paths, not this key
-EMB_BLOCK_CAP = 10_000
+# total within-block pairs dedup_embedding will score without
+# refusing (VERDICT r8 #2): the guard used to gate on max BLOCK SIZE
+# (10k vectors), but the sf1clustered registry run paid 57.5 s on
+# 2,180-vector blocks the size cap waved through — the actual bill is
+# the SUM over blocks of n*(n-1)/2, the exact row count of the
+# within-block all-pairs join, which embedding_block_audit already
+# computes oracle-checked. 5e7 is the same ceiling the old cap
+# intended (one 10k block = 5e7 pairs) but now prices the real work:
+# measured bills are ~57-63 s at 2.0e7 pairs (sf1 decades, all three
+# distributions — passes, priced) and 483 s at 1.8e8 pairs (sf3
+# decades — refuses; the guard names the bill and the flat tiers).
+# Every driver/bench scale passes untouched (2e5 pairs at sf0.1).
+EMB_PAIRS_BUDGET = 50_000_000
 
 
 @q(
@@ -1097,7 +1146,7 @@ EMB_BLOCK_CAP = 10_000
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3""",
 )
 def dedup_embedding(
-    spark: SparkSession, sf_dir: str, block_cap: int | None = None
+    spark: SparkSession, sf_dir: str, pairs_cap: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (label).
     Blocking turns the all-pairs O(n^2) into sum over blocks — the
@@ -1114,15 +1163,21 @@ def dedup_embedding(
     flat) and ``dedup_mllib_minhash``; this key exists to hash-check
     them against DuckDB.
 
-    POPULATION GUARD (VERDICT r6 #5): before planning the pair join,
-    one cheap aggregation probes the largest label block; above
-    ``EMB_BLOCK_CAP`` (default; override via ``block_cap``, 0 =
-    unlimited for a deliberate oracle run) the key REFUSES with the
-    scale paths named — the same probe-and-refuse discipline as
-    rank_by's single-partition guard, so the declared-quadratic twin
-    cannot be pointed at a corpus-sized block by accident. Every
-    driver/bench/probe scale (largest measured block: 7.5k at sf3)
-    passes untouched.
+    PAIR-WORK GUARD (VERDICT r6 #5, re-based r9 per VERDICT r8 #2):
+    before planning the pair join, one cheap aggregation computes the
+    EXACT join row count — sum over label blocks of n*(n-1)/2, the
+    same aggregate ``embedding_block_audit`` exposes oracle-checked —
+    instead of the old max-block-SIZE probe, which waved through the
+    sf1clustered run's 57.5 s bill (2,180-vector blocks under the 10k
+    size cap, but 2.0e7 total pairs). Above ``EMB_PAIRS_BUDGET``
+    (override via ``pairs_cap`` or env
+    ``SPARK_GRAFT_EMB_PAIRS_CAP``; 0 = unlimited for a deliberate
+    oracle run) the key REFUSES with the measured bill and the scale
+    paths named, using the overflow-safe comparison every guard
+    shares (``audit_exceeds_budget``). Measured prices: 2.0e7 pairs
+    = ~57-63 s (sf1 decades, passes — a priced, declared cost);
+    1.8e8 pairs = 483 s (sf3 decades, refuses). Every driver/bench
+    scale passes untouched (2e5 pairs at sf0.1).
 
     Threshold 0.3 (not the usual ~0.9): the synthetic embeddings'
     max in-label cosine is ~0.47, so a 0.9 cut returns zero rows on
@@ -1138,24 +1193,42 @@ def dedup_embedding(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    cap = EMB_BLOCK_CAP if block_cap is None else block_cap
+    if pairs_cap is None:
+        env_cap = os.environ.get("SPARK_GRAFT_EMB_PAIRS_CAP")
+        cap = int(env_cap) if env_cap is not None else EMB_PAIRS_BUDGET
+    else:
+        cap = pairs_cap
     if cap:
-        biggest = (
+        row = (
             e.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n"))
-            .collect()[0][0]
-            or 0
+            .agg(
+                F.max("n").alias("max_block"),
+                F.shiftright(
+                    F.sum(F.col("n").cast("bigint") * (F.col("n") - 1)), 1
+                ).alias("pairs_bound"),
+                (
+                    F.sum(F.col("n").cast("double") * (F.col("n") - 1)) / 2
+                ).alias("pairs_bound_dbl"),
+            )
+            .collect()[0]
         )
-        if biggest > cap:
-            raise ValueError(
-                f"dedup_embedding: largest label block has {biggest} vectors "
-                f"(> block cap {cap}); the within-block all-pairs join is "
-                f"quadratic by declared contract and this block would score "
-                f"~{biggest * (biggest - 1) // 2} pairs. Use the measured-"
-                "flat scale paths (dedup_semantic / ann_knn_join, constant-"
-                "cell-population quantizer) or pass block_cap=0 for a "
-                "deliberate oracle run."
+        bound = int(row.pairs_bound or 0)
+        if audit_exceeds_budget(
+            bound,
+            float(row.pairs_bound_dbl or 0.0),
+            int(row.max_block or 0),
+            cap,
+        ):
+            raise ScaleRefusal(
+                f"dedup_embedding: the within-block all-pairs join would "
+                f"score {bound} pairs (> pair budget {cap}; largest block "
+                f"{int(row.max_block or 0)} vectors) — quadratic by "
+                "declared contract (measured: 2.0e7 pairs = ~57 s, 1.8e8 "
+                "= 483 s). Use the measured-flat scale paths "
+                "(dedup_semantic / ann_knn_join, constant-cell-population "
+                "quantizer) or pass pairs_cap=0 / set "
+                "SPARK_GRAFT_EMB_PAIRS_CAP=0 for a deliberate oracle run."
             )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -1256,17 +1329,46 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join took 1 219 s — 76x wall-clock for 3x corpus — with 26 of 32
     task slots idle behind the 6 owning the hot buckets, vs 0.05 s for the
     BUCKET_CAP'd hand-rolled ``dedup_minhash_lsh`` through the same
-    9x pair blowup. This key stays uncapped on purpose as the
-    library-behavior reference point; production near-dup routes
-    through ``dedup_minhash_lsh`` / ``dedup_ngram_dfcap`` (the same
-    contract split as the df audit's escape hatch)."""
+    9x pair blowup. ``approxSimilarityJoin`` exposes no cap hook, so
+    the join itself stays uncapped as the library-behavior reference
+    point — but since round 9 it is GUARDED (VERDICT r8 #1): the same
+    ``shingle_df_profile`` pairs_bound audit the evidence build
+    consumes runs pre-flight, and above the evidence budget (2.5e8 —
+    the measured 1,219 s sf3skew regime is 6.93e8, nearly 3x it;
+    every legitimate scale including sf1skew's 8.2e7 passes) the key
+    REFUSES with the measured bill and the capped twins named.
+    ``SPARK_GRAFT_MLLIB_PAIRS_CAP`` (an integer; 0 = unlimited)
+    overrides for deliberate library-reference runs. Production
+    near-dup routes through ``dedup_minhash_lsh`` /
+    ``dedup_ngram_dfcap`` (the same contract split as the df audit's
+    escape hatch)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sets = (
-        shingles_cached(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
-    )
+    sh = shingles_cached(spark, sf_dir)
+    env_cap = os.environ.get("SPARK_GRAFT_MLLIB_PAIRS_CAP")
+    budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
+    if budget:
+        profile = shingle_df_profile(sh)
+        if audit_exceeds_budget(
+            profile["pairs_bound"],
+            profile["pairs_bound_dbl"],
+            profile["max_df"],
+            budget,
+        ):
+            raise ScaleRefusal(
+                f"dedup_mllib_minhash: the corpus shingle-df audit bounds "
+                f"the candidate-pair space at {profile['pairs_bound']} "
+                f"(> budget {budget}; max_df={profile['max_df']}) — "
+                "MLlib approxSimilarityJoin has no bucket-population cap, "
+                "scores every in-bucket pair, and lands a hot family's "
+                "~m^2/2 pairs on the few tasks owning its band hashes "
+                "(measured round 8: 1,219 s at sf3skew pairs_bound 6.9e8, "
+                "26 of 32 task slots idle). Route near-dup through "
+                "dedup_minhash_lsh (BUCKET_CAP banding, measured flat) or "
+                "dedup_ngram_dfcap, or set SPARK_GRAFT_MLLIB_PAIRS_CAP=0 "
+                "(unlimited) for a deliberate library-reference run."
+            )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     feats = HashingTF(
         inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
     ).transform(sets).localCheckpoint(eager=True)  # fit + self-join reuse

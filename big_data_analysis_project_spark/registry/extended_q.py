@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_events, load_table
 from .dedup_q import _NGRAM_ORACLE as _NGRAM_PAIR_SQL
 
-from ._base import make_registry
+from ._base import ScaleRefusal, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -878,9 +878,14 @@ def graph_triangles(
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     cap = TRIANGLE_WEDGE_BUDGET if wedge_cap is None else wedge_cap
     if cap:
-        wedges = wedge_stats(e).collect()[0]["wedges"]
-        if wedges > cap:
-            raise ValueError(
+        from .dedup_q import audit_exceeds_budget
+
+        stats = wedge_stats(e).collect()[0]
+        wedges = stats["wedges"]
+        if audit_exceeds_budget(
+            int(wedges), float(stats["wedges_dbl"]), int(stats["max_outdeg"]), cap
+        ):
+            raise ScaleRefusal(
                 f"graph_triangles: the id-oriented wedge join would "
                 f"enumerate {wedges} wedge rows (> wedge budget {cap}); "
                 "the exact twin is output-cubic in the largest near-"
@@ -916,7 +921,11 @@ def wedge_stats(e: DataFrame) -> DataFrame:
     each term is even, so the halving shift is exact division, and
     the bound stays exact past 2^53. Shared by the
     ``graph_triangles`` refusal guard and the ``graph_wedge_audit``
-    registry surface — one implementation, oracle-checked."""
+    registry surface — one implementation, oracle-checked. Also
+    returns ``max_outdeg`` and ``wedges_dbl`` (a float64 shadow sum)
+    so the guard's budget comparison survives an int64 wrap past
+    2^63 (ADVICE r8; see ``audit_exceeds_budget``) — the audit
+    registry key projects those internals away."""
     deg = e.groupBy("doc_a").agg(F.count(F.lit(1)).alias("c"))
     return deg.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_edges"),
@@ -926,6 +935,11 @@ def wedge_stats(e: DataFrame) -> DataFrame:
             ),
             F.lit(0).cast("bigint"),
         ).alias("wedges"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("max_outdeg"),
+        F.coalesce(
+            F.sum(F.col("c").cast("double") * (F.col("c") - 1)) / 2,
+            F.lit(0.0),
+        ).alias("wedges_dbl"),
     )
 
 
@@ -956,7 +970,7 @@ def graph_wedge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_q import ngram_pairs_cached
 
     e = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    return wedge_stats(e)
+    return wedge_stats(e).select("n_edges", "wedges")
 
 
 # Wedge budget for the EXACT triangle twin's probe-and-refuse guard:

@@ -20,6 +20,7 @@ work on model-sized data; only assignment touches the corpus.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -301,6 +302,18 @@ _TRAIN_SAMPLE_TARGET = 2_000
 # trainer in a MEASURED run (not just the lowered-cap unit test)
 # requires forcing the handoff below its natural n ~ 1.56 M threshold.
 _DRIVER_SAMPLE_CAP = int(os.environ.get("SPARK_GRAFT_DRIVER_SAMPLE_CAP", 50_000))
+if "SPARK_GRAFT_DRIVER_SAMPLE_CAP" in os.environ:
+    # loud notice on override (ADVICE r8): the cap reroutes trainer
+    # SELECTION (driver-Lloyd vs distributed MLlib), and a stale
+    # export left over from a probe run would silently change which
+    # model every subsequent process in that shell trains
+    print(
+        "[similarity_q] SPARK_GRAFT_DRIVER_SAMPLE_CAP override active: "
+        f"driver sample cap = {_DRIVER_SAMPLE_CAP} (default 50000) — "
+        "quantizer trainer selection (driver-Lloyd vs MLlib) is being "
+        "rerouted by the environment",
+        file=sys.stderr,
+    )
 
 
 def train_ivf_centroids(
@@ -390,11 +403,17 @@ def train_ivf_centroids_mllib(
     # read with a different split count (other host, other
     # maxPartitionBytes) would train a different model and grown-k
     # consumers (ann_knn_join, dedup_semantic) would emit different
-    # rows across hosts. Hash-repartitioning by vec_id to a fixed
-    # count makes (corpus, seed) -> model a pure function, matching
-    # the hash-sample determinism of the driver-Lloyd trainer.
+    # rows across hosts. Hash-repartitioning by vec_id pins partition
+    # MEMBERSHIP; sortWithinPartitions pins intra-partition ORDER
+    # (ADVICE r8): k-means|| init consumes rows in partition order
+    # with per-partition RNG, and shuffle-fetch order is
+    # nondeterministic on a real cluster, so membership alone is not
+    # enough — both together make (corpus, seed) -> model a pure
+    # function, matching the hash-sample determinism of the
+    # driver-Lloyd trainer.
     feat = (
         unit.repartition(32, "vec_id")
+        .sortWithinPartitions("vec_id")
         .select(array_to_vector(F.col("v")).alias("features"))
     )
     model = KMeans(

@@ -409,27 +409,41 @@ def test_arrow_norm_exact_before_trailing_empty_list(spark, tmp_path):
     assert got == want, (got, want)
 
 
-def test_dedup_embedding_refuses_corpus_sized_block(spark, tmp_path):
-    """VERDICT r6 #5: the declared-quadratic oracle twin probes its
-    largest label block and REFUSES above the cap (override runs it)."""
+def test_dedup_embedding_refuses_above_pair_budget(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #5, re-based r9 (VERDICT r8 #2): the declared-
+    quadratic oracle twin prices the TOTAL within-block pair count
+    (Σ n(n-1)/2 — embedding_block_audit's aggregate), not the largest
+    block's size, and REFUSES above the budget. Two same-sized blocks
+    here: each passes any size cap individually, but their summed pair
+    count trips a pairs budget — exactly the sf1clustered shape the
+    old size cap waved through."""
     import pytest
     from pyspark.sql import functions as F
 
     from big_data_analysis_project_spark.registry.dedup_q import dedup_embedding
 
-    n = 40
+    n = 40  # two blocks of 20 -> pairs_bound = 2 * (20*19/2) = 380
     spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.array(*[(F.pmod(F.col("id") * (p + 1), F.lit(7)) + 1).cast("float")
                   for p in range(4)]).alias("embedding"),
-        F.lit(0).alias("label"),  # one block holding every vector
+        F.pmod(F.col("id"), F.lit(2)).alias("label"),
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
-    with pytest.raises(ValueError, match="largest label block"):
-        dedup_embedding(spark, str(tmp_path), block_cap=n - 1).count()
+    # per-block pairs = 190 <= 200, but the summed bound 380 > 200:
+    # a size-style per-block cap would pass; the pairs budget refuses
+    with pytest.raises(ValueError, match="pair budget"):
+        dedup_embedding(spark, str(tmp_path), pairs_cap=200).count()
+    # env override mirrors the arg for registry-driven runs
+    monkeypatch.setenv("SPARK_GRAFT_EMB_PAIRS_CAP", "200")
+    with pytest.raises(ValueError, match="pair budget"):
+        dedup_embedding(spark, str(tmp_path)).count()
+    monkeypatch.setenv("SPARK_GRAFT_EMB_PAIRS_CAP", "0")
+    assert dedup_embedding(spark, str(tmp_path)).count() >= 0
+    monkeypatch.delenv("SPARK_GRAFT_EMB_PAIRS_CAP")
     # deliberate oracle run: cap disabled, the join executes
-    assert dedup_embedding(spark, str(tmp_path), block_cap=0).count() >= 0
-    # default cap passes any driver/bench-scale block untouched
+    assert dedup_embedding(spark, str(tmp_path), pairs_cap=0).count() >= 0
+    # default budget passes any driver/bench-scale corpus untouched
     assert dedup_embedding(spark, str(tmp_path)).count() >= 0
 
 
@@ -459,6 +473,63 @@ def test_shingle_evidence_refuses_above_pair_budget(spark, tmp_path, monkeypatch
     # deliberate oracle run: env override disables the budget
     monkeypatch.setenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", "0")
     assert D.shingle_evidence_cached(spark, str(tmp_path)).count() > 0
+
+
+def test_mllib_minhash_refuses_above_pair_budget(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #1: the MLlib approxSimilarityJoin twin — the one
+    measured scale-killer that previously only WARNED (1,219 s at
+    sf3skew, 26/32 task slots idle) — now runs the same
+    shingle_df_profile pairs_bound pre-flight as the evidence build
+    and REFUSES above the budget, with SPARK_GRAFT_MLLIB_PAIRS_CAP
+    (0 = unlimited) as the deliberate library-reference escape
+    hatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(3)]
+    rows.append((9, "zeta eta theta iota kappa", "en", "t"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # the shared triple shingle gives df=3 -> pairs_bound=3*3=9 > 1
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_MLLIB_PAIRS_CAP", raising=False)
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        D.dedup_mllib_minhash(spark, str(tmp_path)).count()
+    # deliberate library-reference run: env override disables the budget
+    monkeypatch.setenv("SPARK_GRAFT_MLLIB_PAIRS_CAP", "0")
+    assert D.dedup_mllib_minhash(spark, str(tmp_path)).count() >= 0
+    # a sane budget passes the tiny corpus untouched
+    monkeypatch.setenv("SPARK_GRAFT_MLLIB_PAIRS_CAP", "1000000")
+    assert D.dedup_mllib_minhash(spark, str(tmp_path)).count() >= 0
+
+
+def test_audit_exceeds_budget_overflow_safe():
+    """ADVICE r8: the guard comparison must refuse even when the
+    bigint SUM wrapped negative past 2^63 or when a single dominant
+    key alone exceeds the budget — the regimes where the naive
+    `bound > budget` check silently disables the guard."""
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        audit_exceeds_budget,
+    )
+
+    # honest small bound under budget: passes
+    assert not audit_exceeds_budget(100, 100.0, 10, 1000)
+    # honest bound over budget: refuses
+    assert audit_exceeds_budget(2000, 2000.0, 10, 1000)
+    # bigint sum wrapped negative (> 2^63 pairs): refuses
+    assert audit_exceeds_budget(-5, 1.1e19, 10, 1000)
+    # wrapped sum AND a stale/zero shadow: the max-term pre-check
+    # still refuses from the dominant key alone (Python int, exact)
+    assert audit_exceeds_budget(-5, 0.0, 10_000_000, 1000)
+    # float shadow catches a wrap the max-term can't see (many
+    # medium-df keys, none individually over budget)
+    assert audit_exceeds_budget(-5, 9.3e18, 100, 10**18)
 
 
 # --- capped triangle counting ------------------------------------------

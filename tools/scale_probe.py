@@ -106,9 +106,28 @@ KEY_ARTIFACT_DEPS: dict[str, set] = {
 def filter_keys_for_skip(keys: list, skip: set) -> list:
     """Drop keys whose lazy cached-artifact deps intersect the
     skip-warm set, warning loudly per drop — running them would
-    trigger the skipped build inside the timed run anyway."""
+    trigger the skipped build inside the timed run anyway.
+
+    Keys ABSENT from KEY_ARTIFACT_DEPS are kept but warned about
+    (ADVICE r8): the map is a hand-maintained mirror of registry
+    dependencies, and an unmapped future key that consumes
+    shingle_evidence would otherwise silently trigger the uncapped
+    quadratic build inside a timed --skip-warm run — the exact
+    failure the map exists to prevent. The warning names the fix
+    (add the key to the map) so the gap closes at first use instead
+    of at first OOM."""
     kept = []
     for k in keys:
+        if skip and k not in KEY_ARTIFACT_DEPS:
+            print(
+                f"[probe] WARNING: {k} is not in KEY_ARTIFACT_DEPS — "
+                "assuming it consumes NO skippable artifacts; if it "
+                "lazily builds one, this --skip-warm run will pay the "
+                "cold build inside its timing. Add the key to "
+                "KEY_ARTIFACT_DEPS in tools/scale_probe.py to make "
+                "the assumption explicit.",
+                file=sys.stderr,
+            )
         hit = KEY_ARTIFACT_DEPS.get(k, set()) & skip
         if hit:
             print(
