@@ -230,6 +230,20 @@ N_PROBE = 4
 _LLOYD_ITERS = 2
 
 
+def _kernel_chunk_rows(k: int) -> int:
+    """Rows per matmul sub-chunk inside the Arrow kernels: the
+    (rows x k) fixed-point dots matrix is the kernels' only
+    k-proportional allocation, and at grown-k it dwarfs the batch
+    itself — measured round 9: k=13,600 with default 10k-row Arrow
+    batches allocates ~2.2 GB of (float64 + int64) scratch PER WORKER,
+    and 32 workers host-OOMed a 125 GiB box during the natural-scale
+    quantizer probe. Chunking rows to ~4e6 dot entries bounds scratch
+    at ~64 MB/worker REGARDLESS of model size; at every driver/bench
+    scale (k <= 480) the chunk exceeds the batch, so this is a no-op
+    there. Per-row outputs are unchanged — every op is row-local."""
+    return max(1, 4_000_000 // max(1, k))
+
+
 def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, cell): nearest-centroid (max-dot)
     assignment as a ``mapInArrow`` BLAS kernel — each Arrow batch's
@@ -265,6 +279,7 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
     import pyarrow as pa
 
     cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    chunk = _kernel_chunk_rows(len(centroids))
 
     def kernel(batches):
         for batch in batches:
@@ -276,10 +291,14 @@ def assign_cells(unit: DataFrame, centroids: list[list[float]]) -> DataFrame:
             offs = v.offsets.to_numpy(zero_copy_only=False)
             dim = int(offs[1] - offs[0])
             flat = v.flatten().to_numpy(zero_copy_only=False)
-            dots = np.floor(
-                (flat.reshape(n, dim) @ cmat.T) * 1_000_000
-            ).astype(np.int64)  # (n, k) fixed-point
-            cell = np.argmax(dots, axis=1).astype(np.int32)
+            x = flat.reshape(n, dim)
+            cells = []
+            for st in range(0, n, chunk):  # bounded (chunk x k) scratch
+                dots = np.floor(
+                    (x[st : st + chunk] @ cmat.T) * 1_000_000
+                ).astype(np.int64)  # fixed-point
+                cells.append(np.argmax(dots, axis=1).astype(np.int32))
+            cell = np.concatenate(cells) if len(cells) > 1 else cells[0]
             yield pa.RecordBatch.from_arrays(
                 [ids, v, pa.array(cell, type=pa.int32())],
                 names=["vec_id", "v", "cell"],
@@ -1026,6 +1045,7 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
     import pyarrow as pa
 
     cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    chunk = _kernel_chunk_rows(len(centroids))
 
     def kernel(batches):
         for batch in batches:
@@ -1036,8 +1056,13 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
             offs = v.offsets.to_numpy(zero_copy_only=False)
             dim = int(offs[1] - offs[0])
             x = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
-            dots = np.floor((x @ cmat.T) * 1_000_000).astype(np.int64)  # (n, k)
-            order = np.argsort(-dots, axis=1, kind="stable")[:, :p]  # (n, p)
+            orders = []
+            for st in range(0, n, chunk):  # bounded (chunk x k) scratch
+                dots = np.floor(
+                    (x[st : st + chunk] @ cmat.T) * 1_000_000
+                ).astype(np.int64)
+                orders.append(np.argsort(-dots, axis=1, kind="stable")[:, :p])
+            order = np.concatenate(orders) if len(orders) > 1 else orders[0]
             taken = batch.take(pa.array(np.repeat(np.arange(n), p)))
             yield taken.append_column(
                 "cell", pa.array(order.reshape(-1).astype(np.int32), type=pa.int32())

@@ -14,9 +14,16 @@ SAME grown-k cell count:
   parity claim of tests/test_batch_quantizer.py, now at probe scale.
 
 The env var must be set BEFORE importing the registry (the cap is
-read at module import). This script sets it itself, so run it plain:
+read at module import); this script sets it itself inside main(),
+before the registry import:
 
     python tools/quantizer_probe.py [--dir scale_data/sf3]
+    python tools/quantizer_probe.py --dir scale_data/big_emb --cap natural
+
+``--cap natural`` (round 9, VERDICT r8 #4) sets NOTHING: the library
+default (50 k) stays in force, so on a >1.5625 M-vector corpus
+(tools/gen_big_embeddings.py) the distributed handoff engages ON ITS
+OWN — the un-forced crossover measurement.
 
 Writes bench_scale_quantizer_raw.json (committed); the BENCH_SCALE.md
 distributed-trainer section is authored from it. Never run
@@ -35,9 +42,6 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-# force the distributed handoff BEFORE the registry import reads it
-os.environ.setdefault("SPARK_GRAFT_DRIVER_SAMPLE_CAP", "1000")
-
 from recall_probe import exact_knn_sets  # noqa: E402  (same tools dir)
 
 
@@ -46,7 +50,19 @@ def main() -> None:
     ap.add_argument("--dir", default=str(REPO / "scale_data/sf3"))
     ap.add_argument("--n-queries", type=int, default=200)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--cap",
+        default="1000",
+        help="SPARK_GRAFT_DRIVER_SAMPLE_CAP to force the handoff with "
+        "(default 1000), or 'natural' to leave the library default in "
+        "force and measure the UN-forced crossover",
+    )
     args = ap.parse_args()
+
+    # the cap is read at registry-module import — set (or leave) it
+    # BEFORE the import below
+    if args.cap != "natural":
+        os.environ["SPARK_GRAFT_DRIVER_SAMPLE_CAP"] = args.cap
 
     import numpy as np
 
@@ -62,12 +78,24 @@ def main() -> None:
     )
     from big_data_analysis_project_spark.session import get_spark
 
-    spark = get_spark(app_name="quantizer-probe", master="local[32]")
+    # maxResultSize raised PROBE-ONLY: the exact ground-truth kNN needs
+    # the full unit matrix driver-side (1.7 M x 64 doubles ~ 870 MB >
+    # the 1g default). The library itself never collects corpus-sized
+    # data — this is measurement harness, not engine discipline.
+    spark = get_spark(
+        app_name="quantizer-probe",
+        master="local[32]",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     sf_dir = args.dir
     unit = unit_vectors_cached(spark, sf_dir)
-    rows = sorted(unit.collect(), key=lambda r: r.vec_id)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    # Arrow toPandas, not collect(): Row-object materialization of a
+    # million-row frame costs several GB and minutes; the Arrow path
+    # is one columnar transfer
+    pdf = unit.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    x = np.stack(pdf["v"].to_numpy())
+    del pdf
     n = len(ids)
     k = max(16, round(n / BATCH_CELL_TARGET))
     assert 4 * k > _DRIVER_SAMPLE_CAP, (
@@ -112,6 +140,7 @@ def main() -> None:
         "dir": sf_dir,
         "n_vec": n,
         "k": k,
+        "cap_mode": args.cap,
         "driver_sample_cap": _DRIVER_SAMPLE_CAP,
         "n_probe": KNN_PROBE,
         "knn_k": KNN_K,
@@ -128,7 +157,13 @@ def main() -> None:
         ),
     }
 
-    out = REPO / "bench_scale_quantizer_raw.json"
+    # the forced-cap artifact and the natural-crossover artifact are
+    # different measurements — never overwrite one with the other
+    out = REPO / (
+        "bench_scale_quantizer_natural.json"
+        if args.cap == "natural"
+        else "bench_scale_quantizer_raw.json"
+    )
     out.write_text(json.dumps(result, indent=1, sort_keys=True) + "\n")
     print(json.dumps(result, sort_keys=True))
     print(f"[quant] raw -> {out}", file=sys.stderr)
