@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from gen_scale import _N_PLANTED, clustered_pull  # noqa: E402
+from gen_big_embeddings import gen_embeddings  # noqa: E402
 
 
 def test_clustered_pull_properties(spark):
@@ -89,3 +90,46 @@ def test_clustered_pull_deterministic(spark):
     )
     a, b = pull(), pull()
     assert [r.v for r in a] == [r.v for r in b]
+
+
+def test_gen_big_embeddings_properties(spark, tmp_path):
+    """The round-9 natural-scale generator (hash-fresh vectors, not
+    rotation replicas) must exhibit the SAME validated clustered
+    geometry as gen_scale --clustered: high within-cluster cosine,
+    ~orthogonal cross-cluster, every cluster populated, no duplicate
+    vectors (the rotation-wrap/lattice failure classes), and be
+    deterministic. Pinned at small n — the 1.7 M / 200 k corpora the
+    natural-handoff and sf10clustered measurements used are this
+    generator at bigger --n."""
+    import pyspark.sql.functions as SF
+
+    out = str(tmp_path / "bigemb")
+    gen_embeddings(spark, n=3000, n_clusters=16, out_dir=out)
+    df = spark.read.parquet(f"{out}/embeddings.parquet")
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    lab = np.asarray([r.label for r in rows])
+    assert len(np.unique(x.round(6), axis=0)) == len(x)  # no duplicates
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    # cluster id recovered black-box (argmax coordinate), not from the
+    # generator's own hash
+    cid = np.argmax(xn, axis=1)
+    assert len(set(lab.tolist())) == 16  # every cluster populated
+    s = xn @ xn.T
+    same = s[(cid[:, None] == cid[None, :]) & ~np.eye(len(x), dtype=bool)]
+    diff = s[cid[:, None] != cid[None, :]]
+    assert same.min() >= 0.85, f"within-cluster cos min {same.min():.3f}"
+    assert abs(diff.mean()) <= 0.05, f"cross-cluster cos mean {diff.mean():.3f}"
+    # determinism: regenerate into a second dir, identical content
+    out2 = str(tmp_path / "bigemb2")
+    gen_embeddings(spark, n=3000, n_clusters=16, out_dir=out2)
+    rows2 = sorted(
+        spark.read.parquet(f"{out2}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert [r.embedding for r in rows] == [r.embedding for r in rows2]
+    # guard: cluster directions are coordinate axes, so > DIM refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="one-hot"):
+        gen_embeddings(spark, n=10, n_clusters=65, out_dir=str(tmp_path / "x"))

@@ -120,16 +120,27 @@ def main() -> None:
     )
     from big_data_analysis_project_spark.session import get_spark
 
-    spark = get_spark(app_name="recall-probe", master="local[32]")
+    # maxResultSize raised PROBE-ONLY (as in quantizer_probe): the
+    # exact baselines need the full unit matrix driver-side, and a
+    # 200 k-vector corpus exceeds the 1g default through collect.
+    # The library itself never collects corpus-sized data.
+    spark = get_spark(
+        app_name="recall-probe",
+        master="local[32]",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     probes = [int(p) for p in args.probes.split(",")]
     result: dict = {"n_queries": args.n_queries, "k": KNN_K, "dirs": {}}
 
     for sf_dir in args.dirs.split(","):
         tag = Path(sf_dir).name
         unit = unit_vectors_cached(spark, sf_dir)
-        rows = sorted(unit.collect(), key=lambda r: r.vec_id)
-        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-        x = np.asarray([r.v for r in rows], dtype=np.float64)
+        # Arrow toPandas, not collect(): Row-object materialization of
+        # a 200k-row frame costs GBs; one columnar transfer instead
+        pdf_u = unit.toPandas().sort_values("vec_id").reset_index(drop=True)
+        ids = pdf_u["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf_u["v"].to_numpy())
+        del pdf_u
         n = len(ids)
         step = max(1, n // args.n_queries)
         q_rows = list(range(0, n, step))[: args.n_queries]
