@@ -1020,12 +1020,19 @@ KNN_K = 5
 # recall@5 over ALL queries is probe-bound (measured at sf0.001:
 # 4 probes -> 0.57, 8 -> 0.82, 10 -> 0.90). In the grown-k regime the
 # full curve is measured per scale and distribution by
-# tools/recall_probe.py (BENCH_SCALE.md round-7 table: isotropic
-# recall tracks ~10x the probed fraction and decays with scale;
-# clustered data holds >=0.78 at 1/3 probed —
-# tests/test_recall.py::test_knn_join_grown_k_recall_clustered).
-# Production embeddings cluster, pushing the curve far left; the knob
-# is the standard IVF recall/cost dial either way.
+# tools/recall_probe.py. The three-decade clustered law (BENCH_SCALE
+# rounds 8-9): recall tracks the probed FRACTION of the home
+# cluster's cells, not the absolute probe count — 2.5% of cells
+# probed holds recall@5 at 0.98-1.00 through 20k/160, 60k/480, and
+# 200k/1,600 (33x cell-over-cluster subdivision), while a fixed
+# 8-probe count decays (1.00 -> 1.00 -> 0.745 -> ~0.4 at 1.7M/13,600).
+# Isotropic recall tracks ~10x the probed fraction at every scale.
+# Consequence: at fixed n_probe the batch join is LINEAR (constant
+# cell population) but its recall decays with corpus growth; scaling
+# probes with cells restores recall at O(n * frac) scanned per query.
+# That tension IS the IVF dial — n_probe is a function arg on
+# knn_join_blocked for exactly this reason; 8 is the bench default,
+# not a claim.
 KNN_PROBE = 8
 
 
