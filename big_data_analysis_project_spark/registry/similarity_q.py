@@ -1020,19 +1020,20 @@ KNN_K = 5
 # recall@5 over ALL queries is probe-bound (measured at sf0.001:
 # 4 probes -> 0.57, 8 -> 0.82, 10 -> 0.90). In the grown-k regime the
 # full curve is measured per scale and distribution by
-# tools/recall_probe.py. The three-decade clustered law (BENCH_SCALE
-# rounds 8-9): recall tracks the probed FRACTION of the home
-# cluster's cells, not the absolute probe count — 2.5% of cells
-# probed holds recall@5 at 0.98-1.00 through 20k/160, 60k/480, and
-# 200k/1,600 (33x cell-over-cluster subdivision), while a fixed
-# 8-probe count decays (1.00 -> 1.00 -> 0.745 -> ~0.4 at 1.7M/13,600).
-# Isotropic recall tracks ~10x the probed fraction at every scale.
-# Consequence: at fixed n_probe the batch join is LINEAR (constant
-# cell population) but its recall decays with corpus growth; scaling
-# probes with cells restores recall at O(n * frac) scanned per query.
-# That tension IS the IVF dial — n_probe is a function arg on
-# knn_join_blocked for exactly this reason; 8 is the bench default,
-# not a claim.
+# tools/recall_probe.py. The clustered law, measured on 5 corpora
+# (BENCH_SCALE rounds 8-9, pinned in tests/test_recall.py::
+# test_knn_join_home_cluster_coverage_law): recall tracks HOME-
+# CLUSTER COVERAGE, probes / (cells/clusters) — true neighbors live
+# in the query's own planted cluster and the quantizer subdivides
+# clusters, so probes >= cells/clusters gives recall ~1.0 at every
+# measured scale (20k..200k vectors), while a fixed 8-probe count
+# decays as subdivision deepens (1.00 at 160 cells -> 0.745 at 1,600
+# -> ~0.4 at 13,600). Isotropic recall tracks ~10x the probed
+# fraction at every scale. Consequence: fixed n_probe = linear batch
+# cost with corpus-growth recall decay; coverage-scaled probes =
+# constant recall at probes ~ cells/clusters cost. That tension IS
+# the IVF dial — n_probe is a function arg on knn_join_blocked for
+# exactly this reason; 8 is the bench default, not a claim.
 KNN_PROBE = 8
 
 

@@ -783,3 +783,69 @@ def test_knn_join_grown_k_recall_isotropic_floor(spark, tmp_path):
     cells, recall = _knn_recall(spark, str(tmp_path), n_probe=8)
     assert cells == 24
     assert recall >= 0.85, f"isotropic grown-k recall {recall:.3f} < 0.85"
+
+
+def test_knn_join_home_cluster_coverage_law(spark, tmp_path):
+    """The round-9 three-decade recall law, pinned as a curve shape
+    (BENCH_SCALE.md sf10clustered + natural-handoff sections): on
+    clustered data, blocked-kNN recall tracks how much of the QUERY'S
+    HOME CLUSTER's cell set the probes cover — probes >= cells/clusters
+    recovers ~every true neighbor (the quantizer's cells subdivide
+    clusters, and true neighbors live in the home cluster), while a
+    probe count far below that coverage loses recall no matter how it
+    looks as a fraction of TOTAL cells. Measured here at 6,000 vectors
+    / 120 forced cells / 6 planted clusters = 20 cells per cluster:
+    probes 3 -> 0.456, 8 -> 0.764, 24 (>= 20, full home-cluster
+    coverage) -> 0.999. The same shape measured at scale: 40 >= 33
+    cells/cluster -> 1.000 at 200 k vectors; 8 << 212 -> 0.34-0.41 at
+    1.7 M. If a kernel change (chunking, quantization, probe ranking)
+    breaks any of these floors/ceilings, the law regressed."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    import numpy as np
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from gen_big_embeddings import gen_embeddings
+
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        KNN_K,
+        knn_join_blocked,
+        train_ivf_centroids,
+        unit_vectors_cached,
+    )
+
+    gen_embeddings(spark, n=6000, n_clusters=6, out_dir=str(tmp_path))
+    unit = unit_vectors_cached(spark, str(tmp_path))
+    rows = sorted(unit.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    xe6 = np.floor(x * 1_000_000).astype(np.int64)
+    s = xe6 @ xe6.T // 1_000_000
+    np.fill_diagonal(s, np.iinfo(np.int64).min + 1)  # min+1: r8 overflow rule
+    true = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-s[i], kind="stable")[:KNN_K]}
+        for i in range(len(ids))
+    }
+    model = train_ivf_centroids(unit, k=120, sample_target=0)
+    assert len(model) == 120
+
+    def recall_at(p):
+        pdf = knn_join_blocked(unit, model, n_probe=p).toPandas()
+        got: dict[int, set] = {}
+        for r in pdf.itertuples():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return float(
+            np.mean([len(got.get(q, set()) & t) / KNN_K for q, t in true.items()])
+        )
+
+    r3, r8, r24 = recall_at(3), recall_at(8), recall_at(24)
+    # full home-cluster coverage (24 >= 120/6) recovers ~everything
+    assert r24 >= 0.97, f"coverage recall {r24:.3f} < 0.97"
+    # partial coverage sits strictly between the poles (curve shape)
+    assert 0.60 <= r8 <= 0.92, f"partial-coverage recall {r8:.3f} off-curve"
+    # deep under-coverage loses recall even though 3/120 = 2.5% of
+    # TOTAL cells — the fraction that scored 1.00 at 1,600 cells/48
+    # clusters; coverage of the home cluster is the real variable
+    assert r3 <= 0.60, f"under-coverage recall {r3:.3f} unexpectedly high"
+    assert r3 < r8 < r24  # monotone in probes
