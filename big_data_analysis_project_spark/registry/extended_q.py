@@ -1054,6 +1054,35 @@ def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles_capped(e, TRIANGLE_ADJ_CAP)
 
 
+@q("graph_triangles_lsh")  # rows-only: LSH edge set has no portable-SQL oracle
+def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the BANDED-MINHASH near-dup graph — the
+    END-TO-END scale path, closing the gap the round-9 sf3skew
+    full-registry run exposed: ``graph_triangles_capped`` bounds the
+    COUNTING work, but its input edge list is the exact evidence join,
+    which (correctly) refuses at sf3skew's 6.9e8 pairs_bound — so at
+    exactly the adversarial scale the capped tier exists for, it had
+    no edges to count. This key builds its edges from
+    ``minhash_pairs_cached`` instead (BUCKET_CAP banding + exact-
+    Jaccard verify, measured FLAT through the 9x hot-family pair
+    blowup, 0.05 s at sf3skew) and counts with the same degree-
+    ordered, adjacency-capped kernel — every stage bounded, no
+    evidence build anywhere in the lineage, so graph stats stay
+    servable on the corpus where every exact tier refuses.
+
+    Quality contract: LSH edges are a verified SUBSET of the exact
+    pair set (banding can miss a pair, never invent one), and capping
+    only ever drops wedges, so the count is a deterministic LOWER
+    BOUND of the true triangle count — equal to ``graph_triangles``
+    wherever banding recall is 1 and degrees are under the cap (every
+    driver scale; equality pinned in
+    tests/test_boundaries.py::test_triangles_lsh_matches_exact_at_driver_scale)."""
+    from .dedup_q import minhash_pairs_cached
+
+    e = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return count_triangles_capped(e, TRIANGLE_ADJ_CAP)
+
+
 def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
     """Degree-oriented, adjacency-capped triangle count over an edge
     frame (doc_a < doc_b, one row per undirected edge). Exact whenever

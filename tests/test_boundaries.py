@@ -662,3 +662,23 @@ def test_stage_table_files_relative_dir(tmp_path):
     for ln in links:
         assert ln.is_symlink() and ln.resolve().is_file(), ln
         assert ln.read_bytes() == b"PAR1"
+
+
+def test_triangles_lsh_matches_exact_at_driver_scale(spark):
+    """graph_triangles_lsh (banded-minhash edges + capped count — the
+    fully-bounded scale path added after sf3skew showed the exact
+    evidence lineage refusing under the capped triangle tier) must
+    equal the exact triangle count at driver scale, where banding
+    recall is 1 and every degree is under the adjacency cap."""
+    import sys as _s
+
+    _s.path.insert(0, ".")
+    import __spark_entry__ as E
+
+    Q = E.queries()
+    sf = "/root/testdata/sf0.001"
+    lsh = Q["graph_triangles_lsh"](spark, sf).collect()[0][0]
+    exact = Q["graph_triangles"](spark, sf).collect()[0][0]
+    capped = Q["graph_triangles_capped"](spark, sf).collect()[0][0]
+    assert lsh == exact == capped, (lsh, exact, capped)
+    assert lsh >= 0
