@@ -95,6 +95,7 @@ KEY_ARTIFACT_DEPS: dict[str, set] = {
     "dedup_mllib_minhash": {"shingles"},
     "dedup_minhash_lsh": {"shingles", "minhash_pairs"},
     "dedup_clusters_lsh": {"shingles", "minhash_pairs"},
+    "graph_triangles_lsh": {"shingles", "minhash_pairs"},
     "dedup_simhash": set(),  # own fingerprint kernel, no shingle index
     "dedup_semantic": {"unit_vectors", "batch_model"},
     "ann_cosine_topk": {"unit_vectors"},
