@@ -1068,7 +1068,10 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup, 0.05 s at sf3skew) and counts with the same degree-
     ordered, adjacency-capped kernel — every stage bounded, no
     evidence build anywhere in the lineage, so graph stats stay
-    servable on the corpus where every exact tier refuses.
+    servable on the corpus where every exact tier refuses (measured
+    at sf3skew: 20.8 s cold including the full signature/banding
+    build, 0.93 s warm, vs the exact path's refused 6.2e10-wedge
+    bill).
 
     Quality contract: LSH edges are a verified SUBSET of the exact
     pair set (banding can miss a pair, never invent one), and capping
