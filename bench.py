@@ -32,6 +32,33 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _equivalent_rerun(path: Path, full: dict) -> bool:
+    """True iff ``path`` already holds a content-equal-modulo-timings
+    artifact of this run: identical key set, row counts, failure /
+    refusal / flaky key sets and sf, with the total within 20% — i.e.
+    the same code re-measured, differing only by host noise. Timing
+    keys are deliberately NOT compared beyond the total: the per-key
+    min-of-2 protocol still moves ±10% on tenancy noise."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        return False
+    try:
+        old = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return False
+    for field in ("rows", "sf", "runs"):
+        if old.get(field) != full.get(field):
+            return False
+    for bucket in ("failures", "refusals", "flaky"):
+        if set(old.get(bucket, {})) != set(full.get(bucket, {})):
+            return False
+    if set(old.get("queries", {})) != set(full.get("queries", {})):
+        return False
+    old_total, new_total = old.get("value"), full.get("value")
+    if not isinstance(old_total, (int, float)) or old_total <= 0:
+        return False
+    return abs(new_total - old_total) / old_total <= 0.20
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -87,7 +114,12 @@ def main() -> None:
     # behavior, not a regression — recorded in its own bucket so the
     # artifact is self-describing (previously graph_triangles'
     # refusal at sf1skew landed in `failures` and read as a bug).
-    refusal_runs: dict[str, str] = {}
+    # Each entry is a dict carrying the guard's machine-readable
+    # payload (VERDICT r9 #8: measured bound, budget, the bounded
+    # alternative key, the override env var) next to the human
+    # message, so a pipeline reading the artifact can ROUTE to the
+    # alternative instead of parsing prose.
+    refusal_runs: dict[str, dict] = {}
     for run in range(n_runs):
         for key in sorted(queries):
             t0 = time.perf_counter()
@@ -98,7 +130,7 @@ def main() -> None:
                 rows[key] = n
                 print(f"[bench] r{run} {key}: {dt:.2f}s rows={n}", file=sys.stderr)
             except ScaleRefusal as exc:
-                refusal_runs[key] = str(exc)[:300]
+                refusal_runs[key] = {"message": str(exc)[:300], **exc.payload()}
                 print(f"[bench] r{run} {key}: REFUSED (guard) {exc}", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 — report, don't abort
                 msg = f"{type(exc).__name__}: {exc}"[:200]
@@ -115,12 +147,22 @@ def main() -> None:
         for k, v in fail_runs.items()
         if k not in per_run and k not in refusal_runs
     }
-    refusals = {k: v for k, v in refusal_runs.items() if k not in per_run}
+    refusals = {k: dict(v) for k, v in refusal_runs.items() if k not in per_run}
+    # a key that refused in one run but raised a GENUINE exception in
+    # another is NOT cleanly refusing (ADVICE r9: previously such an
+    # error was recorded nowhere — excluded from `failures` by the
+    # refusal membership and from `flaky` by the per_run membership):
+    # keep the refusal entry but attach the real error and flag the
+    # key flaky so the artifact never masks a failure behind the
+    # designed-refusal bucket.
     flaky = {
         k: "; ".join(f"run{r}: {m}" for r, m in sorted(v.items()))
         for k, v in fail_runs.items()
-        if k in per_run
+        if k in per_run or k in refusal_runs
     }
+    for k in refusals:
+        if k in fail_runs:
+            refusals[k]["also_failed"] = flaky[k]
     if flaky:
         print(f"[bench] flaky keys: {sorted(flaky)}", file=sys.stderr)
 
@@ -142,10 +184,29 @@ def main() -> None:
         "refusals": refusals,
         "flaky": flaky,
     }
-    full_path = Path(__file__).resolve().parent / "bench_full.json"
+    # SPARK_GRAFT_BENCH_OUT routes per-scale runs to their own artifact
+    # (bench_full_sf3skew.json etc.) so they can't clobber the canonical
+    # sf0.1 bench_full.json — previously every off-scale run overwrote
+    # it and the committed artifact had to be `git show`n back.
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    full_path = Path(__file__).resolve().parent / out_name
     try:
-        full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
-        print(f"[bench] full detail -> {full_path}", file=sys.stderr)
+        if _equivalent_rerun(full_path, full):
+            # round-boundary hygiene (VERDICT r9 #5): the driver re-runs
+            # this script on unchanged code every round, and the only
+            # diff is timing noise — rewriting dirties the tree with a
+            # content-equal artifact three rounds running. Same key set,
+            # same rows/failures/refusals, totals within noise => keep
+            # the committed artifact. SPARK_GRAFT_BENCH_FORCE=1 forces
+            # the rewrite for a deliberate refresh.
+            print(
+                f"[bench] full detail UNCHANGED modulo timing noise — "
+                f"keeping {full_path} (SPARK_GRAFT_BENCH_FORCE=1 to rewrite)",
+                file=sys.stderr,
+            )
+        else:
+            full_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+            print(f"[bench] full detail -> {full_path}", file=sys.stderr)
     except OSError as exc:  # read-only dir / full disk must not cost the stdout line
         print(f"[bench] full-detail write failed: {exc}", file=sys.stderr)
 

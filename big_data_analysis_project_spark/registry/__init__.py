@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ._base import KEY_ARTIFACTS
 from . import (
     analytic_q,
     dedup_q,
@@ -58,6 +59,42 @@ for mod in (
 
 # every oracle key must have a query
 assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
+
+# Build-order dependencies BETWEEN shared artifacts (VERDICT r9 #6):
+# a key declaring `artifacts={"ngram_pairs"}` at its @q registration
+# transitively consumes shingle_evidence and shingles too — the
+# closure lives HERE, next to warm_shared_artifacts' build order, so
+# each registration only declares what its code directly touches.
+ARTIFACT_PARENTS: dict[str, frozenset[str]] = {
+    "shingle_evidence": frozenset({"shingles"}),
+    "ngram_pairs": frozenset({"shingle_evidence", "shingles"}),
+    "minhash_pairs": frozenset({"shingles"}),
+    "ivf_model": frozenset({"unit_vectors"}),
+    # batch_model delegates to the shared fixed-k model at driver
+    # scales, so it transitively needs both
+    "batch_model": frozenset({"unit_vectors", "ivf_model"}),
+    # the residual PQ variant trains on assign_cells residuals
+    "pq_codebooks": frozenset({"unit_vectors", "ivf_model"}),
+    # the kNN probe-budget pre-flight samples the unit frame and
+    # ranks cells of the batch quantizer
+    "knn_probe": frozenset({"unit_vectors", "ivf_model", "batch_model"}),
+}
+
+
+def key_artifact_deps(key: str) -> frozenset[str]:
+    """The TRANSITIVE set of shared-artifact names ``key`` consumes —
+    the declared direct set (``@q(..., artifacts={...})``) closed over
+    ``ARTIFACT_PARENTS``. tools/scale_probe.py derives its skip-warm
+    drop list from this instead of a hand-maintained parallel map."""
+    out: set[str] = set()
+    frontier = list(KEY_ARTIFACTS.get(key, frozenset()))
+    while frontier:
+        a = frontier.pop()
+        if a in out:
+            continue
+        out.add(a)
+        frontier.extend(ARTIFACT_PARENTS.get(a, frozenset()))
+    return frozenset(out)
 
 # Driver-evidence rotation, self-managing: the driver's correctness
 # harness checks only the FIRST 50 keys of queries() each round, so the

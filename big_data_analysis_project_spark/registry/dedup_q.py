@@ -379,7 +379,12 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(df-capped evidence, precision-1 lower-bound Jaccard) "
                 "or dedup_minhash_lsh (banded, BUCKET_CAP), or set "
                 "SPARK_GRAFT_EVIDENCE_PAIRS_CAP=0 (unlimited) for a "
-                "deliberate oracle run."
+                "deliberate oracle run.",
+                key="shingle_evidence",
+                measured=profile["pairs_bound"],
+                budget=budget,
+                alternative="dedup_minhash_lsh",
+                override_env="SPARK_GRAFT_EVIDENCE_PAIRS_CAP",
             )
         if profile["max_df"] > _DF_WARN:
             warnings.warn(
@@ -414,7 +419,7 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
 
 
-@q("dedup_containment", _CONTAINMENT_ORACLE)
+@q("dedup_containment", _CONTAINMENT_ORACLE, artifacts={"shingle_evidence"})
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET pairs by shingle containment: |A∩B| / min(|A|,|B|)
     >= 0.7. The asymmetric complement of Jaccard dedup — a short
@@ -435,7 +440,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_ngram_jaccard", _NGRAM_ORACLE)
+@q("dedup_ngram_jaccard", _NGRAM_ORACLE, artifacts={"ngram_pairs"})
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — registry surface over the
     per-session memoized pair list (``ngram_pairs_cached``): the graph
@@ -489,7 +494,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-@q("dedup_ngram_dfcap", _DFCAP_ORACLE)
+@q("dedup_ngram_dfcap", _DFCAP_ORACLE, artifacts={"shingles"})
 def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOUNDED-evidence tier of exact Jaccard dedup (VERDICT r6
     #3): identical to ``dedup_ngram_jaccard`` except shingles whose
@@ -559,7 +564,7 @@ FROM df
 )
 
 
-@q("shingle_df_audit", _DF_AUDIT_ORACLE)
+@q("shingle_df_audit", _DF_AUDIT_ORACLE, artifacts={"shingles"})
 def shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-flight cost audit of the exact dedup family as a
     first-class query: one aggregation over the corpus shingle index
@@ -766,7 +771,7 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_minhash_lsh")  # no portable-SQL oracle: rows-only check + pytest recall test
+@q("dedup_minhash_lsh", artifacts={"minhash_pairs"})  # no portable-SQL oracle: rows-only check + pytest recall test
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry surface for ``minhash_verified_pairs`` (see that
     docstring for the plan shape); recall/precision vs the exact
@@ -774,7 +779,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_cached(spark, sf_dir)
 
 
-@q("dedup_clusters_lsh")  # no portable-SQL oracle: refinement-tested vs dedup_clusters
+@q("dedup_clusters_lsh", artifacts={"minhash_pairs"})  # no portable-SQL oracle: refinement-tested vs dedup_clusters
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end 100 TB dedup path in one key: LSH-banded
     candidate generation -> exact-Jaccard verify -> connected
@@ -1228,7 +1233,12 @@ def dedup_embedding(
                 "= 483 s). Use the measured-flat scale paths "
                 "(dedup_semantic / ann_knn_join, constant-cell-population "
                 "quantizer) or pass pairs_cap=0 / set "
-                "SPARK_GRAFT_EMB_PAIRS_CAP=0 for a deliberate oracle run."
+                "SPARK_GRAFT_EMB_PAIRS_CAP=0 for a deliberate oracle run.",
+                key="dedup_embedding",
+                measured=bound,
+                budget=cap,
+                alternative="dedup_semantic",
+                override_env="SPARK_GRAFT_EMB_PAIRS_CAP",
             )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -1270,7 +1280,7 @@ SELECT v AS doc_id, MIN(c) AS keep_id FROM reach GROUP BY v
 """
 
 
-@q("dedup_clusters", _CLUSTERS_ORACLE)
+@q("dedup_clusters", _CLUSTERS_ORACLE, artifacts={"ngram_pairs"})
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the exact Jaccard>=0.5 pair set:
     connected components -> (doc_id, keep_id) drop-list, keep_id being
@@ -1306,7 +1316,7 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_mllib_minhash")  # approximate: rows-only driver check + pytest recall test
+@q("dedup_mllib_minhash", artifacts={"shingles"})  # approximate: rows-only driver check + pytest recall test
 def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-interop near-dup path: shingle sets binarized with
     ``HashingTF(binary=True)`` and fed to ``MinHashLSH``'s
@@ -1366,7 +1376,12 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "26 of 32 task slots idle). Route near-dup through "
                 "dedup_minhash_lsh (BUCKET_CAP banding, measured flat) or "
                 "dedup_ngram_dfcap, or set SPARK_GRAFT_MLLIB_PAIRS_CAP=0 "
-                "(unlimited) for a deliberate library-reference run."
+                "(unlimited) for a deliberate library-reference run.",
+                key="dedup_mllib_minhash",
+                measured=profile["pairs_bound"],
+                budget=budget,
+                alternative="dedup_minhash_lsh",
+                override_env="SPARK_GRAFT_MLLIB_PAIRS_CAP",
             )
     sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
     feats = HashingTF(
@@ -1413,7 +1428,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-@q("dedup_incremental", _INCREMENTAL_ORACLE)
+@q("dedup_incremental", _INCREMENTAL_ORACLE, artifacts={"shingles"})
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the arrival-time shape of a production
     corpus: a NEW BATCH (odd doc_ids here) is near-dup-checked against
@@ -1491,7 +1506,7 @@ FROM comp c JOIN best b ON c.component = b.component AND b.rn = 1
 """
 
 
-@q("dedup_keep_best", _KEEP_BEST_ORACLE)
+@q("dedup_keep_best", _KEEP_BEST_ORACLE, artifacts={"ngram_pairs"})
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: the same near-dup clusters as
     ``dedup_clusters``, but each cluster keeps its LONGEST member
@@ -1593,7 +1608,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_TAU = 0.3
 
 
-@q("dedup_semantic")  # approximate blocking: rows-only driver check + contract pytest
+@q("dedup_semantic", artifacts={"batch_model", "unit_vectors"})  # approximate blocking: rows-only driver check + contract pytest
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings with k-means and pruning

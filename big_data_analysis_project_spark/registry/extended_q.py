@@ -805,6 +805,7 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT doc_b FROM pairs
        )
        SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id""",
+    artifacts={"ngram_pairs"},
 )
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex degree over the near-dup similarity graph (the profiling
@@ -835,6 +836,7 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM e xy
        JOIN e xz ON xz.doc_a = xy.doc_a AND xz.doc_b > xy.doc_b
        JOIN e yz ON yz.doc_a = xy.doc_b AND yz.doc_b = xz.doc_b""",
+    artifacts={"ngram_pairs"},
 )
 def graph_triangles(
     spark: SparkSession, sf_dir: str, wedge_cap: int | None = None
@@ -892,7 +894,11 @@ def graph_triangles(
                 "clique by declared contract. Use graph_triangles_capped "
                 "(degree-ordered orientation + adjacency cap, exact "
                 "whenever every oriented out-degree <= cap) or pass "
-                "wedge_cap=0 for a deliberate oracle run."
+                "wedge_cap=0 for a deliberate oracle run.",
+                key="graph_triangles",
+                measured=int(wedges),
+                budget=cap,
+                alternative="graph_triangles_capped",
             )
     # merge hints: all three sides are the edge-list artifact, whose
     # checkpoint-backed stats misreport as tiny (round-6 scale-probe
@@ -954,6 +960,7 @@ def wedge_stats(e: DataFrame) -> DataFrame:
        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_edges,
               CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT) AS wedges
        FROM d""",
+    artifacts={"ngram_pairs"},
 )
 def graph_wedge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The triangle pre-flight audit as a first-class query (round 8):
@@ -1018,6 +1025,7 @@ TRIANGLE_ADJ_CAP = 64
        JOIN adj a2 ON a2.src = a1.src
                   AND (a2.dd > a1.dd OR (a2.dd = a1.dd AND a2.dst > a1.dst))
        JOIN adj a3 ON a3.src = a1.dst AND a3.dst = a2.dst""",
+    artifacts={"ngram_pairs"},
 )
 def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-bounded triangle count: degree-ordered orientation + a
@@ -1054,7 +1062,7 @@ def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles_capped(e, TRIANGLE_ADJ_CAP)
 
 
-@q("graph_triangles_lsh")  # rows-only: LSH edge set has no portable-SQL oracle
+@q("graph_triangles_lsh", artifacts={"minhash_pairs"})  # rows-only: LSH edge set has no portable-SQL oracle
 def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the BANDED-MINHASH near-dup graph — the
     END-TO-END scale path, closing the gap the round-9 sf3skew
@@ -1287,7 +1295,7 @@ def _iter_partitions(spark: SparkSession, n_rows: int) -> int:
     return max(1, min(cap, -(-n_rows // _ITER_ROWS_PER_PARTITION)))
 
 
-@q("graph_pagerank")  # rows-only: iterative algorithm, not SQL-expressible
+@q("graph_pagerank", artifacts={"ngram_pairs"})  # rows-only: iterative algorithm, not SQL-expressible
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (the canonical
     iterative-DataFrame algorithm; ranks surface the 'template hub'

@@ -142,7 +142,7 @@ def synthetic_marts(spark: SparkSession):
     return session_memo(_MARTS_CACHE, spark, None, build)
 
 
-@q("tb_pipeline", ORACLE_TB_PIPELINE)
+@q("tb_pipeline", ORACLE_TB_PIPELINE, artifacts={"tb_marts"})
 def tb_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 end-to-end on synthetic input: build the long fact table
     (arithmetic pseudo-noise, no RNG), run the full pipeline, return

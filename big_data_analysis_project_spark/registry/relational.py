@@ -29,7 +29,7 @@ from ..plans.flagship import FLAGSHIP_ORACLE_SQL, revenue_by_nation
 from ..sources.readers import load_events, load_table, read_csv
 from ..sources.synthetic import _BASE_RATES, _POPULATIONS
 
-from ._base import make_registry
+from ._base import KEY_ARTIFACTS, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -47,6 +47,9 @@ atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
 
 QUERIES["flagship"] = revenue_by_nation
 ORACLE["flagship"] = FLAGSHIP_ORACLE_SQL
+# direct registration bypasses @q — record the empty artifact set so
+# skip-warm tooling sees every key mapped (see _base.KEY_ARTIFACTS)
+KEY_ARTIFACTS["flagship"] = frozenset()
 
 
 # --- S: scans / sinks --------------------------------------------------

@@ -115,6 +115,7 @@ SELECT s.iso3, c.country, c.lat, c.lon, s.year,
        {_DEATHS_100K} AS deaths_per_100k,
        {_CFR} AS case_fatality_rate
 FROM summary s JOIN coords c USING (iso3)""",
+    artifacts={"tb_marts"},
 )
 def serve_map_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/map-data: latest-year summary x broadcast coords join
@@ -142,6 +143,7 @@ SELECT year,
        CAST(0.0 AS DOUBLE) AS new_cases_per_100k,
        {_DEATHS_100K} AS deaths_per_100k
 FROM syn WHERE iso3 = 'IDN' AND year BETWEEN 2019 AND 2023""",
+    artifacts={"tb_marts"},
 )
 def serve_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/trends/IDN?start_year=2019&end_year=2023: per-country
@@ -181,6 +183,7 @@ SELECT iso3, iso3 AS country,
        {_DEATHS_100K} AS deaths_per_100k,
        {_CFR} AS case_fatality_rate
 FROM summary""",
+    artifacts={"tb_marts"},
 )
 def serve_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/comparison: the latest-year cross-country payload
@@ -206,6 +209,7 @@ SELECT year,
        ROUND(CAST(AVG({_CASES_100K.replace(chr(10), ' ')}) AS DOUBLE), 4) AS avg_cases_per_100k,
        ROUND(CAST(AVG({_CFR.replace(chr(10), ' ')}) AS DOUBLE), 4) AS avg_case_fatality_rate
 FROM syn GROUP BY year""",
+    artifacts={"tb_marts"},
 )
 def serve_yearly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/yearly-trends: the yearly_trends mart under the
@@ -243,6 +247,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
        CAST(MIN(year) AS VARCHAR) || '-' || CAST(MAX(year) AS VARCHAR) AS year_range,
        CAST(COUNT(DISTINCT iso3) AS BIGINT) AS countries_count
 FROM summary""",
+    artifacts={"tb_marts"},
 )
 def serve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/stats: scalar aggregates over the summary mart (A6).
@@ -280,6 +285,7 @@ SELECT ranking, rank, iso3, value FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY ranking ORDER BY value DESC, iso3) AS INT) AS rank
   FROM metrics
 ) WHERE rank <= 3""",
+    artifacts={"tb_marts"},
 )
 def serve_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontend's declared-but-never-served rankings: top-3

@@ -238,9 +238,11 @@ def _kernel_chunk_rows(k: int) -> int:
     batches allocates ~2.2 GB of (float64 + int64) scratch PER WORKER,
     and 32 workers host-OOMed a 125 GiB box during the natural-scale
     quantizer probe. Chunking rows to ~4e6 dot entries bounds scratch
-    at ~64 MB/worker REGARDLESS of model size; at every driver/bench
-    scale (k <= 480) the chunk exceeds the batch, so this is a no-op
-    there. Per-row outputs are unchanged — every op is row-local."""
+    at ~64 MB/worker REGARDLESS of model size; at k <= 400 the chunk
+    exceeds the default 10k-row Arrow batch, so chunking is a no-op at
+    every driver/bench scale — at k = 480 (the sf3 probe) it already
+    engages (4e6 // 480 = 8,333 < 10k; ADVICE r9). Per-row outputs
+    are unchanged either way — every op is row-local."""
     return max(1, 4_000_000 // max(1, k))
 
 
@@ -447,7 +449,7 @@ def train_ivf_centroids_mllib(
     return cents
 
 
-@q("ann_ivf")  # approximate: rows-only driver check + pytest recall test
+@q("ann_ivf", artifacts={"ivf_model", "unit_vectors"})  # approximate: rows-only driver check + pytest recall test
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: spherical-k-means coarse quantizer,
     every vector assigned to its nearest of N_CENTROIDS cells, query
@@ -837,7 +839,7 @@ def train_pq_codebooks(
     }
 
 
-@q("ann_pq")  # approximate: rows-only driver check + pytest recall test
+@q("ann_pq", artifacts={"pq_codebooks"})  # approximate: rows-only driver check + pytest recall test
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-bound scale path: every
     unit vector compresses to m={_PQ_M} 4-bit codes (16x smaller than
@@ -934,7 +936,7 @@ def residualize(assigned: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-@q("ann_ivf_pq")  # approximate: rows-only driver check + pytest recall test
+@q("ann_ivf_pq", artifacts={"ivf_model", "pq_codebooks", "unit_vectors"})  # approximate: rows-only driver check + pytest recall test
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF+PQ — the production ANN composition (the FAISS
     IVFPQ shape, residuals included): the coarse quantizer routes the
@@ -1081,7 +1083,7 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
     )
 
 
-@q("ann_knn_join")  # approximate blocking: rows-only driver check + pytest recall
+@q("ann_knn_join", artifacts={"batch_model", "unit_vectors"})  # approximate blocking: rows-only driver check + pytest recall
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN JOIN: top-{KNN_K} cosine neighbors for EVERY vector at
     once — the primitive under SemDeDup-style semantic dedup, diversity

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from ._base import KEY_ARTIFACTS
 
 QUERIES = {}
 ORACLE = {}
@@ -180,6 +181,10 @@ def _register(key: str, sql_tmpl: str, doc: str):
     fn.__doc__ = doc
     QUERIES[key] = fn
     ORACLE[key] = sql_tmpl.format(p="")
+    # direct registration bypasses @q — record the (empty) artifact
+    # declaration it would have made, so tooling that derives
+    # skip-warm drops from KEY_ARTIFACTS sees every key mapped
+    KEY_ARTIFACTS[key] = frozenset()
     return fn
 
 

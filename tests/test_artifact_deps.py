@@ -1,0 +1,151 @@
+"""Registry-side artifact-dependency declarations (VERDICT r9 #6):
+every @q registration declares the session-memoized shared artifacts
+its query lazily consumes (`artifacts={...}`), and
+``registry.key_artifact_deps`` closes the set over the build-order
+parents. tools/scale_probe.py derives its --skip-warm drop list from
+these declarations, so an UNDER-declaration would let a probe lazily
+trigger a skipped (possibly quadratic-by-contract) build inside a
+timed run — the failure class the old hand-maintained map only
+warned about. This test makes under-declaration a suite failure: it
+AST-derives, for each registered key, the cached-artifact accessors
+actually reachable from the key's function (transitively through
+module-level helpers), and asserts the declared closure covers the
+derived closure. No Spark session needed — pure source analysis."""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+REG_DIR = (
+    Path(__file__).resolve().parents[1]
+    / "big_data_analysis_project_spark"
+    / "registry"
+)
+
+# accessor function -> warmable artifact name (the names
+# warm_shared_artifacts builds)
+ACCESSORS = {
+    "shingles_cached": "shingles",
+    "shingle_evidence_cached": "shingle_evidence",
+    "minhash_pairs_cached": "minhash_pairs",
+    "ngram_pairs_cached": "ngram_pairs",
+    "unit_vectors_cached": "unit_vectors",
+    "ivf_centroids_cached": "ivf_model",
+    "pq_codebooks_cached": "pq_codebooks",
+    "batch_centroids_cached": "batch_model",
+    "knn_probe_cached": "knn_probe",
+    "synthetic_marts": "tb_marts",
+}
+
+
+def _closure(arts, parents):
+    out: set[str] = set()
+    frontier = list(arts)
+    while frontier:
+        a = frontier.pop()
+        if a in out:
+            continue
+        out.add(a)
+        frontier.extend(parents.get(a, ()))
+    return out
+
+
+def _derive_key_artifacts():
+    """key -> set of accessor-artifacts reachable from its function,
+    following helper calls by name across registry modules (names are
+    module-unique; an accessor call terminates recursion — its own
+    deps are the parent closure's job)."""
+    fn_calls: dict[str, set[str]] = {}
+    key_fn: dict[str, str] = {}
+    for mod in REG_DIR.glob("*.py"):
+        if mod.name.startswith("_"):
+            continue
+        tree = ast.parse(mod.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            calls = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Call):
+                    name = getattr(sub.func, "id", None) or getattr(
+                        sub.func, "attr", None
+                    )
+                    if name:
+                        calls.add(name)
+            fn_calls.setdefault(node.name, set()).update(calls)
+            for dec in node.decorator_list:
+                if (
+                    isinstance(dec, ast.Call)
+                    and getattr(dec.func, "id", "") == "q"
+                    and dec.args
+                    and isinstance(dec.args[0], ast.Constant)
+                ):
+                    key_fn[dec.args[0].value] = node.name
+
+    def reachable(fname: str, seen: set[str]) -> set[str]:
+        if fname in seen:
+            return set()
+        seen.add(fname)
+        out: set[str] = set()
+        for c in fn_calls.get(fname, ()):
+            if c in ACCESSORS:
+                out.add(ACCESSORS[c])
+            elif c in fn_calls and c != fname:
+                out |= reachable(c, seen)
+        return out
+
+    return {k: reachable(f, set()) for k, f in key_fn.items()}
+
+
+def test_declared_artifacts_cover_actual_consumption():
+    from big_data_analysis_project_spark.registry import (
+        ARTIFACT_PARENTS,
+        KEY_ARTIFACTS,
+        QUERIES,
+        key_artifact_deps,
+    )
+
+    derived = _derive_key_artifacts()
+    # every registry key is mapped (the @q decorator records even the
+    # empty default) — the unmapped-key warning class is closed
+    assert set(QUERIES) <= set(KEY_ARTIFACTS)
+
+    missing = {}
+    for key in QUERIES:
+        want = _closure(derived.get(key, set()), ARTIFACT_PARENTS)
+        have = set(key_artifact_deps(key))
+        if not want <= have:
+            missing[key] = sorted(want - have)
+    assert not missing, (
+        f"under-declared @q artifacts (code reaches an accessor the "
+        f"registration omits): {missing}"
+    )
+
+
+def test_declared_artifacts_are_known_names():
+    """Over-declaration guard: a typo'd artifact name would silently
+    never match a --skip-warm set. Every declared name must be one
+    warm_shared_artifacts can build (= an ACCESSORS value)."""
+    from big_data_analysis_project_spark.registry import (
+        ARTIFACT_PARENTS,
+        KEY_ARTIFACTS,
+    )
+
+    known = set(ACCESSORS.values())
+    for key, arts in KEY_ARTIFACTS.items():
+        unknown = set(arts) - known
+        assert not unknown, f"{key} declares unknown artifact(s) {unknown}"
+    for art, parents in ARTIFACT_PARENTS.items():
+        assert art in known, art
+        assert set(parents) <= known, (art, parents)
+
+
+def test_closure_is_transitive():
+    from big_data_analysis_project_spark.registry import key_artifact_deps
+
+    deps = key_artifact_deps("dedup_ngram_jaccard")
+    # ngram_pairs is built from shingle_evidence, built from shingles
+    assert {"ngram_pairs", "shingle_evidence", "shingles"} <= set(deps)
+    # a key with no declarations closes to the empty set
+    assert key_artifact_deps("dedup_exact") == frozenset()

@@ -682,3 +682,39 @@ def test_triangles_lsh_matches_exact_at_driver_scale(spark):
     capped = Q["graph_triangles_capped"](spark, sf).collect()[0][0]
     assert lsh == exact == capped, (lsh, exact, capped)
     assert lsh >= 0
+
+
+def test_scale_refusal_structured_payload(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #8: a guard's ScaleRefusal carries machine-readable
+    fields (key / measured / budget / alternative / override_env) so a
+    pipeline can route to the bounded tier programmatically instead of
+    parsing prose; the human message is unchanged (still names the
+    budget and the alternative). bench.py records payload() in its
+    refusals bucket."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    from big_data_analysis_project_spark.errors import ScaleRefusal
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+    with pytest.raises(ScaleRefusal) as ei:
+        D.shingle_evidence_cached(spark, str(tmp_path)).count()
+    exc = ei.value
+    payload = exc.payload()
+    assert payload["key"] == "shingle_evidence"
+    assert payload["budget"] == 1
+    assert payload["measured"] > 1  # the df audit's exact pairs bound
+    assert payload["alternative"] == "dedup_minhash_lsh"
+    assert payload["override_env"] == "SPARK_GRAFT_EVIDENCE_PAIRS_CAP"
+    # prose contract intact: message still names budget + alternative
+    assert "dedup_ngram_dfcap" in str(exc)
+    # payload drops None fields (graph_triangles has no override env)
+    assert None not in payload.values()

@@ -60,9 +60,24 @@ def main() -> None:
     args = ap.parse_args()
 
     # the cap is read at registry-module import — set (or leave) it
-    # BEFORE the import below
+    # BEFORE the import below. setdefault semantics when --cap is left
+    # at its default (ADVICE r9): an operator who exported the cap in
+    # the shell expects it honored, not silently clobbered by the
+    # default '1000' — an explicit --cap still wins over the env.
     if args.cap != "natural":
-        os.environ["SPARK_GRAFT_DRIVER_SAMPLE_CAP"] = args.cap
+        explicit = any(a.startswith("--cap") for a in sys.argv[1:])
+        if explicit:
+            os.environ["SPARK_GRAFT_DRIVER_SAMPLE_CAP"] = args.cap
+        else:
+            prior = os.environ.get("SPARK_GRAFT_DRIVER_SAMPLE_CAP")
+            if prior is not None and prior != args.cap:
+                print(
+                    f"[quant] honoring pre-set SPARK_GRAFT_DRIVER_SAMPLE_CAP="
+                    f"{prior} over the --cap default {args.cap} (pass --cap "
+                    "explicitly to override)",
+                    file=sys.stderr,
+                )
+            os.environ.setdefault("SPARK_GRAFT_DRIVER_SAMPLE_CAP", args.cap)
 
     import numpy as np
 

@@ -69,67 +69,49 @@ DEFAULT_KEYS = [
 ]
 
 
-# Lazy cached-artifact dependencies per registry key (TRANSITIVE:
-# ngram_pairs is built FROM shingle_evidence, which is built from
-# shingles — skipping any ancestor leaves every descendant's consumer
-# exposed). Keys not listed consume none of the skippable artifacts.
-# Used to auto-drop keys whose deps intersect --skip-warm (ADVICE r7:
-# previously only the CC section was gated, so e.g. dedup_containment
-# would lazily trigger the uncapped quadratic evidence build INSIDE
-# its timed run — paying, or OOMing on, exactly the bill skip-warm
-# exists to avoid).
-_EVIDENCE = {"shingles", "shingle_evidence"}
-_PAIRS = _EVIDENCE | {"ngram_pairs"}
-KEY_ARTIFACT_DEPS: dict[str, set] = {
-    "dedup_containment": _EVIDENCE,
-    "dedup_ngram_jaccard": _PAIRS,
-    "dedup_clusters": _PAIRS,
-    "dedup_keep_best": _PAIRS,
-    "graph_degree": _PAIRS,
-    "graph_triangles": _PAIRS,
-    "graph_triangles_capped": _PAIRS,
-    "graph_pagerank": _PAIRS,
-    "dedup_exact": set(),  # hash-groupBy only — listed to be explicit
-    "dedup_ngram_dfcap": {"shingles"},
-    "dedup_incremental": {"shingles"},
-    "dedup_mllib_minhash": {"shingles"},
-    "dedup_minhash_lsh": {"shingles", "minhash_pairs"},
-    "dedup_clusters_lsh": {"shingles", "minhash_pairs"},
-    "graph_triangles_lsh": {"shingles", "minhash_pairs"},
-    "dedup_simhash": set(),  # own fingerprint kernel, no shingle index
-    "dedup_semantic": {"unit_vectors", "batch_model"},
-    "ann_cosine_topk": {"unit_vectors"},
-    "ann_ivf": {"unit_vectors", "ivf_model"},
-    "ann_knn_join": {"unit_vectors", "batch_model"},
-}
+# Lazy cached-artifact dependencies per registry key: DERIVED from the
+# registry itself (VERDICT r9 #6) — each key declares its direct
+# artifact set at its @q registration (`artifacts={...}`), and
+# registry.key_artifact_deps() closes it over the between-artifact
+# build-order map (ngram_pairs -> shingle_evidence -> shingles, ...).
+# This file previously hand-maintained a parallel copy of the map;
+# the registry-side declaration eliminates the drift class — every
+# registered key is mapped (default: consumes nothing), so the old
+# unmapped-key warning is unreachable for registry keys and only
+# fires for ad-hoc callables a probe might inject.
 
 
 def filter_keys_for_skip(keys: list, skip: set) -> list:
-    """Drop keys whose lazy cached-artifact deps intersect the
-    skip-warm set, warning loudly per drop — running them would
-    trigger the skipped build inside the timed run anyway.
+    """Drop keys whose lazy cached-artifact deps (declared at the @q
+    registration, transitively closed by registry.key_artifact_deps)
+    intersect the skip-warm set, warning loudly per drop — running
+    them would trigger the skipped build inside the timed run anyway.
 
-    Keys ABSENT from KEY_ARTIFACT_DEPS are kept but warned about
-    (ADVICE r8): the map is a hand-maintained mirror of registry
-    dependencies, and an unmapped future key that consumes
-    shingle_evidence would otherwise silently trigger the uncapped
-    quadratic build inside a timed --skip-warm run — the exact
-    failure the map exists to prevent. The warning names the fix
-    (add the key to the map) so the gap closes at first use instead
-    of at first OOM."""
+    Keys ABSENT from the registry map are kept but warned about: a
+    key that consumes shingle_evidence without declaring it would
+    silently trigger the uncapped quadratic build inside a timed
+    --skip-warm run — the exact failure the declarations exist to
+    prevent. tests/test_artifact_deps.py cross-checks every declared
+    set against the accessor calls actually reachable from the key's
+    code, so an undeclared consumption fails the suite before it can
+    mis-time a probe."""
+    from big_data_analysis_project_spark.registry import (
+        KEY_ARTIFACTS,
+        key_artifact_deps,
+    )
+
     kept = []
     for k in keys:
-        if skip and k not in KEY_ARTIFACT_DEPS:
+        if skip and k not in KEY_ARTIFACTS:
             print(
-                f"[probe] WARNING: {k} is not in KEY_ARTIFACT_DEPS — "
-                "assuming it consumes NO skippable artifacts; if it "
+                f"[probe] WARNING: {k} has no @q artifacts declaration "
+                "— assuming it consumes NO skippable artifacts; if it "
                 "lazily builds one, this --skip-warm run will pay the "
-                "cold build inside its timing. Add the key to "
-                "KEY_ARTIFACT_DEPS in tools/scale_probe.py to make "
-                "the assumption explicit.",
+                "cold build inside its timing. Declare "
+                "artifacts={...} at the key's @q registration.",
                 file=sys.stderr,
             )
-        hit = KEY_ARTIFACT_DEPS.get(k, set()) & skip
+        hit = set(key_artifact_deps(k)) & skip
         if hit:
             print(
                 f"[probe] DROPPING {k}: consumes skipped artifact(s) "
