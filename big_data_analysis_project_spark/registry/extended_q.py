@@ -1094,11 +1094,69 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles_capped(e, TRIANGLE_ADJ_CAP)
 
 
-def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
-    """Degree-oriented, adjacency-capped triangle count over an edge
-    frame (doc_a < doc_b, one row per undirected edge). Exact whenever
-    every oriented out-degree is <= cap; deterministic truncation
-    lower bound otherwise. See ``graph_triangles_capped``."""
+@q("graph_wedge_audit_lsh", artifacts={"minhash_pairs"})  # rows-only: LSH edges
+def graph_wedge_audit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight pricing for the LSH triangle path (VERDICT r9 #2):
+    at sf3skew ``graph_wedge_audit`` refuses — it prices the exact
+    wedge join but CONSUMES the exact evidence edge list, which the
+    pairs-budget guard correctly declines to build there — so
+    ``graph_triangles_lsh``, the one graph key still servable at that
+    scale, ran unpriced. This audit prices it over its ACTUAL input:
+    the banded-minhash edge artifact (BUCKET_CAP bounded, measured
+    flat through the skew decades), under the SAME degree-ordered
+    orientation the capped kernel enumerates (``degree_oriented_edges``
+    is shared code, not a parallel formula).
+
+    One row: ``n_edges``; ``wedges`` = Σ_src C(outdeg, 2), the exact
+    wedge-join row count an UNCAPPED degree-oriented count would
+    enumerate on these edges (the bill the adjacency cap bounds); and
+    ``wedges_capped`` = Σ_src C(min(outdeg, {TRIANGLE_ADJ_CAP}), 2),
+    the exact row count of ``graph_triangles_lsh``'s a1⨝a2 wedge join
+    — so a pipeline checks this number BEFORE scheduling the count,
+    the same discipline as every other guard input. Both sums are
+    pure int64 (even terms, exact shift-halving) with the float64
+    shadow kept internal. wedges >= wedges_capped always, equality
+    exactly when every oriented out-degree <= the cap (pinned with
+    the actual join row count in tests/test_boundaries.py). Cost:
+    the degree aggregation + orientation joins — two shuffles on
+    vertex keys over the memoized edge artifact, nothing quadratic.
+    Rows-only driver check: the LSH edge set has no portable-SQL
+    oracle, but the identical wedge arithmetic is hash-verified by
+    ``graph_wedge_audit`` against DuckDB on the exact edge set."""
+    from .dedup_q import minhash_pairs_cached
+
+    e = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    outdeg = (
+        degree_oriented_edges(e)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cc",
+            F.least(F.col("c"), F.lit(TRIANGLE_ADJ_CAP)).cast("bigint"),
+        )
+    )
+    return outdeg.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(
+            F.shiftright(
+                F.sum(F.col("c").cast("bigint") * (F.col("c") - 1)), 1
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("wedges"),
+        F.coalesce(
+            F.shiftright(F.sum(F.col("cc") * (F.col("cc") - 1)), 1),
+            F.lit(0).cast("bigint"),
+        ).alias("wedges_capped"),
+    )
+
+
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """(doc_a < doc_b undirected edges) -> (src, dst, dd): each edge
+    pointed at its higher-(degree, id) endpoint, ``dd`` = the dst's
+    degree — the classic triangle-enumeration orientation (kills the
+    hub-star wedge blow-up; see ``graph_triangles_capped``). Shared
+    front half of the capped count kernel and the wedge audits, so the
+    audit prices EXACTLY the orientation the kernel enumerates."""
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionAll(e.select(F.col("doc_b").alias("v")))
@@ -1115,12 +1173,19 @@ def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
     )
-    dird = ed.select(
+    return ed.select(
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
     )
-    adj = (
+
+
+def capped_adjacency(dird: DataFrame, cap: int) -> DataFrame:
+    """Keep each src's ``cap`` lowest-(dd, dst) out-neighbors — the
+    per-vertex adjacency cap that bounds wedge work at n * cap^2. A
+    bounded per-src window (partition size <= degree), never the
+    corpus."""
+    return (
         dird.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("src").orderBy("dd", "dst")),
@@ -1128,6 +1193,14 @@ def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
+
+
+def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
+    """Degree-oriented, adjacency-capped triangle count over an edge
+    frame (doc_a < doc_b, one row per undirected edge). Exact whenever
+    every oriented out-degree is <= cap; deterministic truncation
+    lower bound otherwise. See ``graph_triangles_capped``."""
+    adj = capped_adjacency(degree_oriented_edges(e), cap)
     a1, a2, a3 = adj.alias("a1"), adj.alias("a2"), adj.alias("a3")
     wedges = a1.hint("merge").join(
         a2.hint("merge"),

@@ -718,3 +718,51 @@ def test_scale_refusal_structured_payload(spark, tmp_path, monkeypatch):
     assert "dedup_ngram_dfcap" in str(exc)
     # payload drops None fields (graph_triangles has no override env)
     assert None not in payload.values()
+
+
+def test_wedge_audit_lsh_prices_the_capped_kernel_exactly(spark):
+    """VERDICT r9 #2: graph_wedge_audit_lsh's wedges_capped must equal
+    the ACTUAL row count of graph_triangles_lsh's a1-a2 wedge join over
+    the same banded-minhash edges (same orientation, same cap), and the
+    uncapped `wedges` column must bound it from above — the audit is a
+    pre-flight price, never an underestimate of the work."""
+    import sys as _s
+
+    _s.path.insert(0, ".")
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        minhash_pairs_cached,
+    )
+    from big_data_analysis_project_spark.registry.extended_q import (
+        TRIANGLE_ADJ_CAP,
+        capped_adjacency,
+        degree_oriented_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    Q = E.queries()
+    audit = Q["graph_wedge_audit_lsh"](spark, sf).collect()[0]
+    assert audit.wedges >= audit.wedges_capped >= 0
+    assert audit.n_edges > 0  # non-vacuous: the corpus has LSH edges
+
+    # the actual wedge-join row count of the capped kernel
+    e = minhash_pairs_cached(spark, sf).select("doc_a", "doc_b")
+    adj = capped_adjacency(degree_oriented_edges(e), TRIANGLE_ADJ_CAP)
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    actual = a1.join(
+        a2,
+        (F.col("a2.src") == F.col("a1.src"))
+        & (
+            (F.col("a2.dd") > F.col("a1.dd"))
+            | (
+                (F.col("a2.dd") == F.col("a1.dd"))
+                & (F.col("a2.dst") > F.col("a1.dst"))
+            )
+        ),
+    ).count()
+    assert audit.wedges_capped == actual, (audit.wedges_capped, actual)
+    # driver scale: every oriented out-degree is under the cap, so the
+    # capped price equals the uncapped bill
+    assert audit.wedges == audit.wedges_capped
