@@ -218,6 +218,14 @@ def warm_shared_artifacts(
             "batch_model",
             lambda: similarity_q.batch_centroids_cached(spark, sf_dir),
         ),
+        # the kNN probe-budget pre-flight (VERDICT r9 #1): index-build
+        # state exactly like the model — a no-op at fixed-k scales
+        # (returns the KNN_PROBE default), one exact-sample corpus
+        # scan in the grown-k regime, memoized per snapshot
+        (
+            "knn_probe",
+            lambda: similarity_q.knn_probe_cached(spark, sf_dir),
+        ),
         ("tb_marts", lambda: pipeline_q.synthetic_marts(spark)),
     ]
     out: dict[str, float] = {}

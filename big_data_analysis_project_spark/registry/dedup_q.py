@@ -1632,7 +1632,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-k model at every driver-checked scale; the fixed-k quadratic
     asymptote is MEASURED in BENCH_SCALE.md). Full greedy contract
     (keeper validity, maximality, determinism) is pinned in
-    tests/test_recall.py."""
+    tests/test_recall.py.
+
+    Quality at scale — measured, and why this key needs NO probe dial
+    (unlike ``ann_knn_join``'s pre-flight): single-assignment blocking
+    only misses a drop when a >= tau pair straddles a cell boundary,
+    and near-dup pairs are far inside cells at every measured
+    subdivision — drop recall vs the corpus-wide exact greedy stayed
+    0.998 / 0.996 / 0.992 (precision 1.0) across the three clustered
+    decades (20 k / 160 cells -> 200 k / 1,600 cells,
+    bench_scale_recall_clustered*.json) while the kNN join's
+    fixed-probe recall decayed 1.00 -> 0.745 on the same corpora.
+    The SemDeDup paper's own within-cluster-only contract is the
+    declared approximation; tools/recall_probe.py re-measures it per
+    corpus."""
     import numpy as np
     import pandas as pd
 

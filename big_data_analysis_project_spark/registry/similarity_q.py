@@ -1038,6 +1038,23 @@ KNN_K = 5
 # exactly this reason; 8 is the bench default, not a claim.
 KNN_PROBE = 8
 
+# The probe-budget PRE-FLIGHT (VERDICT r9 #1) — the dial is no longer
+# hand-set in the grown-k regime: before the batch join, ann_knn_join
+# measures its own sample recall (exact kNN on a bounded deterministic
+# query sample vs the coverage each probe count would give) and
+# auto-raises n_probe from KNN_PROBE toward the smallest count meeting
+# KNN_TARGET_RECALL, capped at KNN_PROBE_MAX. Fixed-k scales (every
+# driver/bench corpus) keep the KNN_PROBE default untouched.
+KNN_TARGET_RECALL = 0.95
+# cost ceiling for auto-raising: scored pairs grow linearly in probes
+# (n * p * cell_population), so 64 probes = 8x the default's bill —
+# accepted when it buys the recall target (measured sf10clustered:
+# 40 probes -> recall 1.0 at +38% of the 16-probe cost), refused past
+# this with a loud warning naming the measured sample recall instead
+# of silently shipping 0.3-recall neighbor lists.
+KNN_PROBE_MAX = 64
+KNN_PREFLIGHT_QUERIES = 64
+
 
 def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, cell) x p: each vector exploded to its
@@ -1083,7 +1100,248 @@ def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> 
     )
 
 
-@q("ann_knn_join", artifacts={"batch_model", "unit_vectors"})  # approximate blocking: rows-only driver check + pytest recall
+def sample_exact_topk(
+    unit: DataFrame, q_ids, q_mat, k: int
+) -> dict[int, list[int]]:
+    """Exact top-``k`` neighbor ids for a BOUNDED sample of query
+    vectors, computed in ONE distributed corpus scan: the (nq x dim)
+    query matrix rides the task closure (sample-sized — model-sized
+    discipline), each Arrow batch scores all queries against its rows
+    with the same 1e-6 fixed-point int64 matmul as the blocked kernel
+    (engine- and host-independent), and each PARTITION emits only its
+    local top-k per query — the global merge is a driver-side sort of
+    n_partitions x nq x k candidate rows, never corpus-sized. Self
+    pairs are excluded in-kernel. Ties resolve to the lowest neighbor
+    id via exact lexsort over an argpartition shortlist (pad 27: a
+    >=28-way cos_e6 tie crossing the shortlist boundary could pick a
+    higher id — measure-zero on real embeddings, and this is a recall
+    ESTIMATOR'S ground truth, not a served result)."""
+    import numpy as np
+    import pyarrow as pa
+
+    qe6 = np.floor(np.asarray(q_mat, dtype=np.float64) * 1_000_000).astype(
+        np.int64
+    )
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+    nq = len(qid_arr)
+    pad = min(k + 27, 1 << 30)
+
+    def kernel(batches):
+        # running per-partition candidates per query
+        best_s = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        best_n = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for batch in batches:
+            v = batch.column("v")
+            nb = len(v)
+            if nb == 0:
+                continue
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            x = v.flatten().to_numpy(zero_copy_only=False).reshape(nb, dim)
+            nids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            xe6 = np.floor(x * 1_000_000).astype(np.int64)
+            s = qe6 @ xe6.T  # (nq, nb) int64 e12 scores
+            take = min(pad, nb)
+            if take < nb:
+                part = np.argpartition(-s, take - 1, axis=1)[:, :take]
+            else:
+                part = np.broadcast_to(np.arange(nb), (nq, nb))
+            for i in range(nq):
+                cols = part[i]
+                keep = nids[cols] != qid_arr[i]
+                best_s[i] = np.concatenate([best_s[i], s[i, cols[keep]]])
+                best_n[i] = np.concatenate([best_n[i], nids[cols[keep]]])
+                if len(best_s[i]) > 4 * pad:  # bound the running set
+                    order = np.lexsort((best_n[i], -best_s[i]))[:pad]
+                    best_s[i], best_n[i] = best_s[i][order], best_n[i][order]
+        out_q, out_n, out_s = [], [], []
+        for i in range(nq):
+            order = np.lexsort((best_n[i], -best_s[i]))[:k]
+            out_q.extend([qid_arr[i]] * len(order))
+            out_n.extend(best_n[i][order])
+            out_s.extend(best_s[i][order] // 1_000_000)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(out_q, dtype=np.int64)),
+                pa.array(np.asarray(out_n, dtype=np.int64)),
+                pa.array(np.asarray(out_s, dtype=np.int64)),
+            ],
+            names=["query_id", "neighbor_id", "cos_e6"],
+        )
+
+    local = unit.select("vec_id", "v").mapInArrow(
+        kernel, "query_id bigint, neighbor_id bigint, cos_e6 bigint"
+    )
+    rows = local.collect()  # n_partitions x nq x k rows — bounded
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r.query_id), []).append(
+            (-int(r.cos_e6), int(r.neighbor_id))
+        )
+    return {
+        qid: [nid for _, nid in sorted(cands)[:k]]
+        for qid, cands in by_q.items()
+    }
+
+
+def select_knn_probes(
+    unit: DataFrame,
+    centroids: list[list[float]],
+    k: int = KNN_K,
+    p_min: int = KNN_PROBE,
+    p_max: int = KNN_PROBE_MAX,
+    target: float = KNN_TARGET_RECALL,
+    n_queries: int = KNN_PREFLIGHT_QUERIES,
+) -> tuple[int, float]:
+    """The home-cluster coverage law, operationalized (VERDICT r9 #1):
+    measure the blocked join's OWN sample recall per probe count
+    BEFORE running it, and return (probes, predicted_recall) — the
+    smallest count >= ``p_min`` whose predicted sample recall meets
+    ``target``, capped at ``p_max``.
+
+    Why prediction is cheap AND exact-per-sample: a (query, neighbor)
+    pair survives the blocked join iff the neighbor's HOME cell is
+    among the query's first-p probe cells (a true top-k neighbor that
+    becomes a candidate always outranks non-top-k candidates), so one
+    distributed exact-kNN pass over a deterministic ~``n_queries``
+    query sample (``sample_exact_topk`` — fixed-point, one corpus
+    scan), one bounded lookup of those neighbors' vectors, and
+    driver-side model arithmetic (query cell rankings + neighbor home
+    cells, the same floor-1e-6 argmax as the kernels) yield the WHOLE
+    recall-vs-probes curve at once — no per-candidate-probe-count
+    corpus joins. The pre-flight is index-build-time work (one linear
+    scan, same amortization as quantizer training), not query-time.
+
+    If even ``p_max`` misses the target, the cap is returned with a
+    LOUD stderr warning naming the measured sample recall and the
+    dials (the ``n_probe`` arg / SPARK_GRAFT_KNN_PROBE) — the engine's
+    last silent scale degradation (fixed 8 probes decaying 1.00 ->
+    0.34 across three clustered decades, BENCH_SCALE.md) now either
+    fixes itself or says its number out loud."""
+    import numpy as np
+
+    n = unit.count()
+    m = max(1, n // n_queries)
+    sample = (
+        unit.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+        .select("vec_id", "v")
+        .collect()
+    )
+    sample.sort(key=lambda r: r.vec_id)
+    sample = sample[: 2 * n_queries]  # binomial tail bound, deterministic
+    q_ids = [int(r.vec_id) for r in sample]
+    q_mat = np.asarray([r.v for r in sample], dtype=np.float64)
+    true = sample_exact_topk(unit, q_ids, q_mat, k)
+
+    # neighbor home cells: bounded fetch of <= nq*k vectors, then the
+    # same fixed-point argmax as assign_cells (ties to lowest cell)
+    nbr_ids = sorted({nid for nbrs in true.values() for nid in nbrs})
+    nbr_rows = unit.filter(F.col("vec_id").isin(nbr_ids)).collect()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    nbr_cell = {
+        int(r.vec_id): int(
+            np.argmax(
+                np.floor(
+                    np.asarray(r.v, dtype=np.float64) @ cmat.T * 1_000_000
+                ).astype(np.int64)
+            )
+        )
+        for r in nbr_rows
+    }
+    # per-query cell ranking (probe order): floor-quantized dots,
+    # stable argsort — identical discipline to probe_cells_multi
+    qdots = np.floor(q_mat @ cmat.T * 1_000_000).astype(np.int64)
+    ranks = np.argsort(-qdots, axis=1, kind="stable")  # (nq, cells)
+    rank_pos = np.argsort(ranks, axis=1, kind="stable")  # cell -> position
+
+    p_cap = min(p_max, len(centroids))
+    positions = []  # probe position of each true pair's home cell
+    total = 0
+    for i, qid in enumerate(q_ids):
+        for nid in true.get(qid, []):
+            total += 1
+            positions.append(int(rank_pos[i, nbr_cell[nid]]))
+    if not total:  # degenerate corpus (single vector): default dial
+        return min(p_min, p_cap), 1.0
+    pos_arr = np.asarray(positions)
+    # recall(p) = covered pairs / total pairs, for all p at once
+    covered_at = np.cumsum(np.bincount(pos_arr, minlength=p_cap + 1))
+    recall = covered_at / total  # recall[p-1] = recall at p probes
+
+    chosen = None
+    for p in range(min(p_min, p_cap), p_cap + 1):
+        if p >= 1 and recall[p - 1] >= target:
+            chosen = p
+            break
+    if chosen is None:
+        chosen = p_cap
+        print(
+            f"[knn_probe] WARNING: probe budget exhausted — sample "
+            f"recall at p_max={p_cap} probes is {recall[p_cap - 1]:.3f} "
+            f"(< target {target}) over {total} sampled true pairs "
+            f"({len(centroids)} cells). Raise the dial explicitly "
+            f"(knn_join_blocked(n_probe=...) or SPARK_GRAFT_KNN_PROBE) "
+            "or accept the measured recall — this join will NOT "
+            "silently ship it unnamed.",
+            file=sys.stderr,
+        )
+    pred = float(recall[chosen - 1])
+    print(
+        f"[knn_probe] pre-flight: {len(centroids)} cells, "
+        f"{total} sampled true pairs -> n_probe={chosen} "
+        f"(predicted sample recall {pred:.3f}, target {target})",
+        file=sys.stderr,
+    )
+    return chosen, pred
+
+
+_KNN_PROBE_CACHE: dict = {}
+
+
+def knn_probe_cached(spark: SparkSession, sf_dir: str) -> int:
+    """The probe count ``ann_knn_join`` runs with — auto-selected by
+    the recall pre-flight in the grown-k regime, the KNN_PROBE bench
+    default in the fixed-k regime (every driver-checked scale: the
+    batch quantizer delegates to the shared 16-cell model there, the
+    decay the pre-flight guards against cannot exist, and driver rows
+    stay byte-identical). Memoized per corpus snapshot like the model
+    itself — probe selection is index-build state. SPARK_GRAFT_KNN_PROBE
+    (read per call, loud on use) forces a fixed count for deliberate
+    dial-override runs."""
+    env = os.environ.get("SPARK_GRAFT_KNN_PROBE")
+    if env is not None:
+        p = int(env)
+        print(
+            f"[knn_probe] SPARK_GRAFT_KNN_PROBE override active: "
+            f"n_probe forced to {p} (pre-flight bypassed)",
+            file=sys.stderr,
+        )
+        return p
+    centroids = batch_centroids_cached(spark, sf_dir)
+    if len(centroids) <= N_CENTROIDS:
+        return KNN_PROBE
+    from ._memo import snapshot_memo
+
+    selected = snapshot_memo(
+        _KNN_PROBE_CACHE,
+        spark,
+        sf_dir,
+        lambda: select_knn_probes(
+            unit_vectors_cached(spark, sf_dir), centroids
+        ),
+        extra=(
+            KNN_K,
+            KNN_PROBE,
+            KNN_PROBE_MAX,
+            KNN_TARGET_RECALL,
+            KNN_PREFLIGHT_QUERIES,
+            len(centroids),
+        ),
+    )
+    return selected[0]
+
+
+@q("ann_knn_join", artifacts={"batch_model", "knn_probe", "unit_vectors"})  # approximate blocking: rows-only driver check + pytest recall
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN JOIN: top-{KNN_K} cosine neighbors for EVERY vector at
     once — the primitive under SemDeDup-style semantic dedup, diversity
@@ -1108,10 +1366,22 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query candidate count constant and makes the batch join
     linear; k ~ sqrt(n) is the SINGLE-QUERY latency optimum (routing
     k + scan n/k), not the batch law. Fixed probe count over more
-    cells scans a smaller corpus fraction — the standard recall/cost
-    dial, measured in BENCH_SCALE.md. The other guard is quantizer
-    balance — a hot cell is a data-model smell the key_distribution
-    profiler surfaces. Driver check is rows-only
+    cells scans a smaller corpus fraction — the recall/cost dial the
+    PRE-FLIGHT now sets (VERDICT r9 #1): in the grown-k regime the
+    probe count comes from ``knn_probe_cached`` — a measured sample-
+    recall curve (``select_knn_probes``, one exact-kNN corpus scan
+    over a bounded deterministic query sample + driver-side coverage
+    arithmetic) picks the smallest count meeting KNN_TARGET_RECALL,
+    capped at KNN_PROBE_MAX with a loud warning naming the measured
+    recall when the cap can't reach it. The fixed-8 silent decay
+    (1.00 -> 0.745 -> 0.34 across the clustered decades,
+    BENCH_SCALE.md) is closed: measured on sf10clustered the
+    pre-flight raises 8 -> the coverage-implied count and restores
+    >= 0.95 recall with no hand-set n_probe. Fixed-k scales (every
+    driver-checked corpus) keep the KNN_PROBE default — driver rows
+    byte-identical. The other guard is quantizer balance — a hot cell
+    is a data-model smell the key_distribution profiler surfaces.
+    Driver check is rows-only
     (an eigenless ANN blocking has no SQL oracle), but the fixed-point
     scoring kernel plus 1e-6-quantized cell routing (assign_cells /
     probe_cells_multi) make the surface bit-stable up to the
@@ -1119,13 +1389,16 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; recall@{KNN_K} against the
     exact brute-force kNN graph is pinned in tests/test_recall.py,
     plus the structural contract (no self pairs, dense ranks 1..k,
-    one row per (query, rank)). Routes through the BATCH quantizer
+    one row per (query, rank)) and the selector pins in
+    tests/test_recall.py::test_knn_probe_preflight_*. Routes through
+    the BATCH quantizer
     (``batch_centroids_cached``): identical to the shared model at
     every driver-checked scale, constant-cell-population above it —
     the measured 26x difference at 30x bench scale (BENCH_SCALE.md)."""
     return knn_join_blocked(
         unit_vectors_cached(spark, sf_dir),
         batch_centroids_cached(spark, sf_dir),
+        n_probe=knn_probe_cached(spark, sf_dir),
     )
 
 

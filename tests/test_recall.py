@@ -849,3 +849,56 @@ def test_knn_join_home_cluster_coverage_law(spark, tmp_path):
     # clusters; coverage of the home cluster is the real variable
     assert r3 <= 0.60, f"under-coverage recall {r3:.3f} unexpectedly high"
     assert r3 < r8 < r24  # monotone in probes
+
+    # THE SELECTOR PIN (VERDICT r9 #1): the pre-flight must turn this
+    # measured law into the dial setting — on exactly the corpus/model
+    # where the bench-default 8 probes sits at ~0.76, select_knn_probes
+    # must raise the count past 8 to one whose MEASURED recall meets
+    # the 0.95 target, within the cost ceiling, and its sample-based
+    # prediction must itself clear the target (the selection evidence)
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        KNN_PROBE,
+        KNN_PROBE_MAX,
+        select_knn_probes,
+    )
+
+    p_sel, pred = select_knn_probes(unit, model)
+    assert p_sel > KNN_PROBE, f"selector did not raise: {p_sel}"
+    assert p_sel <= KNN_PROBE_MAX
+    assert pred >= 0.95, f"selector accepted predicted recall {pred:.3f}"
+    r_sel = recall_at(p_sel)
+    assert r_sel >= 0.95, (
+        f"selected n_probe={p_sel} measured {r_sel:.3f} < 0.95 "
+        f"(predicted {pred:.3f})"
+    )
+
+
+def test_knn_probe_fixed_k_default_and_env_override(spark, tmp_path, monkeypatch):
+    """knn_probe_cached's two non-pre-flight paths: at fixed-k scales
+    (batch quantizer delegates to the shared 16-cell model — every
+    driver-checked corpus) the bench default KNN_PROBE comes back
+    untouched, keeping driver rows byte-identical; and the
+    SPARK_GRAFT_KNN_PROBE env var forces any count, bypassing the
+    pre-flight, for deliberate dial-override runs."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        KNN_PROBE,
+        knn_probe_cached,
+    )
+
+    spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda p: ((F.pmod(F.col("id") * p, F.lit(97)) + 1) / 98.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    monkeypatch.delenv("SPARK_GRAFT_KNN_PROBE", raising=False)
+    assert knn_probe_cached(spark, str(tmp_path)) == KNN_PROBE
+    monkeypatch.setenv("SPARK_GRAFT_KNN_PROBE", "12")
+    assert knn_probe_cached(spark, str(tmp_path)) == 12

@@ -99,7 +99,14 @@ def main() -> None:
         ),
     )
     ap.add_argument("--n-queries", type=int, default=200)
-    ap.add_argument("--probes", default="4,8,16")
+    ap.add_argument(
+        "--probes",
+        default="4,8,16",
+        help="comma-separated probe counts; the token 'auto' runs the "
+        "engine's own pre-flight selection (knn_probe_cached — VERDICT "
+        "r9 #1) and records the selected count next to its measured "
+        "recall, keyed 'auto:<selected>'",
+    )
     ap.add_argument(
         "--out",
         default=str(REPO / "bench_scale_recall_raw.json"),
@@ -116,6 +123,7 @@ def main() -> None:
         KNN_K,
         batch_centroids_cached,
         knn_join_blocked,
+        knn_probe_cached,
         unit_vectors_cached,
     )
     from big_data_analysis_project_spark.session import get_spark
@@ -129,7 +137,7 @@ def main() -> None:
         master="local[32]",
         extra_conf={"spark.driver.maxResultSize": "8g"},
     )
-    probes = [int(p) for p in args.probes.split(",")]
+    probes = [p if p == "auto" else int(p) for p in args.probes.split(",")]
     result: dict = {"n_queries": args.n_queries, "k": KNN_K, "dirs": {}}
 
     for sf_dir in args.dirs.split(","):
@@ -151,8 +159,19 @@ def main() -> None:
         entry: dict = {"n_vec": n, "cells": len(model), "knn": {}}
 
         for p in probes:
+            if p == "auto":
+                # the engine's own pre-flight (includes its one-time
+                # exact-sample scan — timed separately as selection
+                # cost, since it memoizes per snapshot)
+                t0 = time.perf_counter()
+                n_probe = knn_probe_cached(spark, sf_dir)
+                sel_sec = round(time.perf_counter() - t0, 2)
+                label = f"auto:{n_probe}"
+            else:
+                # label as str: json sort_keys can't mix int and str
+                n_probe, sel_sec, label = p, None, str(p)
             t0 = time.perf_counter()
-            pdf = knn_join_blocked(unit, model, n_probe=p).toPandas()
+            pdf = knn_join_blocked(unit, model, n_probe=n_probe).toPandas()
             sec = round(time.perf_counter() - t0, 2)
             got: dict[int, set] = {}
             for r in pdf.itertuples():
@@ -160,9 +179,11 @@ def main() -> None:
             recall = float(
                 np.mean([len(got.get(q, set()) & true[q]) / KNN_K for q in true])
             )
-            entry["knn"][p] = {"recall": round(recall, 4), "sec": sec}
+            entry["knn"][label] = {"recall": round(recall, 4), "sec": sec}
+            if sel_sec is not None:
+                entry["knn"][label]["select_sec"] = sel_sec
             print(
-                f"[recall] {tag} knn n_probe={p}: recall@{KNN_K}="
+                f"[recall] {tag} knn n_probe={label}: recall@{KNN_K}="
                 f"{recall:.3f} in {sec}s",
                 file=sys.stderr,
             )
