@@ -133,3 +133,64 @@ def test_gen_big_embeddings_properties(spark, tmp_path):
 
     with pytest.raises(ValueError, match="one-hot"):
         gen_embeddings(spark, n=10, n_clusters=65, out_dir=str(tmp_path / "x"))
+
+
+def test_wrapped_replica_sign_flip_decorrelates(spark, tmp_path):
+    """Round 10 (the 100-replica uniform corpus for VERDICT r9 #7):
+    past dim replicas the circular rotation wraps to identity, and
+    replica i and i+dim used to be refused because they would carry
+    byte-identical vectors (cross-replica exact duplicates — the probe
+    would measure the generator's blow-up). The composed per-replica
+    sign-flip must (a) preserve every norm and all WITHIN-replica
+    pairwise dots exactly — sign flips square away — and (b)
+    decorrelate wrapped pairs: at dim=64 a random flip pattern zeroes
+    the expected cross cosine with std ~ sqrt(sum v_p^4) ~ 1/8, so the
+    systematic wrap-twin population must sit near 0, never near 1.
+    Measured black-box on the generator's actual output over the REAL
+    dim-64 sf0.001 base (500 vectors x 66 replicas — the first two
+    wrapped rotation classes)."""
+    import shutil
+
+    from gen_scale import generate
+
+    src = Path("/root/testdata/sf0.001")
+    (tmp_path / "base").mkdir()
+    for t in (
+        "region", "nation", "part", "supplier", "customer", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = src / f"{t}.parquet"
+        if p.is_dir():
+            shutil.copytree(p, tmp_path / "base" / f"{t}.parquet")
+        else:
+            shutil.copy(p, tmp_path / "base" / f"{t}.parquet")
+
+    dim, n = 64, 500
+    replicas = dim + 2  # replicas 64,65 share rotations 0,1 — wrapped
+    generate(spark, str(tmp_path / "base"), str(tmp_path / "out"), replicas)
+    emb = spark.read.parquet(str(tmp_path / "out/embeddings.parquet"))
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    assert len(x) == n * replicas
+
+    base = x[:n]  # replica 0 is verbatim
+    # (a) norms preserved across every replica (same multiset per block)
+    base_norms = np.sort(np.linalg.norm(base, axis=1))
+    for i in (1, dim - 1, dim, dim + 1):
+        blk = np.linalg.norm(x[i * n : (i + 1) * n], axis=1)
+        assert np.allclose(np.sort(blk), base_norms, atol=1e-5)
+    # within-replica pairwise dots preserved for a wrapped replica
+    wrapped = x[dim * n : (dim + 1) * n]  # replica 64: rotation 0 + flips
+    assert np.allclose(base @ base.T, wrapped @ wrapped.T, atol=1e-4)
+    # (b) wrap twins decorrelated: same source vector in replica 0 vs
+    # 64 — the pairs that were EXACT duplicates before the fix. The
+    # whole population must hug 0 (|mean| small, max far from 1).
+    un = base / np.linalg.norm(base, axis=1, keepdims=True)
+    uw = wrapped / np.linalg.norm(wrapped, axis=1, keepdims=True)
+    diag = np.einsum("ij,ij->i", un, uw)
+    assert np.max(np.abs(diag)) < 0.75, f"wrap twin cos {np.max(np.abs(diag))}"
+    assert abs(float(np.mean(diag))) < 0.1, f"wrap twin mean {np.mean(diag)}"
+    # replicas below dim regenerate bit-identically to the old
+    # rotation-only form: replica 1 is an exact rotation of the base
+    rot1 = x[n : 2 * n]
+    assert np.allclose(np.roll(base, -1, axis=1), rot1, atol=1e-7)

@@ -20,7 +20,12 @@ is the part that matters for honest scaling numbers:
 - embeddings get a per-replica circular rotation of the vector (norms
   and within-replica geometry exactly preserved; cross-replica cosines
   decorrelate), with vec_id strided and label kept, so ANN cell sizes
-  scale linearly and recall structure per replica is identical;
+  scale linearly and recall structure per replica is identical; past
+  ``dim`` replicas (where rotation wraps to identity) each replica
+  additionally applies a deterministic hash-derived coordinate
+  SIGN-FLIP pattern — same exactness properties, no wrap duplicates,
+  so replicas is no longer capped at dim (round 10, for the 100x
+  uniform corpus);
 - dimension tables (region/nation/part/supplier) are copied verbatim —
   dims grow sublinearly in real deployments, and keeping them fixed
   makes fact-side per-key densities grow, the conservative direction
@@ -170,19 +175,20 @@ def generate(
     # when the embeddings table was reached, after six tables had
     # already been written — leaving a partially generated out dir
     dim = len(rd("embeddings").select("embedding").first()[0])
-    if replicas > dim:
-        # rotation is circular: replica i and i+dim would carry
-        # byte-identical vectors, and those cross-replica EXACT
-        # duplicates quadratically inflate ANN/dedup pair counts —
-        # the probe would measure the generator's blow-up, not the
-        # operator's scaling (ADVICE r6 #2). Refuse rather than
-        # silently corrupt the measurement.
-        raise ValueError(
-            f"replicas={replicas} > embedding dim={dim}: circular "
-            "rotation wraps to identity, creating cross-replica exact "
-            "duplicate vectors; use <= dim replicas (or compose a "
-            "second transform before scaling further)"
-        )
+    # Rotation is circular, so replica i and i+dim would carry
+    # byte-identical vectors — cross-replica EXACT duplicates that
+    # quadratically inflate ANN/dedup pair counts (the probe would
+    # measure the generator's blow-up, not the operator's scaling;
+    # ADVICE r6 #2 — this used to be a hard refusal at replicas > dim).
+    # Round 10 (VERDICT r9 #7 needs a 100-replica uniform corpus):
+    # replicas past the rotation period compose a SECOND transform — a
+    # deterministic per-replica coordinate sign-flip pattern
+    # (xxhash64(replica, position) parity). Sign flips preserve norms
+    # and all WITHIN-replica pairwise dots exactly (s_p^2 = 1), while
+    # two replicas sharing a rotation class differ by an independent
+    # 64-bit pattern, so their cross cosines are a random signed sum
+    # ~N(0, sum v_p^4) instead of 1. Replicas < dim keep the original
+    # rotation-only form — existing corpora regenerate bit-identically.
 
     for t in COPY_TABLES:
         rd(t).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
@@ -302,6 +308,18 @@ def generate(
                 F.slice("embedding", 1, rot),
             )
         )
+        if i >= dim:
+            # past the rotation period: compose the per-replica sign
+            # flip (see the dim note above) so wrapped replicas are
+            # decorrelated instead of exact duplicates
+            vec = F.transform(
+                vec,
+                lambda x, pos: F.when(
+                    F.pmod(F.xxhash64(F.lit(i), pos), F.lit(2)) == 1, -x
+                )
+                .otherwise(x)
+                .cast("float"),
+            )
         new_id = F.col("vec_id") + F.lit(i * vec_stride)
         if skew:
             # dense cluster: 1-in-4 vectors pulled toward the all-ones
