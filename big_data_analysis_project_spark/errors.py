@@ -64,3 +64,32 @@ class ScaleRefusal(ValueError):
             "override_env": self.override_env,
         }
         return {k: v for k, v in fields.items() if v is not None}
+
+
+class NoBoundedTier(ScaleRefusal):
+    """Raised by ``router.run_routed`` when every tier on a key's
+    declared fallback chain refused (or the chain is empty): the
+    requested question has NO bounded tier the engine is willing to
+    claim as the same question at this scale — e.g.
+    ``dedup_containment``, whose asymmetric metric minhash banding
+    does not approximate, so silently substituting an LSH surface
+    would be a wrong answer, not a cheaper one.
+
+    Subclasses :class:`ScaleRefusal` ON PURPOSE: a harness (bench.py's
+    refusals bucket) records a dead-ended route as a designed refusal,
+    never a regression, and the structured fields of the LAST refusal
+    on the chain ride along for the caller that wants to price the
+    override. ``hops`` carries the full chain — each entry is
+    ``{"key": ..., "outcome": "refused", "refusal": payload}`` — so an
+    artifact reader sees every tier that was tried and why it said no.
+    """
+
+    def __init__(self, message: str, *, hops=(), **kw) -> None:
+        super().__init__(message, **kw)
+        self.hops = tuple(hops)
+
+    def payload(self) -> dict:
+        fields = super().payload()
+        if self.hops:
+            fields["hops"] = [dict(h) for h in self.hops]
+        return fields

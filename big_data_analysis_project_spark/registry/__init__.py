@@ -23,6 +23,7 @@ from . import (
     multimodal_q,
     pipeline_q,
     relational,
+    routed_q,
     serving_q,
     similarity_q,
     streaming_q,
@@ -51,6 +52,7 @@ for mod in (
     multimodal_q,
     udf_q,
     training_q,
+    routed_q,
 ):
     overlap = set(QUERIES) & set(mod.QUERIES)
     assert not overlap, f"duplicate query keys: {overlap}"
@@ -59,6 +61,21 @@ for mod in (
 
 # every oracle key must have a query
 assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
+
+# fallback-chain integrity (round 10): every declared bounded tier is
+# a registered key and every chain terminates — a typo'd or cyclic
+# fallback must fail the import, not surface mid-route on the corpus
+# that needed it
+from ._base import KEY_FALLBACKS as _FB
+
+assert set(_FB) <= set(QUERIES), set(_FB) - set(QUERIES)
+assert set(_FB.values()) <= set(QUERIES), set(_FB.values()) - set(QUERIES)
+for _k in _FB:
+    _chain, _seen = _k, {_k}
+    while _chain in _FB:
+        _chain = _FB[_chain]
+        assert _chain not in _seen, f"fallback cycle through {_k}"
+        _seen.add(_chain)
 
 # Build-order dependencies BETWEEN shared artifacts (VERDICT r9 #6):
 # a key declaring `artifacts={"ngram_pairs"}` at its @q registration

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from ..errors import ScaleRefusal
 
-__all__ = ["KEY_ARTIFACTS", "ScaleRefusal", "make_registry"]
+__all__ = ["KEY_ARTIFACTS", "KEY_FALLBACKS", "ScaleRefusal", "make_registry"]
 
 # key -> frozenset of session-memoized shared-artifact names the key's
 # query lazily consumes (the names warm_shared_artifacts builds:
@@ -24,21 +24,46 @@ __all__ = ["KEY_ARTIFACTS", "ScaleRefusal", "make_registry"]
 # across modules (keys are globally unique, asserted in __init__).
 KEY_ARTIFACTS: dict[str, frozenset] = {}
 
+# key -> the registry key of the BOUNDED tier of the same question,
+# declared at registration via ``@q(key, fallback="...")`` (round 10).
+# This is the routing table ``router.run_routed`` walks when a guard
+# raises ScaleRefusal: the exact twin names the tier a 100 TB pipeline
+# should pay instead, next to the code whose refusal message already
+# names it in prose. Declared ONLY where the fallback answers the same
+# question under a documented one-sided contract (lower-bound Jaccard,
+# subset edges, refinement clustering) — a key with no honest bounded
+# tier (dedup_containment: minhash banding approximates Jaccard, not
+# asymmetric containment) declares nothing and the router dead-ends
+# loudly (errors.NoBoundedTier) instead of substituting a wrong
+# answer. Chains compose (graph_triangles -> _capped -> _lsh); the
+# registry __init__ asserts every value is a registered key and every
+# chain is acyclic.
+KEY_FALLBACKS: dict[str, str] = {}
+
 
 def make_registry():
     """Return (QUERIES, ORACLE, q): the module's key->fn map, its
     key->oracle-SQL map, and the ``@q(key, oracle_sql=None,
-    artifacts=())`` decorator that fills both (plus the module-shared
-    ``KEY_ARTIFACTS`` map when the key consumes memoized artifacts)."""
+    artifacts=(), fallback=None)`` decorator that fills both (plus the
+    module-shared ``KEY_ARTIFACTS`` / ``KEY_FALLBACKS`` maps when the
+    key consumes memoized artifacts / declares a bounded tier)."""
     queries: dict = {}
     oracle: dict = {}
 
-    def q(key: str, oracle_sql: str | None = None, artifacts=()):
+    def q(
+        key: str,
+        oracle_sql: str | None = None,
+        artifacts=(),
+        fallback: str | None = None,
+    ):
         def deco(fn):
             queries[key] = fn
             if oracle_sql is not None:
                 oracle[key] = oracle_sql
             KEY_ARTIFACTS[key] = frozenset(artifacts)
+            if fallback is not None:
+                assert fallback != key, f"{key}: self-fallback"
+                KEY_FALLBACKS[key] = fallback
             return fn
 
         return deco

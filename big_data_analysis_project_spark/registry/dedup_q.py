@@ -440,7 +440,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_ngram_jaccard", _NGRAM_ORACLE, artifacts={"ngram_pairs"})
+@q("dedup_ngram_jaccard", _NGRAM_ORACLE, artifacts={"ngram_pairs"}, fallback="dedup_ngram_dfcap")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs — registry surface over the
     per-session memoized pair list (``ngram_pairs_cached``): the graph
@@ -1149,6 +1149,7 @@ EMB_PAIRS_BUDGET = 50_000_000
        FROM embeddings a JOIN embeddings b
          ON a.label = b.label AND a.vec_id < b.vec_id
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3""",
+    fallback="dedup_semantic",
 )
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, pairs_cap: int | None = None
@@ -1280,7 +1281,7 @@ SELECT v AS doc_id, MIN(c) AS keep_id FROM reach GROUP BY v
 """
 
 
-@q("dedup_clusters", _CLUSTERS_ORACLE, artifacts={"ngram_pairs"})
+@q("dedup_clusters", _CLUSTERS_ORACLE, artifacts={"ngram_pairs"}, fallback="dedup_clusters_lsh")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the exact Jaccard>=0.5 pair set:
     connected components -> (doc_id, keep_id) drop-list, keep_id being
@@ -1316,7 +1317,7 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_mllib_minhash", artifacts={"shingles"})  # approximate: rows-only driver check + pytest recall test
+@q("dedup_mllib_minhash", artifacts={"shingles"}, fallback="dedup_minhash_lsh")  # approximate: rows-only driver check + pytest recall test
 def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-interop near-dup path: shingle sets binarized with
     ``HashingTF(binary=True)`` and fed to ``MinHashLSH``'s
@@ -1506,7 +1507,7 @@ FROM comp c JOIN best b ON c.component = b.component AND b.rn = 1
 """
 
 
-@q("dedup_keep_best", _KEEP_BEST_ORACLE, artifacts={"ngram_pairs"})
+@q("dedup_keep_best", _KEEP_BEST_ORACLE, artifacts={"ngram_pairs"}, fallback="dedup_keep_best_lsh")
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: the same near-dup clusters as
     ``dedup_clusters``, but each cluster keeps its LONGEST member
@@ -1518,6 +1519,35 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-list contract (doc_id, keep_id) is unchanged, so downstream
     consumers swap policies freely."""
     labels = connected_components(ngram_pairs_cached(spark, sf_dir))
+    return _keep_best_over(spark, sf_dir, labels)
+
+
+@q("dedup_keep_best_lsh", artifacts={"minhash_pairs"})  # no portable-SQL oracle: LSH edges; refinement vs dedup_keep_best
+def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the BANDED-MINHASH
+    clusters — the bounded tier ``dedup_keep_best`` routes to
+    (round 10): the exact twin's clusters come from the evidence
+    join, which correctly refuses at sf3skew, so the keep-longest
+    policy was unservable at exactly the boilerplate scale it exists
+    for. Identical argmax kernel (``_keep_best_over`` is shared code)
+    over ``dedup_clusters_lsh``'s components; since LSH edges are a
+    verified SUBSET of the exact pair set, the clustering is a
+    refinement — a keep_id can differ from the exact twin's only
+    where a component split on a missed edge, never by merging
+    unrelated docs (equal at every driver scale; pinned in
+    tests/test_router.py)."""
+    labels = connected_components(
+        minhash_pairs_cached(spark, sf_dir), src="doc_a", dst="doc_b"
+    )
+    return _keep_best_over(spark, sf_dir, labels)
+
+
+def _keep_best_over(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
+    """Shared keep-longest argmax over (vertex, component) labels (see
+    ``dedup_keep_best`` for the policy rationale and the merge-hint
+    discipline)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     # merge hint: the label frame is checkpoint-backed (misreported
     # tiny stats) and vertex-sized — the planner would statically

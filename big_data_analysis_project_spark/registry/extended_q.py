@@ -806,6 +806,7 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
        )
        SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id""",
     artifacts={"ngram_pairs"},
+    fallback="graph_degree_lsh",
 )
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex degree over the near-dup similarity graph (the profiling
@@ -837,6 +838,7 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN e xz ON xz.doc_a = xy.doc_a AND xz.doc_b > xy.doc_b
        JOIN e yz ON yz.doc_a = xy.doc_b AND yz.doc_b = xz.doc_b""",
     artifacts={"ngram_pairs"},
+    fallback="graph_triangles_capped",
 )
 def graph_triangles(
     spark: SparkSession, sf_dir: str, wedge_cap: int | None = None
@@ -961,6 +963,7 @@ def wedge_stats(e: DataFrame) -> DataFrame:
               CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT) AS wedges
        FROM d""",
     artifacts={"ngram_pairs"},
+    fallback="graph_wedge_audit_lsh",
 )
 def graph_wedge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The triangle pre-flight audit as a first-class query (round 8):
@@ -1026,6 +1029,7 @@ TRIANGLE_ADJ_CAP = 64
                   AND (a2.dd > a1.dd OR (a2.dd = a1.dd AND a2.dst > a1.dst))
        JOIN adj a3 ON a3.src = a1.dst AND a3.dst = a2.dst""",
     artifacts={"ngram_pairs"},
+    fallback="graph_triangles_lsh",
 )
 def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-bounded triangle count: degree-ordered orientation + a
@@ -1148,6 +1152,27 @@ def graph_wedge_audit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("wedges_capped"),
     )
+
+
+@q("graph_degree_lsh", artifacts={"minhash_pairs"})  # rows-only: LSH edge set has no portable-SQL oracle
+def graph_degree_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree over the BANDED-MINHASH near-dup graph — the
+    bounded tier ``graph_degree`` routes to (round 10): the exact
+    twin's edge list is the evidence join, which correctly refuses at
+    sf3skew, so the degree-distribution profile (the FIRST thing a
+    pipeline wants on a boilerplate-suspect corpus) was unservable at
+    exactly the scale that makes it interesting. Same one-explode +
+    one-shuffle shape as ``graph_degree``, edges from
+    ``minhash_pairs_cached`` (BUCKET_CAP banding, measured flat
+    through the skew decades). LSH edges are a verified SUBSET of the
+    exact pair set, so every degree is a lower bound — equal wherever
+    banding recall is 1 (every driver scale; pinned in
+    tests/test_router.py)."""
+    from .dedup_q import minhash_pairs_cached
+
+    edges = minhash_pairs_cached(spark, sf_dir)
+    ends = edges.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+    return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
 
 
 def degree_oriented_edges(e: DataFrame) -> DataFrame:
@@ -1368,7 +1393,7 @@ def _iter_partitions(spark: SparkSession, n_rows: int) -> int:
     return max(1, min(cap, -(-n_rows // _ITER_ROWS_PER_PARTITION)))
 
 
-@q("graph_pagerank", artifacts={"ngram_pairs"})  # rows-only: iterative algorithm, not SQL-expressible
+@q("graph_pagerank", artifacts={"ngram_pairs"}, fallback="graph_pagerank_lsh")  # rows-only: iterative algorithm, not SQL-expressible
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (the canonical
     iterative-DataFrame algorithm; ranks surface the 'template hub'
@@ -1391,6 +1416,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_q import ngram_pairs_cached
 
     edges = ngram_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return _pagerank_over(spark, edges)
+
+
+@q("graph_pagerank_lsh", artifacts={"minhash_pairs"})  # rows-only: LSH edges + iterative algorithm
+def graph_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the BANDED-MINHASH near-dup graph — the bounded
+    tier ``graph_pagerank`` routes to (round 10): its exact twin's
+    edge list is the evidence join, which correctly refuses at
+    sf3skew's 6.9e8 pairs_bound, so at exactly the scale where hub
+    ranking matters most the ranks were unservable. Identical
+    fixed-point kernel (``_pagerank_over`` is shared code, not a
+    parallel implementation) over ``minhash_pairs_cached`` — BUCKET_CAP
+    banding + exact-Jaccard verify, measured flat through the skew
+    decades. Quality contract: LSH edges are a verified SUBSET of the
+    exact pair set, so ranks are the exact PageRank of the
+    LSH-recovered subgraph — equal to ``graph_pagerank`` wherever
+    banding recall is 1 (every driver scale; pinned in
+    tests/test_router.py)."""
+    from .dedup_q import minhash_pairs_cached
+
+    edges = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return _pagerank_over(spark, edges)
+
+
+def _pagerank_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The shared fixed-point PageRank kernel (see ``graph_pagerank``
+    for the update rule, the int64 budget, and the checkpoint-per-
+    iteration rationale); ``edges`` is any oriented (doc_a, doc_b)
+    near-dup pair frame."""
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )

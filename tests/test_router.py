@@ -1,0 +1,186 @@
+"""Scale-adaptive routing (round 10): run_routed follows the
+registry-declared fallback ladder past ScaleRefusals, dead-ends
+loudly where no honest bounded tier exists, and the new LSH bounded
+tiers (graph_degree_lsh / graph_pagerank_lsh / dedup_keep_best_lsh)
+equal their exact twins at driver scale where banding recall is 1."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_project_spark.errors import NoBoundedTier, ScaleRefusal
+from big_data_analysis_project_spark.registry import QUERIES
+from big_data_analysis_project_spark.registry._base import KEY_FALLBACKS
+from big_data_analysis_project_spark.router import RouteResult, route_plan, run_routed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tiny_corpus(spark, tmp_path):
+    """Four docs sharing one triple shingle (df=3 -> pairs_bound=9):
+    the same fixture the guard boundary tests use, small enough that
+    every tier is instant but the df audit has something to refuse."""
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(3)]
+    rows.append((9, "zeta eta theta iota kappa", "en", "t"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_route_plan_is_the_declared_ladder():
+    assert route_plan("graph_triangles") == [
+        "graph_triangles",
+        "graph_triangles_capped",
+        "graph_triangles_lsh",
+    ]
+    assert route_plan("dedup_ngram_jaccard") == [
+        "dedup_ngram_jaccard",
+        "dedup_ngram_dfcap",
+    ]
+    # no honest bounded tier: the ladder is just the key
+    assert route_plan("dedup_containment") == ["dedup_containment"]
+
+
+def test_fallback_declarations_resolve_and_terminate():
+    """Every declared fallback is a registered key and every chain is
+    acyclic (also asserted at registry import; re-checked here so a
+    refactor that drops the import-time assert still fails)."""
+    for k, v in KEY_FALLBACKS.items():
+        assert v in QUERIES, (k, v)
+        assert k != v
+        chain = route_plan(k)
+        assert chain[-1] not in KEY_FALLBACKS or KEY_FALLBACKS[chain[-1]] in chain
+
+
+def test_no_refusal_is_a_passthrough(spark):
+    r = run_routed(spark, SF, "dedup_exact")
+    assert isinstance(r, RouteResult)
+    assert r.key == r.requested == "dedup_exact"
+    assert not r.rerouted
+    assert [h.outcome for h in r.hops] == ["ran"]
+    assert r.df.count() == QUERIES["dedup_exact"](spark, SF).count()
+
+
+def test_reroute_lands_on_declared_tier_not_payload_alternative(
+    spark, tmp_path, monkeypatch
+):
+    """Under a 1-pair budget the evidence build refuses with the
+    ARTIFACT's alternative (dedup_minhash_lsh); the route must follow
+    the KEY's declared fallback (dedup_ngram_dfcap) instead — the
+    artifact answers a different question than the key that consumed
+    it."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    r = run_routed(spark, sf, "dedup_ngram_jaccard")
+    assert r.rerouted and r.key == "dedup_ngram_dfcap"
+    assert [h.as_dict()["outcome"] for h in r.hops] == ["refused", "ran"]
+    # the artifact's own alternative rides along as information only
+    assert r.hops[0].refusal["alternative"] == "dedup_minhash_lsh"
+    assert r.df.columns == ["doc_a", "doc_b", "jaccard_lb"]
+    direct = QUERIES["dedup_ngram_dfcap"](spark, sf)
+    assert sorted(map(tuple, r.df.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_two_hop_chain_reaches_the_lsh_tier(spark, tmp_path, monkeypatch):
+    """graph_triangles under a 1-pair evidence budget: the exact twin
+    AND the capped tier both refuse (same refused artifact), the
+    banded-minhash tier serves — the sf3skew regime in miniature."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    r = run_routed(spark, sf, "graph_triangles")
+    assert [h.key for h in r.hops] == [
+        "graph_triangles",
+        "graph_triangles_capped",
+        "graph_triangles_lsh",
+    ]
+    assert [h.outcome for h in r.hops] == ["refused", "refused", "ran"]
+    # the three identical docs form one triangle; LSH banding finds it
+    assert r.df.collect()[0]["n_triangles"] == 1
+
+
+def test_dead_end_raises_no_bounded_tier(spark, tmp_path, monkeypatch):
+    """dedup_containment has NO declared bounded tier (minhash banding
+    approximates Jaccard, not asymmetric containment): the route must
+    dead-end with NoBoundedTier — a ScaleRefusal subclass so harness
+    refusal buckets record it as designed — carrying the hop chain,
+    never silently substitute the artifact's pair-list alternative."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    with pytest.raises(NoBoundedTier) as exc_info:
+        run_routed(spark, sf, "dedup_containment")
+    exc = exc_info.value
+    assert isinstance(exc, ScaleRefusal)
+    payload = exc.payload()
+    assert payload["key"] == "dedup_containment"
+    assert payload["hops"][0]["refusal"]["key"] == "shingle_evidence"
+    assert payload["override_env"] == "SPARK_GRAFT_EVIDENCE_PAIRS_CAP"
+
+
+def test_unknown_key_raises_keyerror(spark):
+    with pytest.raises(KeyError):
+        run_routed(spark, SF, "no_such_key")
+
+
+def test_cycle_in_custom_fallback_map_aborts(spark, tmp_path, monkeypatch):
+    """A monkeypatched cyclic fallback map (the registry's own map is
+    asserted acyclic at import) must abort with NoBoundedTier, not
+    loop."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    cyc = {
+        "dedup_ngram_jaccard": "dedup_containment",
+        "dedup_containment": "dedup_ngram_jaccard",
+    }
+    with pytest.raises(NoBoundedTier, match="cycle|hop limit"):
+        run_routed(spark, sf, "dedup_ngram_jaccard", fallbacks=cyc)
+
+
+def test_routed_registry_keys_match_exact_twins_at_driver_scale(spark):
+    """The routed_* registry surfaces pass through to the exact tier
+    where no guard fires, so their DuckDB oracles (the exact twins')
+    hash-match at driver/oracle scale."""
+    pairs = sorted(map(tuple, QUERIES["routed_neardup"](spark, SF).collect()))
+    exact = sorted(
+        map(tuple, QUERIES["dedup_ngram_jaccard"](spark, SF).collect())
+    )
+    assert pairs == exact
+    tri = QUERIES["routed_triangles"](spark, SF).collect()[0]["n_triangles"]
+    tri_exact = QUERIES["graph_triangles"](spark, SF).collect()[0]["n_triangles"]
+    assert tri == tri_exact
+
+
+def test_lsh_bounded_tiers_equal_exact_twins_at_driver_scale(spark):
+    """graph_degree_lsh / graph_pagerank_lsh / dedup_keep_best_lsh —
+    the round-10 bounded tiers the graph/keep-best keys route to —
+    must equal their exact twins wherever banding recall is 1 (every
+    driver scale; the same regime the triangles equality test pins)."""
+    for lsh, exact in [
+        ("graph_degree_lsh", "graph_degree"),
+        ("graph_pagerank_lsh", "graph_pagerank"),
+        ("dedup_keep_best_lsh", "dedup_keep_best"),
+    ]:
+        a = sorted(map(tuple, QUERIES[lsh](spark, SF).collect()))
+        b = sorted(map(tuple, QUERIES[exact](spark, SF).collect()))
+        assert a == b, lsh
