@@ -13,6 +13,11 @@ under ``--data``, not in a resident process.
     serve    register serving views over the marts and answer endpoint
              queries as JSON lines (--endpoint to pick one)
     full     collect + process + serve in one session
+    route    run one registry key scale-adaptively (--key, --sf-dir):
+             walks the declared fallback ladder past guard refusals and
+             prints the tier that ran + full hop provenance as JSON; a
+             dead end (no honest bounded tier) prints the structured
+             refusal and exits 3
 
 At cluster scale the same three verbs run unchanged under
 ``spark-submit``: sources/sinks are path-based, the session factory
@@ -170,12 +175,54 @@ def cmd_serve(spark: SparkSession, data_dir: Path, endpoint: str | None,
     return {"mode": "serve", "endpoints": payloads}
 
 
+def cmd_route(spark: SparkSession, key: str, sf_dir: str, limit: int) -> dict:
+    """Scale-adaptive single-key run: the router walks the declared
+    fallback ladder (see ``router.run_routed``) and the payload carries
+    the provenance a pipeline needs to interpret the output — which
+    tier ran, whether it was rerouted, and every refusal on the way."""
+    from .errors import NoBoundedTier
+    from .router import route_plan, run_routed
+
+    plan = route_plan(key)
+    try:
+        r = run_routed(spark, sf_dir, key)
+    except NoBoundedTier as exc:
+        return {
+            "mode": "route",
+            "requested": key,
+            "plan": plan,
+            "error": "no_bounded_tier",
+            **exc.payload(),
+        }
+    df = r.df.limit(limit)
+    return {
+        "mode": "route",
+        "requested": key,
+        "plan": plan,
+        "ran": r.key,
+        "rerouted": r.rerouted,
+        "hops": [h.as_dict() for h in r.hops],
+        "columns": r.df.columns,
+        # sample rows may carry timestamps/decimals/arrays — stringify
+        # anything JSON has no native type for
+        "sample": [
+            {
+                k: v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+                for k, v in row.asDict().items()
+            }
+            for row in df.collect()
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="python -m big_data_analysis_project_spark",
         description="Thin orchestrator over the PySpark TB analytics engine",
     )
-    parser.add_argument("mode", choices=["collect", "process", "serve", "full"])
+    parser.add_argument(
+        "mode", choices=["collect", "process", "serve", "full", "route"]
+    )
     parser.add_argument("--data", default="data", help="data zone root (default ./data)")
     parser.add_argument("--endpoint", choices=sorted(ENDPOINTS), default=None,
                         help="serve mode: emit one endpoint instead of all")
@@ -192,7 +239,15 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--end-year", type=int, default=2023)
     parser.add_argument("--master", default=None,
                         help="override Spark master (default local[n cpus])")
+    parser.add_argument("--key", default=None,
+                        help="route mode: the registry key to run")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                        help="route mode: parquet snapshot directory")
+    parser.add_argument("--limit", type=int, default=10,
+                        help="route mode: sample rows to print")
     args = parser.parse_args(argv)
+    if args.mode == "route" and not args.key:
+        parser.error("route mode requires --key")
 
     from .session import get_spark
 
@@ -200,6 +255,10 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name=f"bdap-{args.mode}", master=args.master)
     try:
         steps = []
+        if args.mode == "route":
+            steps.append(
+                lambda: cmd_route(spark, args.key, args.sf_dir, args.limit)
+            )
         if args.mode in ("collect", "full"):
             steps.append(lambda: cmd_collect(spark, data_dir))
         if args.mode in ("process", "full"):
@@ -209,15 +268,19 @@ def main(argv: list[str] | None = None) -> None:
                 lambda: cmd_serve(spark, data_dir, args.endpoint,
                                   args.iso3, args.start_year, args.end_year)
             )
+        dead_end = False
         for step in steps:
             t0 = time.perf_counter()
             r = step()
             r["sec"] = round(time.perf_counter() - t0, 2)
+            dead_end = dead_end or r.get("error") == "no_bounded_tier"
             # marts carry decimal(12,2) rate columns (reference parity);
             # JSON has no decimal, serve them as numbers
             print(json.dumps(r, default=float))
     finally:
         spark.stop()
+    if dead_end:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ._base import KEY_ARTIFACTS
+from ._base import KEY_ARTIFACTS, ScaleRefusal
 from . import (
     analytic_q,
     dedup_q,
@@ -250,6 +250,19 @@ def warm_shared_artifacts(
         if name in skip:
             continue
         t0 = time.perf_counter()
-        build()
+        try:
+            build()
+        except ScaleRefusal as exc:
+            # A refusing artifact must not strand the REST of the warm
+            # phase (round 10): at sf3skew shingle_evidence refuses at
+            # its 6.9e8 pairs_bound, and aborting here used to leave
+            # the INDEPENDENT artifacts (minhash_pairs, unit_vectors,
+            # the models) cold — silently first-touch-charged to
+            # whichever key hit them first, exactly the attribution
+            # bug this phase exists to prevent. The probe time spent
+            # reaching the refusal is real work and stays recorded.
+            import sys
+
+            print(f"[warm] {name} refused: {exc}", file=sys.stderr)
         out[name] = round(time.perf_counter() - t0, 3)
     return out

@@ -92,3 +92,36 @@ def test_cli_serve_matches_registry_serving(spark):
         for r in QUERIES["serve_rankings"](spark, SF_SMOKE).collect()
     }
     assert cli_rank == reg_rank
+
+
+def test_cli_route_passthrough(tmp_path):
+    """route mode: at driver scale no guard fires, so the requested
+    key runs as-is and the JSON payload carries plan + provenance."""
+    env = dict(os.environ, PYTHONPATH=str(REPO), SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_analysis_project_spark", "route",
+         "--key", "graph_triangles", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "5"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    (r,) = out
+    assert r["mode"] == "route"
+    assert r["plan"] == [
+        "graph_triangles", "graph_triangles_capped", "graph_triangles_lsh",
+    ]
+    assert r["ran"] == "graph_triangles" and r["rerouted"] is False
+    assert r["hops"] == [{"key": "graph_triangles", "outcome": "ran"}]
+    assert r["columns"] == ["n_triangles"]
+    assert r["sample"][0]["n_triangles"] >= 0
+
+
+def test_cli_route_requires_key(tmp_path):
+    env = dict(os.environ, PYTHONPATH=str(REPO), SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_analysis_project_spark", "route"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "--key" in proc.stderr
