@@ -281,6 +281,28 @@ def audit_exceeds_budget(
     )
 
 
+_DF_PROFILE_CACHE: dict = {}
+
+
+def shingle_df_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """``shingle_df_profile`` over the memoized shingle frame, itself
+    memoized per (session, snapshot) — round 10: a REFUSAL leaves no
+    memoized artifact behind (the build raised), so every retry and
+    every fallback hop was re-paying the full profile aggregation
+    (~4-6 s at sf10skew, a shuffle over ~10^8 shingle rows). Measured
+    consequence before this cache: ``routed_triangles`` at sf10skew
+    cost 20.8 s — two refused hops x a re-run audit each — against an
+    0.65 s LSH tier. The profile is a corpus-snapshot FACT exactly like
+    the artifacts, so it caches under the same fingerprint discipline
+    and repeated refusals price at dictionary-lookup cost."""
+    return snapshot_memo(
+        _DF_PROFILE_CACHE,
+        spark,
+        sf_dir,
+        lambda: shingle_df_profile(shingles_cached(spark, sf_dir)),
+    )
+
+
 def shingle_df_profile(sh: DataFrame) -> dict:
     """One-aggregation audit of the shingle document-frequency
     distribution — the quantity that decides whether the EXACT
@@ -351,8 +373,10 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # profile pass makes the hazard loud before the cost is paid.
         # The capped tier (dedup_ngram_dfcap / the banded minhash
         # table) is the production escape hatch; this EXACT frame is
-        # the oracle surface and stays uncapped by contract.
-        profile = shingle_df_profile(sh)
+        # the oracle surface and stays uncapped by contract. Cached
+        # per snapshot (round 10) so refused retries / fallback hops
+        # re-price at lookup cost.
+        profile = shingle_df_profile_cached(spark, sf_dir)
         print(f"[shingle_evidence] df profile {sf_dir}: {profile}", file=sys.stderr)
         # PROBE-AND-REFUSE above the pair budget (VERDICT r7 #4): the
         # audit already computed the exact pre-aggregation row count
@@ -1359,7 +1383,7 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     env_cap = os.environ.get("SPARK_GRAFT_MLLIB_PAIRS_CAP")
     budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
     if budget:
-        profile = shingle_df_profile(sh)
+        profile = shingle_df_profile_cached(spark, sf_dir)
         if audit_exceeds_budget(
             profile["pairs_bound"],
             profile["pairs_bound_dbl"],
@@ -1429,7 +1453,117 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-@q("dedup_incremental", _INCREMENTAL_ORACLE, artifacts={"shingles"})
+# the incremental probe's pre-flight cost audit (round 10): the fourth
+# skew decade (sf10skew, 500 k docs, hot family ~25 k) caught
+# dedup_incremental as the registry's LAST unguarded quadratic path —
+# its docstring declared the O(batch x df) detonation contract since
+# round 6, but nothing measured it before the join ran, and at sf10skew
+# the hot template's delta x base cross is ~4e9 rows (watched
+# allocating 4 GiB task pages before this guard existed). probe_rows =
+# sum over SHARED shingles of n_delta(s) * n_base(s): the exact
+# pre-aggregation row count of the delta-probes-base join.
+_INCREMENTAL_AUDIT_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, LATERAL unnest(range(1, len(w) - {NGRAM - 2})) AS t(i)
+  WHERE len(w) >= {NGRAM}
+),
+split AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+  FROM sh GROUP BY s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+       CAST(COALESCE(MAX(n_delta * n_base), 0) AS BIGINT) AS max_term,
+       CAST(COALESCE(SUM(n_delta * n_base), 0) AS BIGINT) AS probe_rows
+FROM split WHERE n_delta > 0 AND n_base > 0
+"""
+
+
+def incremental_probe_profile(sh: DataFrame) -> dict:
+    """One-aggregation audit of the incremental probe's join cost:
+    per shared shingle the delta x base cross contributes
+    n_delta(s) * n_base(s) pre-aggregation rows, so ``probe_rows`` is
+    the exact bill of ``dedup_incremental``'s hot join. Same shape and
+    discipline as ``shingle_df_profile`` (bigint sum + float64 shadow
+    + exact max term); costs one shuffle over the memoized shingle
+    frame. The max term is a PRODUCT, not a count, so the guard checks
+    it directly in Python ints rather than through the comparator's
+    C(n,2) tripwire."""
+    term = F.col("n_delta") * F.col("n_base")
+    row = (
+        sh.groupBy("s")
+        .agg(
+            F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("n_delta"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("n_base"),
+        )
+        .filter((F.col("n_delta") > 0) & (F.col("n_base") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.coalesce(F.max(term), F.lit(0)).cast("bigint").alias("max_term"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("probe_rows"),
+            F.coalesce(
+                F.sum(term.cast("double")), F.lit(0.0)
+            ).alias("probe_rows_dbl"),
+        )
+        .collect()[0]
+    )
+    return row.asDict()
+
+
+_INC_PROFILE_CACHE: dict = {}
+
+
+def incremental_probe_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-snapshot memo of ``incremental_probe_profile`` — same
+    rationale as ``shingle_df_profile_cached``: a refusal memoizes
+    nothing, so without this every retry of the guarded probe re-paid
+    the audit shuffle."""
+    return snapshot_memo(
+        _INC_PROFILE_CACHE,
+        spark,
+        sf_dir,
+        lambda: incremental_probe_profile(shingles_cached(spark, sf_dir)),
+    )
+
+
+@q("incremental_probe_audit", _INCREMENTAL_AUDIT_ORACLE, artifacts={"shingles"})
+def incremental_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup pre-flight pricing surface as an
+    oracle-checked query (the same discipline as ``shingle_df_audit``
+    / ``embedding_block_audit`` / ``graph_wedge_audit``): one row of
+    n_shared_shingles / max_term / probe_rows, the aggregate
+    ``dedup_incremental``'s round-10 guard consumes — so a pipeline
+    prices an arrival batch BEFORE scheduling the exact probe, on the
+    corpus where the probe would detonate. The float64 shadow stays
+    internal (guard-only), mirroring the df audit's p99 exclusion."""
+    sh = shingles_cached(spark, sf_dir)
+    term = F.col("n_delta") * F.col("n_base")
+    return (
+        sh.groupBy("s")
+        .agg(
+            F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("n_delta"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("n_base"),
+        )
+        .filter((F.col("n_delta") > 0) & (F.col("n_base") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.coalesce(F.max(term), F.lit(0)).cast("bigint").alias("max_term"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("probe_rows"),
+        )
+    )
+
+
+@q(
+    "dedup_incremental",
+    _INCREMENTAL_ORACLE,
+    artifacts={"shingles"},
+    fallback="dedup_incremental_dfcap",
+)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the arrival-time shape of a production
     corpus: a NEW BATCH (odd doc_ids here) is near-dup-checked against
@@ -1452,8 +1586,50 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds every bucket) or the ``DF_CAP``ped shingle index
     (``dedup_ngram_dfcap`` — precision-1 lower-bound Jaccard), then
     exact-verify only the surviving candidate pairs with this key's
-    machinery over the candidate list instead of the full index."""
+    machinery over the candidate list instead of the full index.
+
+    Round 10: the contract above is now ENFORCED, not just declared —
+    the fourth skew decade (sf10skew) measured this join allocating
+    4 GiB task pages on the ~4e9-row hot-family cross, the registry's
+    last unguarded quadratic path. ``incremental_probe_profile``
+    prices the exact delta x base bill first and the key refuses over
+    budget, naming ``dedup_incremental_dfcap`` (the df-capped probe,
+    precision-1 lower-bound Jaccard) as the bounded tier;
+    SPARK_GRAFT_INCREMENTAL_PAIRS_CAP=0 for a deliberate oracle run."""
     sh = shingles_cached(spark, sf_dir)
+    env_cap = os.environ.get("SPARK_GRAFT_INCREMENTAL_PAIRS_CAP")
+    budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
+    if budget:
+        profile = incremental_probe_profile_cached(spark, sf_dir)
+        # max_term is an exact bigint PRODUCT (n_delta * n_base <=
+        # corpus^2/4 — no wrap below ~3e9 docs per side), checked
+        # directly; the shared comparator carries the sum + float64
+        # shadow + wrap checks
+        if (
+            audit_exceeds_budget(
+                profile["probe_rows"], profile["probe_rows_dbl"], 0, budget
+            )
+            or profile["max_term"] > budget
+        ):
+            raise ScaleRefusal(
+                f"dedup_incremental: the delta-probes-base join would "
+                f"generate {profile['probe_rows']} rows over "
+                f"{profile['n_shared_shingles']} shared shingles "
+                f"(> budget {budget}; hottest shingle "
+                f"{profile['max_term']} rows alone) — the exact probe "
+                "is O(batch x df) per shared shingle by declared "
+                "contract. Route arrivals through "
+                "dedup_incremental_dfcap (df-capped index, precision-1 "
+                "lower-bound Jaccard) or the persisted minhash band "
+                "table (dedup_minhash_lsh), or set "
+                "SPARK_GRAFT_INCREMENTAL_PAIRS_CAP=0 (unlimited) for a "
+                "deliberate oracle run.",
+                key="dedup_incremental",
+                measured=profile["probe_rows"],
+                budget=budget,
+                alternative="dedup_incremental_dfcap",
+                override_env="SPARK_GRAFT_INCREMENTAL_PAIRS_CAP",
+            )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     delta = sh.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("new_doc"), "s"
@@ -1480,6 +1656,82 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb.hint("merge"), "dup_of")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_INCREMENTAL_DFCAP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, LATERAL unnest(range(1, len(w) - {NGRAM - 2})) AS t(i)
+  WHERE len(w) >= {NGRAM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+capped AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+inter AS (
+  SELECT d.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS n_common
+  FROM capped d JOIN capped b ON d.s = b.s
+  WHERE d.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_doc, dup_of,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard_lb
+FROM inter
+JOIN sizes sa ON new_doc = sa.doc_id
+JOIN sizes sb ON dup_of = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@q("dedup_incremental_dfcap", _INCREMENTAL_DFCAP_ORACLE, artifacts={"shingles"})
+def dedup_incremental_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED tier of incremental dedup (round 10 — the tier the
+    guard above routes to): identical delta-probes-base join except
+    shingles whose TOTAL document frequency exceeds {DF_CAP} are
+    dropped from both sides before the probe, capping the per-shingle
+    cross at DF_CAP^2/4 rows — the same boilerplate rationale and the
+    same one-sided contract as ``dedup_ngram_dfcap``: n_common only
+    LOSES capped shingles while the denominators keep true set sizes,
+    so the emitted ``jaccard_lb`` is a lower bound of true Jaccard and
+    every emitted (new_doc, dup_of) pair is a true >= threshold pair
+    (precision 1 vs the exact probe; recall drops only where
+    boilerplate carried the overlap). Per-arrival cost becomes
+    O(batch x min(df, {DF_CAP})) — flat on the corpus whose hot
+    template detonates the exact twin."""
+    sh = shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("s")
+    )
+    capped = sh.hint("merge").join(rare.hint("merge"), "s")
+    delta = capped.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_doc"), "s"
+    )
+    base = capped.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("dup_of"), "s"
+    )
+    inter = (
+        delta.hint("merge")
+        .join(base.hint("merge"), "s")
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa.hint("merge"), "new_doc")
+        .join(sb.hint("merge"), "dup_of")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard_lb"))
     )
 
 

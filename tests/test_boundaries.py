@@ -766,3 +766,64 @@ def test_wedge_audit_lsh_prices_the_capped_kernel_exactly(spark):
     # driver scale: every oriented out-degree is under the cap, so the
     # capped price equals the uncapped bill
     assert audit.wedges == audit.wedges_capped
+
+
+def test_incremental_refuses_above_probe_budget(spark, tmp_path, monkeypatch):
+    """Round 10: the fourth skew decade caught dedup_incremental as the
+    registry's last unguarded quadratic path (the delta x base hot-
+    shingle cross measured allocating 4 GiB task pages at sf10skew).
+    The probe now prices its exact join (incremental_probe_profile)
+    and refuses over budget, naming the df-capped tier;
+    SPARK_GRAFT_INCREMENTAL_PAIRS_CAP=0 is the deliberate-oracle
+    escape hatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    from big_data_analysis_project_spark.errors import ScaleRefusal
+
+    # two odd + two even docs sharing one triple shingle: every shared
+    # shingle has n_delta=2, n_base=2 -> probe_rows = 4 per shingle
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_INCREMENTAL_PAIRS_CAP", raising=False)
+    with pytest.raises(ScaleRefusal, match="dedup_incremental_dfcap") as ei:
+        D.dedup_incremental(spark, str(tmp_path)).count()
+    p = ei.value.payload()
+    assert p["alternative"] == "dedup_incremental_dfcap"
+    assert p["measured"] > p["budget"] == 1
+    assert p["override_env"] == "SPARK_GRAFT_INCREMENTAL_PAIRS_CAP"
+    # the audit surface prices the same bill the guard consumed
+    audit = D.incremental_probe_audit(spark, str(tmp_path)).collect()[0]
+    assert audit["probe_rows"] == p["measured"]
+    # deliberate oracle run: env override disables the budget
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_PAIRS_CAP", "0")
+    assert D.dedup_incremental(spark, str(tmp_path)).count() > 0
+    # a sane budget passes the tiny corpus untouched
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_PAIRS_CAP", "1000000")
+    assert D.dedup_incremental(spark, str(tmp_path)).count() > 0
+
+
+def test_incremental_dfcap_is_precision_one_lower_bound(spark):
+    """Every (new_doc, dup_of) the capped tier emits is a true exact-
+    probe pair with jaccard_lb <= the exact jaccard (n_common only
+    loses capped shingles; denominators keep true sizes)."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in D.dedup_incremental(spark, sf).collect()
+    }
+    capped = D.dedup_incremental_dfcap(spark, sf).collect()
+    assert capped, "vacuous: no capped pairs at sf0.01"
+    for r in capped:
+        key = (r["new_doc"], r["dup_of"])
+        assert key in exact, key
+        assert r["jaccard_lb"] <= exact[key] + 1e-9

@@ -41,6 +41,10 @@ def test_route_plan_is_the_declared_ladder():
         "dedup_ngram_jaccard",
         "dedup_ngram_dfcap",
     ]
+    assert route_plan("dedup_incremental") == [
+        "dedup_incremental",
+        "dedup_incremental_dfcap",
+    ]
     # no honest bounded tier: the ladder is just the key
     assert route_plan("dedup_containment") == ["dedup_containment"]
 

@@ -156,6 +156,7 @@ def main() -> None:
         keys = filter_keys_for_skip(keys, skip_set)
 
     import __spark_entry__ as E
+    from big_data_analysis_project_spark.errors import ScaleRefusal
     from big_data_analysis_project_spark.operators.graphs import connected_components
     from big_data_analysis_project_spark.registry import warm_shared_artifacts
     from big_data_analysis_project_spark.registry.dedup_q import ngram_pairs_cached
@@ -223,10 +224,19 @@ def main() -> None:
 
         # distributed CC vs the gated default on the SAME edge set —
         # skipped when the evidence family is deliberately left cold
-        # (the edge list IS the uncapped quadratic artifact)
+        # (the edge list IS the uncapped quadratic artifact) or when
+        # its guard refuses on this corpus (round 10: the warm phase
+        # survives refusals now, so a probe of the bounded tiers on a
+        # refusing corpus must not die on the one extra that consumes
+        # the exact lineage)
         if {"shingles", "shingle_evidence", "ngram_pairs"} & skip_set:
             continue
-        edges = ngram_pairs_cached(spark, sf_dir)
+        try:
+            edges = ngram_pairs_cached(spark, sf_dir)
+        except ScaleRefusal as exc:
+            print(f"[probe] {tag} cc extra skipped: {exc}", file=sys.stderr)
+            result["extra"].setdefault(tag, {})["cc_skipped_refusal"] = str(exc)[:200]
+            continue
         n_edges = edges.count()
         t_dist = time_min(
             lambda: connected_components(
