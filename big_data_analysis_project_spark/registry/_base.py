@@ -32,10 +32,11 @@ KEY_ARTIFACTS: dict[str, frozenset] = {}
 # names it in prose. Declared ONLY where the fallback answers the same
 # question under a documented one-sided contract (lower-bound Jaccard,
 # subset edges, refinement clustering) — a key with no honest bounded
-# tier (dedup_containment: minhash banding approximates Jaccard, not
-# asymmetric containment) declares nothing and the router dead-ends
-# loudly (errors.NoBoundedTier) instead of substituting a wrong
-# answer. Chains compose (graph_triangles -> _capped -> _lsh); the
+# tier declares nothing and the router dead-ends loudly
+# (errors.NoBoundedTier) instead of substituting a wrong answer; the
+# bar is CONTRACT fit, not mechanism reuse (banding may not stand in
+# for containment, but df-capped exact evidence may — see
+# dedup_containment_dfcap). Chains compose (graph_triangles -> _capped -> _lsh); the
 # registry __init__ asserts every value is a registered key and every
 # chain is acyclic.
 KEY_FALLBACKS: dict[str, str] = {}

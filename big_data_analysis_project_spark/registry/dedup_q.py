@@ -443,7 +443,12 @@ def shingle_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_memo(_EVIDENCE_CACHE, spark, sf_dir, build)
 
 
-@q("dedup_containment", _CONTAINMENT_ORACLE, artifacts={"shingle_evidence"})
+@q(
+    "dedup_containment",
+    _CONTAINMENT_ORACLE,
+    artifacts={"shingle_evidence"},
+    fallback="dedup_containment_dfcap",
+)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-SUBSET pairs by shingle containment: |A∩B| / min(|A|,|B|)
     >= 0.7. The asymmetric complement of Jaccard dedup — a short
@@ -568,6 +573,79 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_lb"))
+    )
+
+
+_CONTAINMENT_DFCAP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, LATERAL unnest(range(1, len(w) - {NGRAM - 2})) AS t(i)
+  WHERE len(w) >= {NGRAM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+capped AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common_lb
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common_lb, sa.n AS na, sb.n AS nb
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common_lb * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * LEAST(sa.n, sb.n)
+"""
+
+
+@q("dedup_containment_dfcap", _CONTAINMENT_DFCAP_ORACLE, artifacts={"shingles"})
+def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED tier of containment dedup (round 10 — previously
+    the ONE question refused at sf3skew with no servable tier, because
+    minhash BANDING approximates Jaccard and cannot honestly stand in
+    for the asymmetric metric). df-capping is metric-AGNOSTIC — it is
+    exact evidence minus the hot shingles, not a similarity
+    approximation — so the dfcap mechanism gives containment the same
+    one-sided contract as ``dedup_ngram_dfcap``: ``n_common_lb`` only
+    LOSES capped shingles while na/nb keep true set sizes, so every
+    emitted pair's TRUE containment >= the capped ratio >= 0.7
+    (precision 1 vs the exact key; recall drops only where boilerplate
+    carried the overlap — and a pair whose overlap is ENTIRELY one hot
+    template phrase is exactly the pair the cap is designed to
+    drop). Evidence join capped at DF_CAP rows per shingle, flat on
+    the corpus whose hot family detonates the exact build."""
+    sh = shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("s")
+    )
+    capped = sh.hint("merge").join(rare.hint("merge"), "s")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common_lb"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
+        .filter(
+            F.col("n_common_lb") * _CONTAIN_DEN
+            >= _CONTAIN_NUM * F.least("na", "nb")
+        )
+        .select("doc_a", "doc_b", "n_common_lb", "na", "nb")
     )
 
 

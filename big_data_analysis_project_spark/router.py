@@ -7,7 +7,7 @@ surface).
 Why this exists: every super-linear exact path in the registry is
 behind a guard that measures its own pre-flight cost and raises
 :class:`ScaleRefusal` over budget. That protects the cluster, but it
-leaves the CALLER holding an exception — at sf3skew, eleven keys
+leaves the CALLER holding an exception — at sf3skew, twelve keys
 refuse, and a 100 TB pipeline that wants "near-dup pairs, whatever
 tier is affordable" had to parse refusal prose or hand-code the tier
 ladder. The ladder is knowledge the ENGINE has: each exact twin
@@ -24,16 +24,19 @@ Honesty rules, in priority order:
    preferred alternative (``dedup_minhash_lsh``) — correct for the
    artifact, but not necessarily the same question as the key that
    consumed it (``graph_triangles`` should land on a triangle tier,
-   not a pair list; ``dedup_containment`` should land NOWHERE). The
-   payload alternative therefore rides along in the hop record as
-   information but never steers the route.
+   not a pair list; ``dedup_containment`` needs a containment-
+   contract tier, not the banded pair surface). The payload
+   alternative therefore rides along in the hop record as information
+   but never steers the route.
 2. A key with no honest bounded tier dead-ends LOUDLY:
    :class:`NoBoundedTier` (a ScaleRefusal subclass, so harness refusal
    buckets record it as designed behavior) carrying every hop tried
-   and the last refusal's structured fields. ``dedup_containment`` is
-   the canonical case — minhash banding approximates Jaccard, not
-   asymmetric containment, so substituting an LSH surface would be a
-   wrong answer, not a cheaper one.
+   and the last refusal's structured fields. The bar for declaring:
+   an LSH surface may not stand in for a metric banding does not
+   approximate (containment), but metric-AGNOSTIC mechanisms (df
+   capping = exact evidence minus hot shingles) may — which is why
+   ``dedup_containment`` routes to ``dedup_containment_dfcap`` while
+   no banding-based tier could have served it.
 3. Provenance is part of the result. :class:`RouteResult` names the
    tier that actually ran and the full hop list; callers that persist
    routed output should persist ``result.key`` with it, because the

@@ -45,8 +45,10 @@ def test_route_plan_is_the_declared_ladder():
         "dedup_incremental",
         "dedup_incremental_dfcap",
     ]
-    # no honest bounded tier: the ladder is just the key
-    assert route_plan("dedup_containment") == ["dedup_containment"]
+    assert route_plan("dedup_containment") == [
+        "dedup_containment",
+        "dedup_containment_dfcap",
+    ]
 
 
 def test_fallback_declarations_resolve_and_terminate():
@@ -117,11 +119,12 @@ def test_two_hop_chain_reaches_the_lsh_tier(spark, tmp_path, monkeypatch):
 
 
 def test_dead_end_raises_no_bounded_tier(spark, tmp_path, monkeypatch):
-    """dedup_containment has NO declared bounded tier (minhash banding
-    approximates Jaccard, not asymmetric containment): the route must
-    dead-end with NoBoundedTier — a ScaleRefusal subclass so harness
-    refusal buckets record it as designed — carrying the hop chain,
-    never silently substitute the artifact's pair-list alternative."""
+    """A key with NO declared bounded tier must dead-end with
+    NoBoundedTier — a ScaleRefusal subclass so harness refusal buckets
+    record it as designed — carrying the hop chain, never silently
+    substitute the artifact's pair-list alternative. (As of round 10
+    every registry refuser declares a tier, so the no-fallback case is
+    exercised with an explicit empty map.)"""
     import big_data_analysis_project_spark.registry.dedup_q as D
 
     sf = _tiny_corpus(spark, tmp_path)
@@ -129,7 +132,7 @@ def test_dead_end_raises_no_bounded_tier(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
 
     with pytest.raises(NoBoundedTier) as exc_info:
-        run_routed(spark, sf, "dedup_containment")
+        run_routed(spark, sf, "dedup_containment", fallbacks={})
     exc = exc_info.value
     assert isinstance(exc, ScaleRefusal)
     payload = exc.payload()
