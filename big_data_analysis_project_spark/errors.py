@@ -34,7 +34,12 @@ class ScaleRefusal(ValueError):
     * ``alternative``: the registry key of the bounded/flat tier a
       caller should route to;
     * ``override_env``: the env var a deliberate run sets to pay the
-      bill anyway.
+      bill anyway;
+    * ``extra``: guard-specific structured fields the five shared
+      slots don't model (round 11 — the kNN QUALITY refusal needs
+      ``target_recall`` / ``probes_tried`` / ``n_cells``, which are
+      not a pairs bill). Merged flat into ``payload()`` so artifact
+      readers see one dict; the shared slots win on name collision.
     """
 
     def __init__(
@@ -43,9 +48,10 @@ class ScaleRefusal(ValueError):
         *,
         key: str | None = None,
         measured: int | float | None = None,
-        budget: int | None = None,
+        budget: int | float | None = None,
         alternative: str | None = None,
         override_env: str | None = None,
+        extra: dict | None = None,
     ) -> None:
         super().__init__(message)
         self.key = key
@@ -53,16 +59,20 @@ class ScaleRefusal(ValueError):
         self.budget = budget
         self.alternative = alternative
         self.override_env = override_env
+        self.extra = dict(extra) if extra else {}
 
     def payload(self) -> dict:
         """The structured fields (non-None only), artifact-ready."""
-        fields = {
-            "key": self.key,
-            "measured": self.measured,
-            "budget": self.budget,
-            "alternative": self.alternative,
-            "override_env": self.override_env,
-        }
+        fields = dict(self.extra)
+        fields.update(
+            {
+                "key": self.key,
+                "measured": self.measured,
+                "budget": self.budget,
+                "alternative": self.alternative,
+                "override_env": self.override_env,
+            }
+        )
         return {k: v for k, v in fields.items() if v is not None}
 
 

@@ -1054,6 +1054,14 @@ KNN_TARGET_RECALL = 0.95
 # of silently shipping 0.3-recall neighbor lists.
 KNN_PROBE_MAX = 64
 KNN_PREFLIGHT_QUERIES = 64
+# Strict quality mode (VERDICT r10 #1): by default an exhausted probe
+# budget ships the capped join with a LOUD stderr warning naming the
+# measured sample recall — honest, but a pipeline can't catch prose
+# the way it catches ScaleRefusal.payload(). SPARK_GRAFT_KNN_STRICT=1
+# (or select_knn_probes(min_recall=...)) upgrades that warning to a
+# payload-carrying ScaleRefusal so the quality degradation routes
+# through the same programmable surface as every cost degradation.
+KNN_STRICT_ENV = "SPARK_GRAFT_KNN_STRICT"
 
 
 def probe_cells_multi(unit: DataFrame, centroids: list[list[float]], p: int) -> DataFrame:
@@ -1192,6 +1200,7 @@ def select_knn_probes(
     p_max: int = KNN_PROBE_MAX,
     target: float = KNN_TARGET_RECALL,
     n_queries: int = KNN_PREFLIGHT_QUERIES,
+    min_recall: float | None = None,
 ) -> tuple[int, float]:
     """The home-cluster coverage law, operationalized (VERDICT r9 #1):
     measure the blocked join's OWN sample recall per probe count
@@ -1217,7 +1226,18 @@ def select_knn_probes(
     dials (the ``n_probe`` arg / SPARK_GRAFT_KNN_PROBE) — the engine's
     last silent scale degradation (fixed 8 probes decaying 1.00 ->
     0.34 across three clustered decades, BENCH_SCALE.md) now either
-    fixes itself or says its number out loud."""
+    fixes itself or says its number out loud.
+
+    ``min_recall`` (VERDICT r10 #1) upgrades that warning to a
+    refusal: when the sample recall at ``p_max`` probes sits below
+    ``min_recall``, raise :class:`ScaleRefusal` whose payload carries
+    the measured recall, the target, every probe count considered,
+    and the dials — the same programmable surface as the cost guards,
+    so a pipeline catches "this join cannot reach the quality bar at
+    the cost ceiling" exactly like "this join costs too much". Default
+    ``None`` keeps the ship-with-warning behavior (driver/bench rows
+    unchanged); ``knn_probe_cached`` wires it to KNN_TARGET_RECALL
+    under SPARK_GRAFT_KNN_STRICT=1."""
     import numpy as np
 
     n = unit.count()
@@ -1275,6 +1295,31 @@ def select_knn_probes(
             break
     if chosen is None:
         chosen = p_cap
+        if min_recall is not None and recall[p_cap - 1] < min_recall:
+            from ..errors import ScaleRefusal
+
+            raise ScaleRefusal(
+                f"knn_probe: sample recall at the probe cost ceiling "
+                f"p_max={p_cap} is {recall[p_cap - 1]:.3f} < required "
+                f"{min_recall} ({total} sampled true pairs, "
+                f"{len(centroids)} cells) — the blocked join cannot "
+                "reach the quality bar within the cost budget on this "
+                "corpus. Raise the dial deliberately "
+                "(knn_join_blocked(n_probe=...) / SPARK_GRAFT_KNN_PROBE), "
+                "raise KNN_PROBE_MAX, or run exact "
+                "(sample_exact_topk-style full scan) for this corpus.",
+                key="knn_probe",
+                measured=round(float(recall[p_cap - 1]), 4),
+                budget=min_recall,
+                override_env="SPARK_GRAFT_KNN_PROBE",
+                extra={
+                    "kind": "quality",
+                    "target_recall": target,
+                    "probes_tried": p_cap,
+                    "n_cells": len(centroids),
+                    "sampled_true_pairs": total,
+                },
+            )
         print(
             f"[knn_probe] WARNING: probe budget exhausted — sample "
             f"recall at p_max={p_cap} probes is {recall[p_cap - 1]:.3f} "
@@ -1307,7 +1352,31 @@ def knn_probe_cached(spark: SparkSession, sf_dir: str) -> int:
     stay byte-identical). Memoized per corpus snapshot like the model
     itself — probe selection is index-build state. SPARK_GRAFT_KNN_PROBE
     (read per call, loud on use) forces a fixed count for deliberate
-    dial-override runs."""
+    dial-override runs. SPARK_GRAFT_KNN_STRICT=1 (VERDICT r10 #1)
+    makes an exhausted-budget pre-flight raise a payload-carrying
+    ScaleRefusal instead of shipping the capped join behind a stderr
+    warning — quality refusal on the same programmable surface as
+    cost refusal."""
+    return knn_probe_provenance(spark, sf_dir)["n_probe"]
+
+
+def knn_probe_provenance(spark: SparkSession, sf_dir: str) -> dict:
+    """The probe selection AND where it came from, artifact-ready
+    (VERDICT r10 #1: persist the selected (n_probe, predicted_recall)
+    next to the result the way RouteResult.key rides with routed
+    output). ``mode`` is one of:
+
+    * ``env_override`` — SPARK_GRAFT_KNN_PROBE forced the count,
+      pre-flight bypassed;
+    * ``fixed_k_default`` — shared 16-cell model regime (every
+      driver/bench corpus): the KNN_PROBE bench default, no decay to
+      guard against;
+    * ``preflight`` — grown-k regime: the measured sample-recall
+      selection, with ``predicted_recall`` and ``strict`` recorded.
+
+    bench.py copies this dict into the artifact whenever the grown-k
+    regime engaged, so a reader of a scale artifact sees which dial
+    produced the ann_knn_join row without stderr archaeology."""
     env = os.environ.get("SPARK_GRAFT_KNN_PROBE")
     if env is not None:
         p = int(env)
@@ -1316,18 +1385,21 @@ def knn_probe_cached(spark: SparkSession, sf_dir: str) -> int:
             f"n_probe forced to {p} (pre-flight bypassed)",
             file=sys.stderr,
         )
-        return p
+        return {"n_probe": p, "mode": "env_override"}
     centroids = batch_centroids_cached(spark, sf_dir)
     if len(centroids) <= N_CENTROIDS:
-        return KNN_PROBE
+        return {"n_probe": KNN_PROBE, "mode": "fixed_k_default"}
     from ._memo import snapshot_memo
 
+    strict = os.environ.get(KNN_STRICT_ENV, "") not in ("", "0")
     selected = snapshot_memo(
         _KNN_PROBE_CACHE,
         spark,
         sf_dir,
         lambda: select_knn_probes(
-            unit_vectors_cached(spark, sf_dir), centroids
+            unit_vectors_cached(spark, sf_dir),
+            centroids,
+            min_recall=KNN_TARGET_RECALL if strict else None,
         ),
         extra=(
             KNN_K,
@@ -1336,9 +1408,15 @@ def knn_probe_cached(spark: SparkSession, sf_dir: str) -> int:
             KNN_TARGET_RECALL,
             KNN_PREFLIGHT_QUERIES,
             len(centroids),
+            strict,
         ),
     )
-    return selected[0]
+    return {
+        "n_probe": selected[0],
+        "predicted_recall": round(float(selected[1]), 4),
+        "mode": "preflight",
+        "strict": strict,
+    }
 
 
 @q("ann_knn_join", artifacts={"batch_model", "knn_probe", "unit_vectors"})  # approximate blocking: rows-only driver check + pytest recall

@@ -12,6 +12,8 @@ These are the tests the r1 docstrings promised:
 
 from __future__ import annotations
 
+import pytest
+
 from big_data_analysis_project_spark.registry import QUERIES
 
 from .conftest import SF_SMOKE
@@ -902,3 +904,104 @@ def test_knn_probe_fixed_k_default_and_env_override(spark, tmp_path, monkeypatch
     assert knn_probe_cached(spark, str(tmp_path)) == KNN_PROBE
     monkeypatch.setenv("SPARK_GRAFT_KNN_PROBE", "12")
     assert knn_probe_cached(spark, str(tmp_path)) == 12
+
+
+def test_knn_probe_strict_mode_raises_structured_quality_refusal(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #1 — quality refusal on the cost-refusal surface:
+    when the pre-flight exhausts the probe ceiling below the recall
+    bar, strict mode must raise a payload-carrying ScaleRefusal a
+    pipeline can catch/route exactly like a pairs-budget refusal,
+    instead of shipping the capped join behind a stderr warning.
+    Pinned on the home-cluster corpus (6 planted clusters, 120 forced
+    cells) with the ceiling clamped to 4 probes — deep home-cluster
+    under-coverage, measured recall ~0.5 (the coverage-law test pins
+    the same curve point)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from gen_big_embeddings import gen_embeddings
+
+    from big_data_analysis_project_spark.errors import ScaleRefusal
+    from big_data_analysis_project_spark.registry.similarity_q import (
+        select_knn_probes,
+        train_ivf_centroids,
+        unit_vectors_cached,
+    )
+
+    gen_embeddings(spark, n=6000, n_clusters=6, out_dir=str(tmp_path))
+    unit = unit_vectors_cached(spark, str(tmp_path))
+    model = train_ivf_centroids(unit, k=120, sample_target=0)
+
+    # default (non-strict): the exhausted budget SHIPS the cap with a
+    # warning — the measured recall comes back honest and sub-target
+    p_def, pred_def = select_knn_probes(unit, model, p_max=4)
+    assert p_def == 4
+    assert pred_def < 0.95, f"fixture recall {pred_def:.3f} not sub-target"
+
+    # strict: the SAME exhaustion refuses with the structured payload
+    with pytest.raises(ScaleRefusal) as exc_info:
+        select_knn_probes(unit, model, p_max=4, min_recall=0.95)
+    payload = exc_info.value.payload()
+    assert payload["key"] == "knn_probe"
+    assert payload["kind"] == "quality"
+    assert payload["measured"] == pytest.approx(pred_def, abs=1e-4)
+    assert payload["budget"] == 0.95
+    assert payload["target_recall"] == 0.95
+    assert payload["probes_tried"] == 4
+    assert payload["n_cells"] == 120
+    assert payload["sampled_true_pairs"] > 0
+    assert payload["override_env"] == "SPARK_GRAFT_KNN_PROBE"
+
+    # and a reachable target under strict mode still SELECTS (the
+    # refusal is the exhausted-budget branch only, not a mode switch)
+    p_ok, pred_ok = select_knn_probes(unit, model, min_recall=0.95)
+    assert p_ok > 4 and pred_ok >= 0.95
+
+
+def test_knn_strict_env_wires_min_recall_and_provenance(
+    spark, monkeypatch
+):
+    """SPARK_GRAFT_KNN_STRICT=1 must reach select_knn_probes as
+    min_recall=KNN_TARGET_RECALL in the grown-k regime, and
+    knn_probe_provenance must record the selection evidence
+    (mode/predicted_recall/strict) — the artifact-side half of
+    VERDICT r10 #1. Model and selector are stubbed so this pins the
+    WIRING (env -> arg -> provenance record), not the measurement the
+    test above already pins; the memo key must separate strict from
+    lax so toggling the env cannot serve a stale selection."""
+    from big_data_analysis_project_spark.registry import similarity_q as S
+
+    seen: list = []
+
+    def fake_select(unit, centroids, min_recall=None):
+        seen.append(min_recall)
+        return 19, 0.97
+
+    monkeypatch.setattr(S, "select_knn_probes", fake_select)
+    monkeypatch.setattr(
+        S, "batch_centroids_cached", lambda *_: [[0.0]] * (S.N_CENTROIDS + 1)
+    )
+    monkeypatch.setattr(S, "unit_vectors_cached", lambda *_: None)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_PROBE", raising=False)
+    S._KNN_PROBE_CACHE.clear()
+
+    monkeypatch.setenv(S.KNN_STRICT_ENV, "1")
+    rec = S.knn_probe_provenance(spark, "/root/testdata/sf0.001")
+    assert seen == [S.KNN_TARGET_RECALL]
+    assert rec == {
+        "n_probe": 19,
+        "predicted_recall": 0.97,
+        "mode": "preflight",
+        "strict": True,
+    }
+    assert S.knn_probe_cached(spark, "/root/testdata/sf0.001") == 19
+    assert seen == [S.KNN_TARGET_RECALL]  # memoized, not re-selected
+
+    monkeypatch.setenv(S.KNN_STRICT_ENV, "0")
+    rec_lax = S.knn_probe_provenance(spark, "/root/testdata/sf0.001")
+    assert seen == [S.KNN_TARGET_RECALL, None]  # new memo key, lax arg
+    assert rec_lax["strict"] is False
+    S._KNN_PROBE_CACHE.clear()
