@@ -48,7 +48,7 @@ def _equivalent_rerun(path: Path, full: dict) -> bool:
     for field in ("rows", "sf", "runs"):
         if old.get(field) != full.get(field):
             return False
-    for bucket in ("failures", "refusals", "flaky"):
+    for bucket in ("failures", "refusals", "flaky", "route_hops"):
         if set(old.get(bucket, {})) != set(full.get(bucket, {})):
             return False
     if set(old.get("queries", {})) != set(full.get("queries", {})):
@@ -57,6 +57,44 @@ def _equivalent_rerun(path: Path, full: dict) -> bool:
     if not isinstance(old_total, (int, float)) or old_total <= 0:
         return False
     return abs(new_total - old_total) / old_total <= 0.20
+
+
+def bucketize(
+    per_run: dict[str, list[float]],
+    fail_runs: dict[str, dict[int, str]],
+    refusal_runs: dict[str, dict],
+) -> tuple[dict, dict, dict, dict]:
+    """Fold the raw per-run outcomes into the four artifact buckets:
+    (timings, failures, refusals, flaky). Factored out of main so the
+    accounting edges are unit-testable without a Spark session
+    (VERDICT r10 #2). The rules:
+
+    * a key with any successful run gets its MIN timing (host-noise
+      spikes hit one run, not both);
+    * FAILED = no run succeeded and no run refused — a genuine error;
+    * REFUSED = a probe-and-refuse guard declined the bill and no run
+      succeeded — designed behavior, carrying the structured payload;
+    * FLAKY = a key with a failed run that ALSO succeeded or refused
+      elsewhere — the error must stay visible (previously a
+      refuses-in-run-1-fails-in-run-2 key was recorded nowhere), so it
+      lands in `flaky` AND, for refusal-bucket keys, in the refusal
+      entry's `also_failed` field."""
+    timings = {k: min(v) for k, v in per_run.items()}
+    failures = {
+        k: "; ".join(f"run{r}: {m}" for r, m in sorted(v.items()))
+        for k, v in fail_runs.items()
+        if k not in per_run and k not in refusal_runs
+    }
+    refusals = {k: dict(v) for k, v in refusal_runs.items() if k not in per_run}
+    flaky = {
+        k: "; ".join(f"run{r}: {m}" for r, m in sorted(v.items()))
+        for k, v in fail_runs.items()
+        if k in per_run or k in refusal_runs
+    }
+    for k in refusals:
+        if k in fail_runs:
+            refusals[k]["also_failed"] = flaky[k]
+    return timings, failures, refusals, flaky
 
 
 def main() -> None:
@@ -136,35 +174,46 @@ def main() -> None:
                 msg = f"{type(exc).__name__}: {exc}"[:200]
                 fail_runs.setdefault(key, {})[run] = msg
                 print(f"[bench] r{run} {key}: FAILED {msg}", file=sys.stderr)
-    timings = {k: min(v) for k, v in per_run.items()}
-    # failure accounting per run (ADVICE r6 #3): a key counts as FAILED
-    # only when no run succeeded; a key with both a valid timing and a
-    # failed run is FLAKY — it keeps its timing but is flagged, so the
-    # summary can never report n_failures > 0 for keys that produced a
-    # number (or hide a run-1-only failure behind a stale timing).
-    failures = {
-        k: "; ".join(f"run{r}: {m}" for r, m in sorted(v.items()))
-        for k, v in fail_runs.items()
-        if k not in per_run and k not in refusal_runs
-    }
-    refusals = {k: dict(v) for k, v in refusal_runs.items() if k not in per_run}
-    # a key that refused in one run but raised a GENUINE exception in
-    # another is NOT cleanly refusing (ADVICE r9: previously such an
-    # error was recorded nowhere — excluded from `failures` by the
-    # refusal membership and from `flaky` by the per_run membership):
-    # keep the refusal entry but attach the real error and flag the
-    # key flaky so the artifact never masks a failure behind the
-    # designed-refusal bucket.
-    flaky = {
-        k: "; ".join(f"run{r}: {m}" for r, m in sorted(v.items()))
-        for k, v in fail_runs.items()
-        if k in per_run or k in refusal_runs
-    }
-    for k in refusals:
-        if k in fail_runs:
-            refusals[k]["also_failed"] = flaky[k]
+    # failure accounting per run (ADVICE r6 #3 / r9; rules documented
+    # on bucketize, which is unit-tested in tests/test_memo.py)
+    timings, failures, refusals, flaky = bucketize(
+        per_run, fail_runs, refusal_runs
+    )
     if flaky:
         print(f"[bench] flaky keys: {sorted(flaky)}", file=sys.stderr)
+
+    # route provenance (VERDICT r10 #8): when a routed_* facade
+    # rerouted during the timing loop, persist WHICH tier produced its
+    # number (requested / ran / hops incl. each refusal payload) the
+    # way refusals are persisted — artifact readers should not need
+    # stderr to interpret a bounded-tier row. Passthrough routes are
+    # omitted: "ran == requested, one hop" is the uninteresting case.
+    route_hops: dict[str, dict] = {}
+    try:
+        from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
+
+        route_hops = {k: v for k, v in sorted(LAST_ROUTE.items()) if v["rerouted"]}
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] route provenance unavailable: {exc}", file=sys.stderr)
+    if route_hops:
+        print(f"[bench] rerouted: { {k: v['ran'] for k, v in route_hops.items()} }",
+              file=sys.stderr)
+
+    # kNN probe provenance (VERDICT r10 #1): in the grown-k regime the
+    # pre-flight picks the dial — record (n_probe, predicted_recall,
+    # mode) so a scale artifact names the dial its ann_knn_join row ran
+    # with. Fixed-k scales (every driver/bench corpus) are omitted.
+    knn_probe: dict = {}
+    try:
+        from big_data_analysis_project_spark.registry.similarity_q import (
+            knn_probe_provenance,
+        )
+
+        rec = knn_probe_provenance(spark, sf_dir)
+        if rec.get("mode") != "fixed_k_default":
+            knn_probe = rec
+    except Exception as exc:  # noqa: BLE001 — incl. strict-mode refusal
+        print(f"[bench] knn probe provenance unavailable: {exc}", file=sys.stderr)
 
     # full detail (all keys, rows, failures) for the judge. "value"
     # stays the HONEST total: shared setup is real work the keys need,
@@ -184,6 +233,10 @@ def main() -> None:
         "refusals": refusals,
         "flaky": flaky,
     }
+    if route_hops:
+        full["route_hops"] = route_hops
+    if knn_probe:
+        full["knn_probe"] = knn_probe
     # SPARK_GRAFT_BENCH_OUT routes per-scale runs to their own artifact
     # (bench_full_sf3skew.json etc.) so they can't clobber the canonical
     # sf0.1 bench_full.json — previously every off-scale run overwrote

@@ -1,6 +1,7 @@
-"""Scale-adaptive registry keys (round 10): the routing facade
-(``big_data_analysis_project_spark.router``) exposed as first-class
-queries, so the driver's correctness gate exercises the route itself.
+"""Scale-adaptive registry keys (round 10; factory round 11): the
+routing facade (``big_data_analysis_project_spark.router``) exposed as
+first-class queries, so the driver's correctness gate exercises the
+route itself.
 
 Each key asks the EXACT question and lets ``run_routed`` walk the
 declared fallback ladder when a guard refuses. At driver/oracle scale
@@ -12,54 +13,119 @@ pairs_bound) the same key stays GREEN by landing on the bounded tier,
 which the whole-registry artifacts record (bench_full_sf3skew.json:
 these keys run where their exact twins sit in the refusals bucket).
 
-The output schema is the schema of the tier that RAN — at scale the
-bounded tiers' one-sided contracts (lower-bound jaccard_lb, subset
-edges) apply, and a caller that persists routed output should persist
-``RouteResult.key`` alongside; these registry surfaces return only
-the DataFrame because the driver contract is (spark, sf_dir) -> DF.
+Round 11 (VERDICT r10 #6): every ladder head gets a facade, DERIVED
+from the registry's own fallback declarations instead of hand-copied
+per key — ``_FACADES`` maps head -> facade name, the oracle is the
+head's oracle where one exists, and the artifact set is the union
+over the whole ladder (any tier on the chain may be the one that
+runs). Adding a new ladder = declaring ``fallback=`` at registration
+plus one name here; the chain walk, provenance, and artifact closure
+come for free.
+
+ORACLE VALIDITY CAVEAT (ADVICE r10): a facade registers the EXACT
+twin's oracle SQL, which is the right answer only where no guard
+fires (every driver/oracle scale — the gate runs at sf0.01). On a
+corpus where routing reroutes, the facade returns the BOUNDED tier's
+schema and row set under its one-sided contract (lower-bound Jaccard,
+subset edges, refinement clustering), and an oracle/hash comparison
+there would report a false mismatch — consult ``LAST_ROUTE`` (or
+``RouteResult.key`` via ``router.run_routed`` directly) before
+comparing routed output against an exact-twin oracle at scale.
+
+Provenance (VERDICT r10 #8): each facade records its latest
+``RouteResult`` in ``LAST_ROUTE[facade_key]`` — requested key, the
+tier that ran, and the full hop list with each refusal payload — so a
+harness (bench.py's ``route_hops`` bucket) can persist WHICH tier
+produced each number without stderr archaeology. A dict write per
+call; the route itself is a passthrough (one dict lookup) when no
+guard fires.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ._base import make_registry
+from ._base import KEY_ARTIFACTS, KEY_FALLBACKS, make_registry
 from . import dedup_q as _dedup
 from . import extended_q as _extended
 
 QUERIES, ORACLE, q = make_registry()
 
+# facade key -> latest route provenance:
+#   {"requested", "ran", "rerouted", "hops": [RouteHop.as_dict()]}
+# Latest-wins per facade; bench.py snapshots it after the timing loop.
+LAST_ROUTE: dict[str, dict] = {}
 
-@q(
-    "routed_neardup",
-    _dedup.ORACLE["dedup_ngram_jaccard"],
-    artifacts={"ngram_pairs", "shingles"},
+# Ladder head -> facade name. Every key that DECLARES a fallback and
+# is not itself a fallback target (i.e. the top of a chain) must
+# appear here — asserted below, so declaring a new ladder without
+# naming its facade fails at import, not in review.
+_FACADES: dict[str, str] = {
+    "dedup_ngram_jaccard": "routed_neardup",
+    "dedup_containment": "routed_containment",
+    "dedup_clusters": "routed_clusters",
+    "dedup_keep_best": "routed_keep_best",
+    "dedup_incremental": "routed_incremental",
+    "dedup_embedding": "routed_embedding",
+    "dedup_mllib_minhash": "routed_mllib_minhash",
+    "graph_triangles": "routed_triangles",
+    "graph_degree": "routed_degree",
+    "graph_pagerank": "routed_pagerank",
+    "graph_wedge_audit": "routed_wedge_audit",
+}
+
+
+def _ladder_artifacts(head: str) -> frozenset:
+    """Union of the declared artifact deps over the whole chain: the
+    route may land on ANY tier, so the facade's pre-warm set is the
+    closure, not the head's own set."""
+    from ..router import route_plan
+
+    arts: set = set()
+    for k in route_plan(head):
+        arts |= KEY_ARTIFACTS.get(k, frozenset())
+    return frozenset(arts)
+
+
+def _make_facade(head: str, name: str):
+    from ..router import route_plan
+
+    chain = route_plan(head)
+
+    def facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..router import run_routed
+
+        r = run_routed(spark, sf_dir, head)
+        LAST_ROUTE[name] = {
+            "requested": r.requested,
+            "ran": r.key,
+            "rerouted": r.rerouted,
+            "hops": [h.as_dict() for h in r.hops],
+        }
+        return r.df
+
+    facade.__name__ = name
+    facade.__doc__ = (
+        f"{head!r} at whatever tier is affordable: the declared ladder "
+        f"{' -> '.join(chain)}, walked by router.run_routed past "
+        "ScaleRefusals — the decision the engine's guards already "
+        "make, surfaced as one callable a pipeline schedules without "
+        "a try/except ladder. Output schema is the schema of the tier "
+        "that RAN; at guarded scales the bounded tiers' one-sided "
+        "contracts apply and the exact twin's oracle no longer "
+        "describes the rows (see module docstring) — provenance in "
+        f"LAST_ROUTE[{name!r}]."
+    )
+    oracle_sql = _dedup.ORACLE.get(head) or _extended.ORACLE.get(head)
+    return q(name, oracle_sql, artifacts=_ladder_artifacts(head))(facade)
+
+
+for _head, _name in _FACADES.items():
+    _make_facade(_head, _name)
+
+# a ladder declared without a facade is a silent coverage hole — the
+# driver gate would never exercise its route end-to-end
+_heads = set(KEY_FALLBACKS) - set(KEY_FALLBACKS.values())
+assert _heads <= set(_FACADES), (
+    f"ladder heads without a routed facade: {sorted(_heads - set(_FACADES))}"
 )
-def routed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at whatever tier is affordable: exact n-gram
-    Jaccard (``dedup_ngram_jaccard``) when the corpus df-audit prices
-    the evidence join under budget, else the df-capped lower-bound
-    tier (``dedup_ngram_dfcap``) — the decision the engine's guards
-    already make, surfaced as one callable a pipeline schedules
-    without a try/except ladder."""
-    from ..router import run_routed
-
-    return run_routed(spark, sf_dir, "dedup_ngram_jaccard").df
-
-
-@q(
-    "routed_triangles",
-    _extended.ORACLE["graph_triangles"],
-    artifacts={"ngram_pairs", "minhash_pairs"},
-)
-def routed_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count at whatever tier is affordable — the registry's
-    longest declared ladder: exact wedge join -> degree-ordered capped
-    count -> banded-minhash capped count. At sf1skew the first hop
-    refuses on the wedge budget and the capped tier runs; at sf3skew
-    the evidence artifact itself refuses so BOTH exact-edge tiers
-    decline and the LSH tier serves — one key, green at every measured
-    scale, provenance on stderr."""
-    from ..router import run_routed
-
-    return run_routed(spark, sf_dir, "graph_triangles").df

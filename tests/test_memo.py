@@ -53,3 +53,56 @@ def test_session_memo_still_keyed_per_application(spark):
     assert session_memo(cache, spark, "k", lambda: 42) == 42
     app = spark.sparkContext.applicationId
     assert (app, "k") in cache
+
+
+# --- bench.py bucket accounting (VERDICT r10 #2) -----------------------
+
+
+def _bucketize():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    return bench.bucketize
+
+
+def test_bench_refusal_plus_genuine_failure_stays_visible():
+    """The refusal-masks-failure edge (driver ADVICE r10 / bench.py):
+    a key that REFUSED in run 1 but raised a GENUINE exception in
+    run 2 is not cleanly refusing — it must surface in `flaky` AND the
+    refusal entry must carry the real error in `also_failed`, never
+    vanish between the buckets."""
+    bucketize = _bucketize()
+    timings, failures, refusals, flaky = bucketize(
+        per_run={},
+        fail_runs={"k": {1: "ValueError: boom"}},
+        refusal_runs={"k": {"message": "over budget", "measured": 9}},
+    )
+    assert timings == {} and failures == {}
+    assert "k" in refusals
+    assert refusals["k"]["also_failed"] == "run1: ValueError: boom"
+    assert flaky == {"k": "run1: ValueError: boom"}
+
+
+def test_bench_bucket_rules_cover_the_matrix():
+    """All four outcome combinations land in exactly one visible place:
+    success-only -> timings; fail-only -> failures; refuse-only ->
+    refusals; success+fail -> timings + flaky (no failure entry)."""
+    bucketize = _bucketize()
+    timings, failures, refusals, flaky = bucketize(
+        per_run={"ok": [2.0, 1.0], "mixed": [3.0]},
+        fail_runs={"dead": {0: "E: a", 1: "E: b"}, "mixed": {1: "E: c"}},
+        refusal_runs={"guarded": {"message": "refused", "budget": 1}},
+    )
+    assert timings == {"ok": 1.0, "mixed": 3.0}  # min of runs
+    assert failures == {"dead": "run0: E: a; run1: E: b"}
+    assert refusals == {"guarded": {"message": "refused", "budget": 1}}
+    assert flaky == {"mixed": "run1: E: c"}
+    # a key that refused in one run and SUCCEEDED in another keeps its
+    # timing and drops out of the refusal bucket (it did produce rows)
+    t2, f2, r2, fl2 = bucketize(
+        per_run={"k": [1.5]}, fail_runs={}, refusal_runs={"k": {"message": "m"}}
+    )
+    assert t2 == {"k": 1.5} and r2 == {} and f2 == {} and fl2 == {}

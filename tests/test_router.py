@@ -191,3 +191,59 @@ def test_lsh_bounded_tiers_equal_exact_twins_at_driver_scale(spark):
         a = sorted(map(tuple, QUERIES[lsh](spark, SF).collect()))
         b = sorted(map(tuple, QUERIES[exact](spark, SF).collect()))
         assert a == b, lsh
+
+
+def test_every_ladder_head_has_a_facade():
+    """VERDICT r10 #6: the facade layer is DERIVED from KEY_FALLBACKS —
+    every chain head must have a registered routed_* key (the module
+    asserts this at import; re-checked here so the assert's removal
+    fails the suite), and every facade must resolve in the registry."""
+    from big_data_analysis_project_spark.registry.routed_q import _FACADES
+
+    heads = set(KEY_FALLBACKS) - set(KEY_FALLBACKS.values())
+    assert heads <= set(_FACADES), sorted(heads - set(_FACADES))
+    for head, name in _FACADES.items():
+        assert head in QUERIES, head
+        assert name in QUERIES, name
+
+
+def test_facade_records_route_provenance(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #8: a facade call must leave its RouteResult in
+    LAST_ROUTE — requested key, the tier that ran, and the hop list
+    with each refusal's payload — so bench artifacts can persist which
+    tier produced each number."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    QUERIES["routed_neardup"](spark, sf).count()
+    rec = LAST_ROUTE["routed_neardup"]
+    assert rec["requested"] == "dedup_ngram_jaccard"
+    assert rec["ran"] == "dedup_ngram_dfcap"
+    assert rec["rerouted"] is True
+    assert [h["outcome"] for h in rec["hops"]] == ["refused", "ran"]
+    assert rec["hops"][0]["refusal"]["key"] == "shingle_evidence"
+
+    # passthrough call overwrites with the not-rerouted record
+    QUERIES["routed_triangles"](spark, SF).count()
+    rec2 = LAST_ROUTE["routed_triangles"]
+    assert rec2["ran"] == rec2["requested"] == "graph_triangles"
+    assert rec2["rerouted"] is False
+
+
+def test_factory_facades_pass_through_to_exact_twins_at_driver_scale(spark):
+    """The round-11 derived facades are passthroughs where no guard
+    fires (same pin as the hand-written two had): row-for-row equal to
+    the head they route for."""
+    for name, head in [
+        ("routed_keep_best", "dedup_keep_best"),
+        ("routed_degree", "graph_degree"),
+        ("routed_pagerank", "graph_pagerank"),
+        ("routed_wedge_audit", "graph_wedge_audit"),
+    ]:
+        a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
+        b = sorted(map(tuple, QUERIES[head](spark, SF).collect()))
+        assert a == b, name
