@@ -181,8 +181,19 @@ def cmd_route(spark: SparkSession, key: str, sf_dir: str, limit: int) -> dict:
     the provenance a pipeline needs to interpret the output — which
     tier ran, whether it was rerouted, and every refusal on the way."""
     from .errors import NoBoundedTier
+    from .registry import QUERIES
     from .router import route_plan, run_routed
 
+    # an unknown --key must come back as a structured payload, not a
+    # KeyError traceback out of run_routed (ADVICE r10)
+    if key not in QUERIES:
+        close = sorted(k for k in QUERIES if key.lower() in k.lower())[:8]
+        return {
+            "mode": "route",
+            "requested": key,
+            "error": "unknown_key",
+            "hint": close or "see registry (python -c 'import __spark_entry__ as E; print(sorted(E.queries()))')",
+        }
     plan = route_plan(key)
     try:
         r = run_routed(spark, sf_dir, key)

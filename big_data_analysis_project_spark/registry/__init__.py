@@ -197,6 +197,13 @@ def warm_shared_artifacts(
     consumes shingles, the IVF model consumes unit vectors, so each
     entry's time is the marginal cost given its predecessors.
 
+    An artifact whose build REFUSES (its own probe-and-refuse guard —
+    e.g. shingle_evidence at sf3skew) is recorded under
+    ``"<name>!refused"`` instead of ``"<name>"`` (ADVICE r10: a bench
+    `shared` map must be able to tell a warmed artifact from a refused
+    one); values stay floats so ``sum(shared.values())`` keeps
+    counting the real probe time spent reaching the refusal.
+
     ``skip``: artifact names to leave cold — for probes whose key list
     does not consume them. Exists because the UNCAPPED exact-evidence
     build is quadratic in a hot near-dup family by declared contract
@@ -264,5 +271,12 @@ def warm_shared_artifacts(
             import sys
 
             print(f"[warm] {name} refused: {exc}", file=sys.stderr)
+            # a refused warm is NOT a warmed artifact (ADVICE r10):
+            # record the probe time under a self-describing key so
+            # bench `shared` maps can't read a refusal as a build —
+            # values stay floats, so sum(shared.values()) (the honest
+            # total: the probe work was real) keeps working everywhere
+            out[f"{name}!refused"] = round(time.perf_counter() - t0, 3)
+            continue
         out[name] = round(time.perf_counter() - t0, 3)
     return out

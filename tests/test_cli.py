@@ -125,3 +125,19 @@ def test_cli_route_requires_key(tmp_path):
     )
     assert proc.returncode != 0
     assert "--key" in proc.stderr
+
+
+def test_cli_route_unknown_key_structured_error(spark):
+    """ADVICE r10: an unknown --key must produce a structured error
+    payload (with near-miss hints), never a KeyError traceback out of
+    run_routed. In-process (cmd_route) — the subprocess path is the
+    same function behind the argparse shim."""
+    from big_data_analysis_project_spark.__main__ import cmd_route
+
+    r = cmd_route(spark, "dedup_nope", "/root/testdata/sf0.001", 5)
+    assert r["error"] == "unknown_key"
+    assert r["requested"] == "dedup_nope"
+    assert "ran" not in r
+    r2 = cmd_route(spark, "triangles", "/root/testdata/sf0.001", 5)
+    assert r2["error"] == "unknown_key"
+    assert "graph_triangles" in r2["hint"]  # near-miss suggestion

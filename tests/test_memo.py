@@ -106,3 +106,38 @@ def test_bench_bucket_rules_cover_the_matrix():
         per_run={"k": [1.5]}, fail_runs={}, refusal_runs={"k": {"message": "m"}}
     )
     assert t2 == {"k": 1.5} and r2 == {} and f2 == {} and fl2 == {}
+
+
+def test_warm_shared_artifacts_marks_refused_builds(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a refused artifact build must be distinguishable
+    from a warmed one in the returned map — recorded under
+    '<name>!refused' (float value: the real probe time) — while
+    independent artifacts still warm."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    from big_data_analysis_project_spark.registry import warm_shared_artifacts
+    from pyspark.sql import functions as F
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "t") for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(
+        # dim 16: the PQ codebook builder splits the vector into
+        # 8 subspaces, so the fixture dim must be a multiple of 8
+        [(i, [float(i % 7 + d) for d in range(16)], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+    out = warm_shared_artifacts(spark, str(tmp_path))
+    assert "shingle_evidence!refused" in out
+    assert "shingle_evidence" not in out
+    assert "ngram_pairs!refused" in out  # downstream of the refused build
+    assert isinstance(out["shingle_evidence!refused"], float)
+    # independent artifacts still warmed under their plain names
+    for name in ("shingles", "minhash_pairs", "unit_vectors", "tb_marts"):
+        assert name in out, out.keys()
+    assert all(isinstance(v, float) for v in out.values())  # sum() safe

@@ -247,3 +247,42 @@ def test_factory_facades_pass_through_to_exact_twins_at_driver_scale(spark):
         a = sorted(map(tuple, QUERIES[name](spark, SF).collect()))
         b = sorted(map(tuple, QUERIES[head](spark, SF).collect()))
         assert a == b, name
+
+
+def test_every_guarded_key_refuses_eagerly_at_invocation(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: run_routed catches ScaleRefusal around the query
+    CALLABLE only, relying on the invariant that every guard fires
+    eagerly (each audit is an eager aggregate inside the callable,
+    never deferred to collect/count time). Enforce it registry-wide:
+    under 1-unit budgets, every key that declares a fallback must
+    raise DURING invocation — a guard that first surfaces at action
+    time would escape the router and skip its declared tier."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    import big_data_analysis_project_spark.registry.extended_q as X
+
+    sf = _tiny_corpus(spark, tmp_path)
+    # embeddings too: dedup_embedding's block audit needs the table;
+    # one shared label -> 12*11/2 = 66 pairs, over any 1-unit budget
+    spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25, 0.125], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.setattr(D, "EMB_PAIRS_BUDGET", 1)
+    monkeypatch.setattr(X, "TRIANGLE_WEDGE_BUDGET", 1)
+    for env in (
+        "SPARK_GRAFT_EVIDENCE_PAIRS_CAP",
+        "SPARK_GRAFT_EMB_PAIRS_CAP",
+        "SPARK_GRAFT_MLLIB_PAIRS_CAP",
+        "SPARK_GRAFT_INCREMENTAL_PAIRS_CAP",
+    ):
+        monkeypatch.delenv(env, raising=False)
+
+    for key in sorted(KEY_FALLBACKS):
+        with pytest.raises(ScaleRefusal):
+            # the invocation itself must raise; if this returns a
+            # DataFrame the guard went lazy and the router would miss it
+            QUERIES[key](spark, sf)
