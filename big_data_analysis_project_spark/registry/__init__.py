@@ -23,7 +23,6 @@ from . import (
     multimodal_q,
     pipeline_q,
     relational,
-    routed_q,
     serving_q,
     similarity_q,
     streaming_q,
@@ -32,6 +31,12 @@ from . import (
     training_q,
     udf_q,
 )
+
+# routed_q MUST import last: its facade factory derives one key per
+# KEY_FALLBACKS ladder head at module-body time, so every module that
+# declares a fallback (dedup_q, extended_q, streaming_q) has to be
+# registered first or the derived chain/artifact closure is truncated
+from . import routed_q  # noqa: E402  (deliberate ordering)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -72,6 +72,12 @@ _FACADES: dict[str, str] = {
     "graph_degree": "routed_degree",
     "graph_pagerank": "routed_pagerank",
     "graph_wedge_audit": "routed_wedge_audit",
+    # the round-11 stream-join replay guards: at guarded scale the
+    # route lands on the BATCH twin (identical rows for the inner
+    # join; matched-identical + null-superset for the outer) — the
+    # batch-backfill-plus-streaming-tail architecture as one callable
+    "stream_pair_join": "routed_pair_join",
+    "stream_outer_join": "routed_outer_join",
 }
 
 

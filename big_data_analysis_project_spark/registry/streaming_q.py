@@ -32,7 +32,7 @@ from ..sources.readers import (
     normalize_events_ts,
 )
 
-from ._base import make_registry
+from ._base import ScaleRefusal, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -544,7 +544,200 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("stream_pair_join")  # rows-only: true stream-stream join
+# --- stream-join replay guard (round 11) --------------------------------
+#
+# The fifth measured decade (sf10skew) found the registry's last
+# unguarded super-linear paths: the two stream-STREAM join demos. Their
+# state scan is keyed only on user_id, so per micro-batch the work is
+# Σ n_clicks(u) x n_purchases(u) over co-resident state — measured
+# 95.3 s at sf1skew, 786.3 s at sf3skew (pairs_bound 3.05e9, one hot
+# user owning 1.5e9 of it), projected HOURS at sf10skew's measured
+# 2.75e10 bound (bench_scale_stream_skew.json / BENCH_SCALE.md).
+# Replaying a whole skewed history through a single-box micro-batch
+# state store is the backfill anti-pattern; a 100 TB pipeline batch-
+# backfills history and streams only the watermark-bounded tail. So
+# the demos now price their replay first and refuse over budget,
+# naming their BATCH twins as the bounded tier: events_attribution is
+# row-identical to stream_pair_join (equivalence-pinned in
+# tests/test_recall.py), events_attribution_outer is row-identical on
+# the matched side and a SUPERSET on the null-extended side (the
+# stream withholds end-of-replay unmatched rows its final watermark
+# never released — the batch twin is the more complete answer).
+# Budget = the engine-standard 2.5e8 (uniform decades measure ≤2.7e7
+# at sf10 and pass; every measured skew decade refuses).
+
+STREAM_PAIRS_BUDGET = 250_000_000
+
+_STREAM_PAIR_AUDIT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_joint_users,
+       CAST(COALESCE(MAX(nc * np), 0) AS BIGINT) AS max_term,
+       CAST(COALESCE(SUM(nc * np), 0) AS BIGINT) AS pairs_bound
+FROM (SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      FROM events GROUP BY user_id)
+WHERE nc > 0 AND np > 0
+"""
+
+
+def stream_pair_profile(ev: DataFrame) -> dict:
+    """One-aggregation audit of the stream-stream join replay cost:
+    the watermarked join's state scan is keyed on user_id alone (the
+    time window is a residual, not a state-pruning key), so per user
+    the replay evaluates n_clicks(u) x n_purchases(u) candidate pairs
+    — ``pairs_bound`` is that sum, ``max_term`` the hottest user's
+    share. Same bigint + float64-shadow + exact-max discipline as
+    ``incremental_probe_profile`` (dedup_q); one shuffle on user_id,
+    linear in the events table."""
+    term = F.col("nc") * F.col("np")
+    row = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias("nc"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("np"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("np") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_joint_users"),
+            F.coalesce(F.max(term), F.lit(0)).cast("bigint").alias("max_term"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("pairs_bound"),
+            F.coalesce(
+                F.sum(term.cast("double")), F.lit(0.0)
+            ).alias("pairs_bound_dbl"),
+        )
+        .collect()[0]
+    )
+    return row.asDict()
+
+
+_STREAM_PAIR_PROFILE_CACHE: dict = {}
+
+
+def stream_pair_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-snapshot memo of ``stream_pair_profile`` — a refusal
+    memoizes nothing, so without this every guarded retry (both join
+    keys, their routed facades, min-of-2 bench runs) re-pays the audit
+    shuffle (the measured 20.8 s -> 0.65 s routed_triangles lesson)."""
+    from ._memo import snapshot_memo
+
+    return snapshot_memo(
+        _STREAM_PAIR_PROFILE_CACHE,
+        spark,
+        sf_dir,
+        lambda: stream_pair_profile(load_events(spark, sf_dir)),
+    )
+
+
+def _guard_stream_replay(spark: SparkSession, sf_dir: str, key: str, alt: str) -> None:
+    """Probe-and-refuse for the stream-stream join demos: price the
+    replay's per-user state cross before staging a byte. Eager by
+    contract (tests/test_router.py pins every guarded key raising at
+    invocation); SPARK_GRAFT_STREAM_PAIRS_CAP overrides the budget
+    (0 = unlimited) for a deliberate replay measurement."""
+    import os
+
+    from .dedup_q import audit_exceeds_budget
+
+    env_cap = os.environ.get("SPARK_GRAFT_STREAM_PAIRS_CAP")
+    budget = int(env_cap) if env_cap is not None else STREAM_PAIRS_BUDGET
+    if not budget:
+        return
+    p = stream_pair_profile_cached(spark, sf_dir)
+    if (
+        audit_exceeds_budget(
+            p["pairs_bound"], p["pairs_bound_dbl"], 0, budget
+        )
+        or p["max_term"] > budget
+    ):
+        raise ScaleRefusal(
+            f"{key}: replaying this corpus through the micro-batch "
+            f"state store evaluates {p['pairs_bound']} per-user "
+            f"click x purchase state pairs (> budget {budget}; hottest "
+            f"user {p['max_term']} pairs alone) — the stream-stream "
+            "join's state scan is keyed on user_id only, so a skewed "
+            "replay is the backfill anti-pattern (measured 786 s at "
+            f"pairs_bound 3.05e9, BENCH_SCALE.md). Run {alt} (the "
+            "batch twin) for history and the stream for the "
+            "watermark-bounded tail, or set "
+            "SPARK_GRAFT_STREAM_PAIRS_CAP=0 for a deliberate replay.",
+            key=key,
+            measured=p["pairs_bound"],
+            budget=budget,
+            alternative=alt,
+            override_env="SPARK_GRAFT_STREAM_PAIRS_CAP",
+        )
+
+
+@q("stream_pair_audit", _STREAM_PAIR_AUDIT_ORACLE)
+def stream_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-join replay guard's pre-flight price as an
+    oracle-checked query (the pricing-surface discipline:
+    shingle_df_audit / graph_wedge_audit / incremental_probe_audit):
+    joint-user count, hottest user's click x purchase product, and the
+    total pairs_bound the state scan would evaluate."""
+    ev = load_events(spark, sf_dir)
+    term = F.col("nc") * F.col("np")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias("nc"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("np"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("np") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_joint_users"),
+            F.coalesce(F.max(term), F.lit(0)).cast("bigint").alias("max_term"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("pairs_bound"),
+        )
+    )
+
+
+@q(
+    "events_attribution_outer",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+              CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER attribution interval join — the batch twin of
+    ``stream_outer_join`` and its declared bounded tier: every click
+    emits, null-extended when no same-user purchase lands in its hour.
+    Contract vs the stream key (one-sided, like every declared tier):
+    matched rows are IDENTICAL (pinned for the stream subset in
+    tests/test_recall.py); null-extended rows are a SUPERSET of the
+    stream's (the stream withholds unmatched clicks its final
+    watermark never evicted — a bounded-replay artifact, not an answer
+    the batch form should reproduce). One shuffle on user_id, never a
+    cross beyond each user's own events."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+@q("stream_pair_join", fallback="events_attribution")  # rows-only: true stream-stream join
 def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM inner join with watermarks: the click stream
     joined to the purchase stream on user_id within a 1-hour event-time
@@ -561,10 +754,18 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row state-store overhead on an output-bound join, not a
     planning defect). At 100 TB the mitigation is semantic, not
     physical: cap pairs-per-user upstream (rank/limit per key) if the
-    product is not the wanted answer."""
+    product is not the wanted answer.
+
+    Round 11: the replay is GUARDED — over STREAM_PAIRS_BUDGET
+    per-user state pairs the key refuses (measured 786 s at sf3skew's
+    3.05e9 bound) and names the row-identical batch twin
+    ``events_attribution`` as the bounded tier (see the guard block
+    above)."""
     import os
     import tempfile
     from pathlib import Path
+
+    _guard_stream_replay(spark, sf_dir, "stream_pair_join", "events_attribution")
 
     ts_t = events_raw_ts_type(spark, sf_dir)
     raw_schema = (
@@ -891,7 +1092,7 @@ def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mart
 
 
-@q("stream_outer_join")  # rows-only: outer emission is watermark-gated
+@q("stream_outer_join", fallback="events_attribution_outer")  # rows-only: outer emission is watermark-gated
 def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM **LEFT OUTER** interval join — the semantics the
     inner pair join can't express: clicks that never converted still
@@ -910,11 +1111,21 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replayed with ``maxFilesPerTrigger=1`` — each micro-batch
     advances the watermark ~7.5 days, closing the prior batch's state.
     State per side stays bounded by (join window + delay) of events,
-    independent of stream length — the 100 TB property."""
+    independent of stream length — the 100 TB property.
+
+    Round 11: the replay is GUARDED like ``stream_pair_join`` (same
+    per-user state-cross bill); the declared tier is
+    ``events_attribution_outer`` — matched rows identical, null rows a
+    superset (the complete anti-join side, where bounded replay
+    withholds end-of-stream clicks)."""
     import os
     import shutil
     import tempfile
     from pathlib import Path
+
+    _guard_stream_replay(
+        spark, sf_dir, "stream_outer_join", "events_attribution_outer"
+    )
 
     ev = load_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"

@@ -262,6 +262,8 @@ def test_every_guarded_key_refuses_eagerly_at_invocation(
     import big_data_analysis_project_spark.registry.dedup_q as D
     import big_data_analysis_project_spark.registry.extended_q as X
 
+    import big_data_analysis_project_spark.registry.streaming_q as S
+
     sf = _tiny_corpus(spark, tmp_path)
     # embeddings too: dedup_embedding's block audit needs the table;
     # one shared label -> 12*11/2 = 66 pairs, over any 1-unit budget
@@ -269,15 +271,29 @@ def test_every_guarded_key_refuses_eagerly_at_invocation(
         [(i, [1.0, 0.5, 0.25, 0.125], 0) for i in range(12)],
         "vec_id long, embedding array<float>, label int",
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # and events: the stream-join replay guards need the table; one
+    # user with 2 clicks x 1 purchase -> pairs_bound 2, over budget 1
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:20:00", 7, "purchase", 9.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
 
     monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
     monkeypatch.setattr(D, "EMB_PAIRS_BUDGET", 1)
     monkeypatch.setattr(X, "TRIANGLE_WEDGE_BUDGET", 1)
+    monkeypatch.setattr(S, "STREAM_PAIRS_BUDGET", 1)
     for env in (
         "SPARK_GRAFT_EVIDENCE_PAIRS_CAP",
         "SPARK_GRAFT_EMB_PAIRS_CAP",
         "SPARK_GRAFT_MLLIB_PAIRS_CAP",
         "SPARK_GRAFT_INCREMENTAL_PAIRS_CAP",
+        "SPARK_GRAFT_STREAM_PAIRS_CAP",
     ):
         monkeypatch.delenv(env, raising=False)
 
@@ -286,3 +302,58 @@ def test_every_guarded_key_refuses_eagerly_at_invocation(
             # the invocation itself must raise; if this returns a
             # DataFrame the guard went lazy and the router would miss it
             QUERIES[key](spark, sf)
+
+
+def test_stream_join_guard_routes_to_batch_twin(spark, tmp_path, monkeypatch):
+    """The round-11 stream-join replay guard end-to-end: under a tiny
+    budget the stream demo refuses with the structured payload and the
+    route lands on the BATCH twin; for the inner join the tier is
+    row-identical by contract, so the routed rows must equal the batch
+    key's exactly."""
+    import big_data_analysis_project_spark.registry.streaming_q as S
+
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:20:00", 7, "purchase", 9.0, "{}"),
+            (4, "2024-01-02 08:00:00", 8, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    monkeypatch.setattr(S, "STREAM_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PAIRS_CAP", raising=False)
+    S._STREAM_PAIR_PROFILE_CACHE.clear()
+
+    r = run_routed(spark, sf, "stream_pair_join")
+    assert r.rerouted and r.key == "events_attribution"
+    pay = r.hops[0].refusal
+    assert pay["key"] == "stream_pair_join"
+    assert pay["measured"] == 2  # 2 clicks x 1 purchase for user 7
+    assert pay["budget"] == 1
+    assert pay["alternative"] == "events_attribution"
+    assert pay["override_env"] == "SPARK_GRAFT_STREAM_PAIRS_CAP"
+    batch = QUERIES["events_attribution"](spark, sf)
+    assert sorted(map(tuple, r.df.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # both in-window pairs for user 7, none for the purchase-less user
+    assert r.df.count() == 2
+
+    r2 = run_routed(spark, sf, "stream_outer_join")
+    assert r2.rerouted and r2.key == "events_attribution_outer"
+    outer = sorted(map(tuple, r2.df.collect()))
+    # matched rows = the inner join; plus user 8's null-extended click
+    assert len(outer) == 3
+    assert sum(1 for row in outer if row[1] is None) == 1
+
+    # under the real budget the profile is tiny and the stream runs
+    monkeypatch.setattr(S, "STREAM_PAIRS_BUDGET", 250_000_000)
+    r3 = run_routed(spark, sf, "stream_pair_join")
+    assert not r3.rerouted
+    assert sorted(map(tuple, r3.df.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
