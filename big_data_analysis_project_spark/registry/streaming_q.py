@@ -501,6 +501,69 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bdap_stream_enrich")
 
 
+_ATTR_WINDOW_US = 3_600_000_000  # the 1-hour attribution window
+
+
+def _attribution_sides(spark: SparkSession, sf_dir: str):
+    """(clicks, purchases) for the TIME-BUCKETED interval join. Round
+    11 plan fix, found by the fifth decade: the naive equi-join on
+    user_id with the range as a residual evaluates the FULL per-user
+    click x purchase cross — Σᵤ nc(u)·np(u) candidates, 2.75e10 at
+    sf10skew with 1.35e10 on the single hottest user, i.e. one
+    sort-merge task grinding a key no AQE skew split can divide
+    (measured 675 s for the 38.2 M true rows). Bucketing event time to
+    the window size and joining on (user, bin) — with each purchase
+    exploded to its own bin and the previous one, so every pair with
+    p_ts ∈ [c_ts, c_ts+1h] co-locates — prunes candidates to
+    CO-TEMPORAL pairs only and spreads a hot user over ~bins-many
+    keys. Each true pair joins exactly once (a click owns one bin; the
+    purchase's two exploded bins are distinct), so no dedup pass.
+    Same rows, same oracle; only the candidate space changed."""
+    ev = load_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withColumn("bin", F.expr(f"unix_micros(c_ts) div {_ATTR_WINDOW_US}"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn(
+            "p_bin",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(p_ts) div {_ATTR_WINDOW_US} - 1"),
+                    F.expr(f"unix_micros(p_ts) div {_ATTR_WINDOW_US}"),
+                )
+            ),
+        )
+    )
+    return clicks, purchases
+
+
+def _attribution_join(clicks: DataFrame, purchases: DataFrame, how: str) -> DataFrame:
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bin") == F.col("p_bin"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour"))
+    )
+    return clicks.join(purchases, cond, how).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 @q(
     "events_attribution",
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
@@ -513,35 +576,13 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution interval join (batch twin of stream_pair_join):
     every purchase paired with each same-user click in the preceding
-    hour. Equi-join on user_id with the time range as a residual
-    condition — shuffles once on the user key, never builds the
-    user-cross-product beyond each user's own events. Gap emitted as
-    exact integer microseconds (unix_micros), no float time math."""
-    ev = load_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("ts").alias("c_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    )
-    return (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
-        )
-        .select(
-            "click_id",
-            "purchase_id",
-            "user_id",
-            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
-        )
-    )
+    hour. TIME-BUCKETED since round 11 (see ``_attribution_sides``):
+    joins on (user_id, hour_bin) so candidates are co-temporal pairs,
+    not the full per-user cross — the plan that survives a zipf-hot
+    user at the measured fifth decade. Gap emitted as exact integer
+    microseconds (unix_micros), no float time math."""
+    clicks, purchases = _attribution_sides(spark, sf_dir)
+    return _attribution_join(clicks, purchases, "inner")
 
 
 # --- stream-join replay guard (round 11) --------------------------------
@@ -710,31 +751,12 @@ def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_recall.py); null-extended rows are a SUPERSET of the
     stream's (the stream withholds unmatched clicks its final
     watermark never evicted — a bounded-replay artifact, not an answer
-    the batch form should reproduce). One shuffle on user_id, never a
-    cross beyond each user's own events."""
-    ev = load_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("ts").alias("c_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    )
-    return clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
-        "leftOuter",
-    ).select(
-        "click_id",
-        "purchase_id",
-        "user_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
-    )
+    the batch form should reproduce). Same time-bucketed join as
+    ``events_attribution`` (left-outer preserves one null row per
+    unmatched click — the left side is never exploded), so a hot user
+    costs co-temporal pairs, not the full cross."""
+    clicks, purchases = _attribution_sides(spark, sf_dir)
+    return _attribution_join(clicks, purchases, "leftOuter")
 
 
 @q("stream_pair_join", fallback="events_attribution")  # rows-only: true stream-stream join
