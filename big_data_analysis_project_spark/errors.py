@@ -64,15 +64,18 @@ class ScaleRefusal(ValueError):
     def payload(self) -> dict:
         """The structured fields (non-None only), artifact-ready."""
         fields = dict(self.extra)
-        fields.update(
-            {
-                "key": self.key,
-                "measured": self.measured,
-                "budget": self.budget,
-                "alternative": self.alternative,
-                "override_env": self.override_env,
-            }
-        )
+        shared = {
+            "key": self.key,
+            "measured": self.measured,
+            "budget": self.budget,
+            "alternative": self.alternative,
+            "override_env": self.override_env,
+        }
+        # shared slots win on collision ONLY when actually set (ADVICE
+        # r11): an unconditional update would map a None shared slot
+        # over a same-named extra entry and the None-filter below would
+        # then drop the key entirely — silent data loss, not precedence
+        fields.update({k: v for k, v in shared.items() if v is not None})
         return {k: v for k, v in fields.items() if v is not None}
 
 

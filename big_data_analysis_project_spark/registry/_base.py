@@ -7,7 +7,13 @@ from __future__ import annotations
 
 from ..errors import ScaleRefusal
 
-__all__ = ["KEY_ARTIFACTS", "KEY_FALLBACKS", "ScaleRefusal", "make_registry"]
+__all__ = [
+    "KEY_ARTIFACTS",
+    "KEY_FALLBACKS",
+    "KEY_ORACLES",
+    "ScaleRefusal",
+    "make_registry",
+]
 
 # key -> frozenset of session-memoized shared-artifact names the key's
 # query lazily consumes (the names warm_shared_artifacts builds:
@@ -41,6 +47,15 @@ KEY_ARTIFACTS: dict[str, frozenset] = {}
 # chain is acyclic.
 KEY_FALLBACKS: dict[str, str] = {}
 
+# key -> its DuckDB oracle SQL, global across modules (keys are
+# globally unique). Filled by the same ``@q`` call that fills the
+# module-local ORACLE map — ADVICE r11: the routed-facade factory
+# previously resolved a ladder head's oracle by consulting a
+# hand-picked module list (_dedup / _extended), so a head registered
+# with an oracle in any OTHER module would silently get a rows-only
+# facade. Resolving from the registration record can't go stale.
+KEY_ORACLES: dict[str, str] = {}
+
 
 def make_registry():
     """Return (QUERIES, ORACLE, q): the module's key->fn map, its
@@ -61,6 +76,7 @@ def make_registry():
             queries[key] = fn
             if oracle_sql is not None:
                 oracle[key] = oracle_sql
+                KEY_ORACLES[key] = oracle_sql
             KEY_ARTIFACTS[key] = frozenset(artifacts)
             if fallback is not None:
                 assert fallback != key, f"{key}: self-fallback"

@@ -45,9 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ._base import KEY_ARTIFACTS, KEY_FALLBACKS, make_registry
-from . import dedup_q as _dedup
-from . import extended_q as _extended
+from ._base import KEY_ARTIFACTS, KEY_FALLBACKS, KEY_ORACLES, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -78,6 +76,13 @@ _FACADES: dict[str, str] = {
     # batch-backfill-plus-streaming-tail architecture as one callable
     "stream_pair_join": "routed_pair_join",
     "stream_outer_join": "routed_outer_join",
+    # the QUALITY ladder (round 12, VERDICT r11 #1) — the one ladder
+    # that walks UP in cost: a strict-mode probe pre-flight refusal
+    # ("cannot reach the recall bar within the probe budget") routes
+    # to the exact tier, whose own n*(n-1) guard decides whether
+    # exactness is affordable; both refusing = NoBoundedTier carrying
+    # both payloads, the honest double refusal
+    "ann_knn_join": "routed_knn",
 }
 
 
@@ -122,7 +127,10 @@ def _make_facade(head: str, name: str):
         "describes the rows (see module docstring) — provenance in "
         f"LAST_ROUTE[{name!r}]."
     )
-    oracle_sql = _dedup.ORACLE.get(head) or _extended.ORACLE.get(head)
+    # the head's oracle from the GLOBAL registration record (ADVICE
+    # r11): a hand-picked module list would silently register a future
+    # ladder head from any other module as rows-only
+    oracle_sql = KEY_ORACLES.get(head)
     return q(name, oracle_sql, artifacts=_ladder_artifacts(head))(facade)
 
 
@@ -130,8 +138,11 @@ for _head, _name in _FACADES.items():
     _make_facade(_head, _name)
 
 # a ladder declared without a facade is a silent coverage hole — the
-# driver gate would never exercise its route end-to-end
+# driver gate would never exercise its route end-to-end. An explicit
+# raise, not `assert` (ADVICE r11): the fail-at-import guarantee must
+# survive `python -O`.
 _heads = set(KEY_FALLBACKS) - set(KEY_FALLBACKS.values())
-assert _heads <= set(_FACADES), (
-    f"ladder heads without a routed facade: {sorted(_heads - set(_FACADES))}"
-)
+if not _heads <= set(_FACADES):
+    raise RuntimeError(
+        f"ladder heads without a routed facade: {sorted(_heads - set(_FACADES))}"
+    )

