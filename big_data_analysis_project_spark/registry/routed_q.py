@@ -22,15 +22,19 @@ runs). Adding a new ladder = declaring ``fallback=`` at registration
 plus one name here; the chain walk, provenance, and artifact closure
 come for free.
 
-ORACLE VALIDITY CAVEAT (ADVICE r10): a facade registers the EXACT
-twin's oracle SQL, which is the right answer only where no guard
-fires (every driver/oracle scale — the gate runs at sf0.01). On a
-corpus where routing reroutes, the facade returns the BOUNDED tier's
-schema and row set under its one-sided contract (lower-bound Jaccard,
-subset edges, refinement clustering), and an oracle/hash comparison
-there would report a false mismatch — consult ``LAST_ROUTE`` (or
-``RouteResult.key`` via ``router.run_routed`` directly) before
-comparing routed output against an exact-twin oracle at scale.
+ORACLE VALIDITY CAVEAT (ADVICE r10; STRUCTURAL since round 12): a
+facade registers the EXACT twin's oracle SQL, which is the right
+answer only where no guard fires (every driver/oracle scale — the
+gate runs at sf0.01). On a corpus where routing reroutes, the facade
+returns the BOUNDED tier's schema and row set under its one-sided
+contract (lower-bound Jaccard, subset edges, refinement clustering),
+and an oracle/hash comparison there would report a false mismatch.
+The local harness now enforces this structurally
+(tests/oracle_harness.py::resolve_oracle consults ``LAST_ROUTE``
+after running the key and swaps to the ran tier's oracle or
+skips-with-note; forced-reroute pytest in test_registry_oracle.py);
+any external harness comparing at a guarded scale should do the
+same before trusting a facade mismatch.
 
 Provenance (VERDICT r10 #8): each facade records its latest
 ``RouteResult`` in ``LAST_ROUTE[facade_key]`` — requested key, the

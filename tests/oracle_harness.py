@@ -39,7 +39,10 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # Spark-written tables are DIRECTORIES of part files;
+            # DuckDB's read_parquet needs the glob for those
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return conn
 
 
@@ -137,4 +140,45 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> None:
     assert not strict_mism, (
         f"type-strict (pandas-canon) mismatch ({len(strict_mism)} rows), "
         f"first: {strict_mism[:3]}"
+    )
+
+
+def resolve_oracle(key: str, sql: str) -> tuple[str | None, str | None]:
+    """Make the routed-facade oracle caveat STRUCTURAL (VERDICT r11
+    #2): a facade registers its ladder HEAD's oracle, which describes
+    the rows only where no guard fires. When the facade's latest route
+    REROUTED, comparing against that oracle would false-fail by
+    construction — so the harness consults ``LAST_ROUTE`` after
+    running the query and either swaps to the RAN tier's own oracle
+    (where one exists: the tier is itself an oracle-checked key, e.g.
+    dedup_ngram_dfcap) or declares the comparison invalid.
+
+    Returns ``(sql_to_compare, note)``: the registered SQL and no note
+    for the unrouted/non-facade case; the ran tier's SQL plus a note
+    when swapped; ``(None, note)`` when the ran tier has no oracle and
+    the caller must skip-with-note instead of comparing. Call AFTER
+    invoking the query callable — the route record is written at
+    plan-build time."""
+    try:
+        from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
+    except Exception:  # registry unavailable: nothing to consult
+        return sql, None
+    rec = LAST_ROUTE.get(key)
+    if not rec or not rec.get("rerouted"):
+        return sql, None
+    from big_data_analysis_project_spark.registry._base import KEY_ORACLES
+
+    ran = rec["ran"]
+    ran_sql = KEY_ORACLES.get(ran)
+    if ran_sql is not None:
+        return ran_sql, (
+            f"{key} rerouted to {ran}: comparing against the ran "
+            "tier's own oracle (the head's oracle no longer describes "
+            "the rows)"
+        )
+    return None, (
+        f"{key} rerouted to {ran}, which has no oracle (one-sided "
+        "bounded-tier contract): the facade's registered oracle is "
+        "invalid by construction here — skipping the compare, per the "
+        "route provenance in LAST_ROUTE"
     )

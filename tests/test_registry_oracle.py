@@ -8,7 +8,7 @@ import pytest
 from big_data_analysis_project_spark.registry import ORACLE, QUERIES
 
 from .conftest import SF_SMOKE
-from .oracle_harness import compare, driver_canon, duckdb_conn
+from .oracle_harness import compare, driver_canon, duckdb_conn, resolve_oracle
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +21,14 @@ def conn():
 @pytest.mark.parametrize("key", sorted(ORACLE))
 def test_oracle_match(spark, conn, key):
     df = QUERIES[key](spark, SF_SMOKE)
-    compare(df, conn, ORACLE[key])
+    # routed facades: when a guard rerouted this key, the registered
+    # (head's) oracle no longer describes the rows — swap to the ran
+    # tier's oracle or skip-with-note (VERDICT r11 #2). At the
+    # standard oracle scale no guard fires and this is the identity.
+    sql, note = resolve_oracle(key, ORACLE[key])
+    if sql is None:
+        pytest.skip(note)
+    compare(df, conn, sql)
 
 
 @pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLE)))
@@ -84,3 +91,48 @@ def test_no_oracle_emits_hugeint(conn):
         if hz:
             offenders[key] = hz
     assert not offenders, f"uncast integer aggregates in oracles: {offenders}"
+
+
+def test_reroute_makes_facade_oracle_comparison_structural(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #2 done-condition: force a reroute at oracle scale
+    (1-unit evidence budget) and assert the harness SWAPS to the ran
+    tier's oracle (where one exists) or SKIPS-with-note (where it
+    doesn't) instead of false-failing against the head's oracle —
+    the caveat is structure now, not a docstring."""
+    import big_data_analysis_project_spark.registry.dedup_q as D
+    from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
+
+    from .oracle_harness import duckdb_conn
+    from .test_router import _tiny_corpus
+
+    sf = _tiny_corpus(spark, tmp_path)
+    monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
+
+    # swap case: routed_neardup reroutes to dedup_ngram_dfcap, which
+    # is itself oracle-checked — the harness compares against THAT
+    # and the compare passes (no false fail)
+    df = QUERIES["routed_neardup"](spark, sf)
+    assert LAST_ROUTE["routed_neardup"]["rerouted"]
+    sql, note = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
+    assert sql == ORACLE["dedup_ngram_dfcap"]
+    assert note and "dedup_ngram_dfcap" in note
+    c = duckdb_conn(sf)
+    compare(df, c, sql)
+
+    # skip case: routed_clusters reroutes to dedup_clusters_lsh, which
+    # has NO oracle (one-sided refinement contract) — the harness must
+    # declare the comparison invalid, not compare
+    df2 = QUERIES["routed_clusters"](spark, sf)
+    assert LAST_ROUTE["routed_clusters"]["ran"] == "dedup_clusters_lsh"
+    sql2, note2 = resolve_oracle("routed_clusters", ORACLE["routed_clusters"])
+    assert sql2 is None
+    assert note2 and "dedup_clusters_lsh" in note2
+    c.close()
+
+    # identity case: a passthrough (or non-facade) key is untouched
+    LAST_ROUTE.pop("routed_neardup", None)
+    sql3, note3 = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
+    assert sql3 == ORACLE["routed_neardup"] and note3 is None
