@@ -48,7 +48,14 @@ def _equivalent_rerun(path: Path, full: dict) -> bool:
     for field in ("rows", "sf", "runs"):
         if old.get(field) != full.get(field):
             return False
-    for bucket in ("failures", "refusals", "flaky", "route_hops"):
+    for bucket in (
+        "failures",
+        "refusals",
+        "flaky",
+        "route_hops",
+        "quality_refusals",
+        "facade_passthrough",
+    ):
         if set(old.get(bucket, {})) != set(full.get(bucket, {})):
             return False
     if set(old.get("queries", {})) != set(full.get("queries", {})):
@@ -95,6 +102,68 @@ def bucketize(
         if k in fail_runs:
             refusals[k]["also_failed"] = flaky[k]
     return timings, failures, refusals, flaky
+
+
+def facade_passthroughs(timings: dict, last_route: dict) -> dict:
+    """The facade double-pay, made legible (VERDICT r11 #6): a routed_*
+    facade at a no-guard scale re-runs its head's full query as a
+    passthrough — by design (the facade IS the head plus a dict
+    lookup), but those seconds are DUPLICATES of the heads' own rows
+    and a reader comparing registry totals across rounds would misread
+    them as regression. This returns {facade_key: sec} for every
+    facade whose latest route did NOT reroute; the artifact carries it
+    plus the derived ``value_ex_facade_passthrough`` so the headline
+    total is comparable round-over-round without commit archaeology.
+    (``value`` itself stays the honest inclusive total — changing its
+    meaning mid-series would be the same misread in the other
+    direction.)"""
+    return {
+        k: timings[k]
+        for k, v in sorted(last_route.items())
+        if k in timings and not v.get("rerouted")
+    }
+
+
+def quality_bucket(refusals: dict, knn_rec: dict | None, target: float) -> dict:
+    """Fold QUALITY degradation into its own artifact bucket (VERDICT
+    r11 #7) so quality and cost refusals read uniformly. Three
+    sources, each entry carrying ``shipped``:
+
+    * a loop refusal whose payload is the quality kind (strict-mode
+      ann_knn_join) — refused, nothing shipped;
+    * a routed dead-end (NoBoundedTier) whose hop list contains a
+      quality refusal (routed_knn's double refusal) — ditto;
+    * the kNN probe provenance in NON-strict mode reporting a
+      sub-target predicted recall: the join SHIPPED behind the loud
+      warning — honest, provenance-recorded, and now bucketed instead
+      of living only in stderr."""
+    out = {}
+    for k, v in refusals.items():
+        if v.get("kind") == "quality" or any(
+            (h.get("refusal") or {}).get("kind") == "quality"
+            for h in v.get("hops", [])
+        ):
+            out[k] = dict(v, shipped=False)
+    if knn_rec:
+        pr = knn_rec.get("predicted_recall")
+        if (
+            knn_rec.get("mode") == "preflight"
+            and pr is not None
+            and pr < target
+            and not knn_rec.get("strict")
+        ):
+            out["ann_knn_join"] = {
+                "kind": "quality",
+                "shipped": True,
+                "predicted_recall": pr,
+                "target_recall": target,
+                "note": (
+                    "sub-target sample recall shipped behind the "
+                    "non-strict warning; SPARK_GRAFT_KNN_STRICT=1 "
+                    "turns this into a routed refusal"
+                ),
+            }
+    return out
 
 
 def main() -> None:
@@ -189,31 +258,59 @@ def main() -> None:
     # stderr to interpret a bounded-tier row. Passthrough routes are
     # omitted: "ran == requested, one hop" is the uninteresting case.
     route_hops: dict[str, dict] = {}
+    facade_pass: dict[str, float] = {}
     try:
         from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
 
         route_hops = {k: v for k, v in sorted(LAST_ROUTE.items()) if v["rerouted"]}
+        facade_pass = facade_passthroughs(timings, LAST_ROUTE)
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] route provenance unavailable: {exc}", file=sys.stderr)
     if route_hops:
         print(f"[bench] rerouted: { {k: v['ran'] for k, v in route_hops.items()} }",
               file=sys.stderr)
+    if facade_pass:
+        print(
+            f"[bench] facade passthrough (head re-run, duplicate seconds): "
+            f"{round(sum(facade_pass.values()), 2)}s over {len(facade_pass)} facades",
+            file=sys.stderr,
+        )
 
     # kNN probe provenance (VERDICT r10 #1): in the grown-k regime the
     # pre-flight picks the dial — record (n_probe, predicted_recall,
     # mode) so a scale artifact names the dial its ann_knn_join row ran
     # with. Fixed-k scales (every driver/bench corpus) are omitted.
     knn_probe: dict = {}
+    knn_rec: dict | None = None
     try:
         from big_data_analysis_project_spark.registry.similarity_q import (
+            KNN_TARGET_RECALL,
             knn_probe_provenance,
         )
 
-        rec = knn_probe_provenance(spark, sf_dir)
-        if rec.get("mode") != "fixed_k_default":
-            knn_probe = rec
-    except Exception as exc:  # noqa: BLE001 — incl. strict-mode refusal
+        knn_target = KNN_TARGET_RECALL
+        knn_rec = knn_probe_provenance(spark, sf_dir)
+        if knn_rec.get("mode") != "fixed_k_default":
+            knn_probe = knn_rec
+    except ScaleRefusal as exc:
+        # strict mode: the pre-flight itself refuses — the loop already
+        # bucketed ann_knn_join/routed_knn; record the probe payload so
+        # the quality story is complete even without those keys
+        knn_rec = {"mode": "preflight", "strict": True, **exc.payload()}
+        knn_probe = knn_rec
+        print(f"[bench] knn probe pre-flight refused (strict): {exc}",
+              file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        knn_target = 0.95
         print(f"[bench] knn probe provenance unavailable: {exc}", file=sys.stderr)
+
+    # quality refusals in their own bucket (VERDICT r11 #7), uniform
+    # with the cost refusals bucket — strict-mode refusals, routed
+    # double refusals, and non-strict sub-target ships all land here
+    quality_refusals = quality_bucket(refusals, knn_rec, knn_target)
+    if quality_refusals:
+        print(f"[bench] quality refusals: {sorted(quality_refusals)}",
+              file=sys.stderr)
 
     # full detail (all keys, rows, failures) for the judge. "value"
     # stays the HONEST total: shared setup is real work the keys need,
@@ -237,6 +334,14 @@ def main() -> None:
         full["route_hops"] = route_hops
     if knn_probe:
         full["knn_probe"] = knn_probe
+    if quality_refusals:
+        full["quality_refusals"] = quality_refusals
+    if facade_pass:
+        full["facade_passthrough"] = facade_pass
+        full["facade_passthrough_sec"] = round(sum(facade_pass.values()), 3)
+        full["value_ex_facade_passthrough"] = round(
+            full["value"] - sum(facade_pass.values()), 3
+        )
     # SPARK_GRAFT_BENCH_OUT routes per-scale runs to their own artifact
     # (bench_full_sf3skew.json etc.) so they can't clobber the canonical
     # sf0.1 bench_full.json — previously every off-scale run overwrote
@@ -288,10 +393,13 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failures": len(failures),
         "n_refusals": len(refusals),
+        "n_quality_refusals": len(quality_refusals),
         "n_flaky": len(flaky),
         "runs": n_runs,
         "shared_setup_sec": round(shared_total, 2),
     }
+    if facade_pass:
+        out["facade_passthrough_sec"] = round(sum(facade_pass.values()), 2)
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
 

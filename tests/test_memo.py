@@ -141,3 +141,59 @@ def test_warm_shared_artifacts_marks_refused_builds(spark, tmp_path, monkeypatch
     for name in ("shingles", "minhash_pairs", "unit_vectors", "tb_marts"):
         assert name in out, out.keys()
     assert all(isinstance(v, float) for v in out.values())  # sum() safe
+
+
+def test_bench_facade_passthrough_bucket():
+    """VERDICT r11 #6: facades that did NOT reroute re-ran their heads
+    — their timings are duplicate seconds and must be attributable
+    from the artifact alone. Rerouted facades (bounded-tier work, not
+    a duplicate) and facades missing from timings (refused) stay out."""
+    import bench
+
+    timings = {"routed_a": 2.0, "routed_b": 3.0, "head_a": 2.1}
+    last_route = {
+        "routed_a": {"rerouted": False, "ran": "head_a"},
+        "routed_b": {"rerouted": True, "ran": "head_b_lsh"},
+        "routed_c": {"rerouted": False, "ran": "head_c"},  # refused key
+    }
+    assert bench.facade_passthroughs(timings, last_route) == {"routed_a": 2.0}
+
+
+def test_bench_quality_bucket_rules():
+    """VERDICT r11 #7: quality degradation reads uniformly with cost
+    refusals — strict refusals (kind=quality payloads), routed double
+    refusals (a quality hop inside a NoBoundedTier), and the
+    non-strict sub-target SHIP all land in quality_refusals with an
+    explicit `shipped` flag; pure cost refusals stay out."""
+    import bench
+
+    refusals = {
+        "ann_knn_join": {"kind": "quality", "measured": 0.44, "budget": 0.95},
+        "routed_knn": {
+            "hops": [
+                {"key": "ann_knn_join", "outcome": "refused",
+                 "refusal": {"kind": "quality"}},
+                {"key": "ann_knn_exact", "outcome": "refused",
+                 "refusal": {"kind": "cost"}},
+            ]
+        },
+        "dedup_embedding": {"measured": 2_000_000_000, "budget": 250_000_000},
+    }
+    qb = bench.quality_bucket(refusals, None, 0.95)
+    assert set(qb) == {"ann_knn_join", "routed_knn"}
+    assert all(v["shipped"] is False for v in qb.values())
+
+    # non-strict sub-target ship: provenance-only entry, shipped=True
+    qb2 = bench.quality_bucket(
+        {}, {"mode": "preflight", "strict": False, "predicted_recall": 0.61}, 0.95
+    )
+    assert qb2["ann_knn_join"]["shipped"] is True
+    assert qb2["ann_knn_join"]["predicted_recall"] == 0.61
+
+    # at/above target, or strict (the refusal already bucketed), or
+    # fixed-k: nothing to report
+    assert bench.quality_bucket({}, {"mode": "preflight", "strict": False,
+                                     "predicted_recall": 0.97}, 0.95) == {}
+    assert bench.quality_bucket({}, {"mode": "preflight", "strict": True,
+                                     "predicted_recall": 0.61}, 0.95) == {}
+    assert bench.quality_bucket({}, {"mode": "fixed_k_default"}, 0.95) == {}
