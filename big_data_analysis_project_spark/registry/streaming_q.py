@@ -607,7 +607,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream withholds end-of-replay unmatched rows its final watermark
 # never released — the batch twin is the more complete answer).
 # Budget = the engine-standard 2.5e8 (uniform decades measure ≤2.7e7
-# at sf10 and pass; every measured skew decade refuses).
+# at sf10 and pass; every measured skew decade refuses — the full
+# measured per-decade table lives in BENCH_SCALE.md §"Round 11: the
+# stream-join replay guard", the source of record for these numbers).
 
 STREAM_PAIRS_BUDGET = 250_000_000
 
