@@ -106,22 +106,21 @@ def bucketize(
 
 def facade_passthroughs(timings: dict, last_route: dict) -> dict:
     """The facade double-pay, made legible (VERDICT r11 #6): a routed_*
-    facade at a no-guard scale re-runs its head's full query as a
-    passthrough — by design (the facade IS the head plus a dict
-    lookup), but those seconds are DUPLICATES of the heads' own rows
-    and a reader comparing registry totals across rounds would misread
-    them as regression. This returns {facade_key: sec} for every
-    facade whose latest route did NOT reroute; the artifact carries it
-    plus the derived ``value_ex_facade_passthrough`` so the headline
-    total is comparable round-over-round without commit archaeology.
-    (``value`` itself stays the honest inclusive total — changing its
-    meaning mid-series would be the same misread in the other
-    direction.)"""
-    return {
-        k: timings[k]
-        for k, v in sorted(last_route.items())
-        if k in timings and not v.get("rerouted")
-    }
+    facade re-runs, in full, whichever tier its route lands on — the
+    head as a passthrough at no-guard scales, the bounded tier at
+    guarded scales — and EITHER WAY the tier it ran is a registered
+    key the bench times separately (every KEY_FALLBACKS target is
+    registered; asserted at registry import), so the facade's seconds
+    are always duplicates of an already-counted row (round-12 review:
+    the first cut excluded rerouted facades, leaving the duplication
+    in place at exactly the guarded scales the field exists for).
+    Returns {facade_key: sec} for every facade the loop timed; the
+    artifact carries it plus the derived
+    ``value_ex_facade_passthrough`` so the headline total is
+    comparable round-over-round without commit archaeology. (``value``
+    itself stays the honest inclusive total — changing its meaning
+    mid-series would be the same misread in the other direction.)"""
+    return {k: timings[k] for k in sorted(last_route) if k in timings}
 
 
 def quality_bucket(refusals: dict, knn_rec: dict | None, target: float) -> dict:

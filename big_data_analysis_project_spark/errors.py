@@ -39,7 +39,10 @@ class ScaleRefusal(ValueError):
       slots don't model (round 11 — the kNN QUALITY refusal needs
       ``target_recall`` / ``probes_tried`` / ``n_cells``, which are
       not a pairs bill). Merged flat into ``payload()`` so artifact
-      readers see one dict; the shared slots win on name collision.
+      readers see one dict; a NON-None shared slot wins on name
+      collision, while a None shared slot leaves a same-named extra
+      entry intact (ADVICE r11 — an unconditional overwrite would
+      silently drop the extra through the None filter).
     """
 
     def __init__(

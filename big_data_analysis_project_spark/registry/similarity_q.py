@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 
-from ._base import make_registry
+from ._base import ScaleRefusal, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -1288,16 +1288,23 @@ def select_knn_probes(
     covered_at = np.cumsum(np.bincount(pos_arr, minlength=p_cap + 1))
     recall = covered_at / total  # recall[p-1] = recall at p probes
 
+    # selection aims at whichever bar is HIGHER: a caller's
+    # min_recall > target must steer the search, not just gate its
+    # result — selecting the smallest p that clears `target` and then
+    # refusing because it sits under min_recall would report "bar
+    # unreachable within the budget" when a larger affordable p
+    # reaches it (round-12 review; the ADVICE r11 fix had checked the
+    # bar only on the already-selected count)
+    sel_target = target if min_recall is None else max(target, min_recall)
     chosen = None
     for p in range(min(p_min, p_cap), p_cap + 1):
-        if p >= 1 and recall[p - 1] >= target:
+        if p >= 1 and recall[p - 1] >= sel_target:
             chosen = p
             break
-    # min_recall is checked on whatever WOULD ship — the selected
-    # count, or the cap when the budget is exhausted. Previously only
-    # the exhausted branch checked, so a caller passing
-    # min_recall > target could receive a selection that cleared
-    # target yet sat below its own bar (ADVICE r11).
+    # min_recall gates whatever WOULD ship — the selected count, or
+    # the cap when the budget is exhausted (refusal correct there by
+    # construction: recall is monotone in p, so recall[p_cap-1] is the
+    # best any affordable count can do)
     shipped = chosen if chosen is not None else p_cap
     if min_recall is not None and recall[shipped - 1] < min_recall:
         from ..errors import ScaleRefusal
@@ -1400,23 +1407,37 @@ def knn_probe_provenance(spark: SparkSession, sf_dir: str) -> dict:
     from ._memo import snapshot_memo
 
     strict = os.environ.get(KNN_STRICT_ENV, "") not in ("", "0")
-    selected = snapshot_memo(
+
+    def _build():
+        # dials passed explicitly (module-global lookup at CALL time,
+        # not def-time default binding) so a test or deliberate run
+        # that monkeypatches the module constants actually moves them.
+        # A strict-mode REFUSAL is memoized too (round-12 review:
+        # snapshot_memo caches only successful builds, so one strict
+        # bench run — warm phase, two timed head runs, two facade
+        # runs, the provenance snapshot — re-paid the distributed
+        # sample-recall scan ~6 times): the refusal is index-build
+        # state exactly like a selection, cached as a sentinel and
+        # re-raised per call.
+        try:
+            return ("ok", select_knn_probes(
+                unit_vectors_cached(spark, sf_dir),
+                centroids,
+                k=KNN_K,
+                p_min=KNN_PROBE,
+                p_max=KNN_PROBE_MAX,
+                target=KNN_TARGET_RECALL,
+                n_queries=KNN_PREFLIGHT_QUERIES,
+                min_recall=KNN_TARGET_RECALL if strict else None,
+            ))
+        except ScaleRefusal as exc:
+            return ("refused", exc)
+
+    outcome, selected = snapshot_memo(
         _KNN_PROBE_CACHE,
         spark,
         sf_dir,
-        # dials passed explicitly (module-global lookup at CALL time,
-        # not def-time default binding) so a test or deliberate run
-        # that monkeypatches the module constants actually moves them
-        lambda: select_knn_probes(
-            unit_vectors_cached(spark, sf_dir),
-            centroids,
-            k=KNN_K,
-            p_min=KNN_PROBE,
-            p_max=KNN_PROBE_MAX,
-            target=KNN_TARGET_RECALL,
-            n_queries=KNN_PREFLIGHT_QUERIES,
-            min_recall=KNN_TARGET_RECALL if strict else None,
-        ),
+        _build,
         extra=(
             KNN_K,
             KNN_PROBE,
@@ -1427,6 +1448,8 @@ def knn_probe_provenance(spark: SparkSession, sf_dir: str) -> dict:
             strict,
         ),
     )
+    if outcome == "refused":
+        raise selected  # the memoized ScaleRefusal, identical per snapshot
     return {
         "n_probe": selected[0],
         "predicted_recall": round(float(selected[1]), 4),

@@ -673,27 +673,41 @@ def stream_pair_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
     )
 
 
+def _stream_pairs_budget() -> int:
+    """The effective replay budget: SPARK_GRAFT_STREAM_PAIRS_CAP
+    overrides (0 = unlimited) for a deliberate replay measurement.
+    One place (round-12 review) so the env parse cannot drift between
+    the full-replay guard and the tail guard."""
+    import os
+
+    env_cap = os.environ.get("SPARK_GRAFT_STREAM_PAIRS_CAP")
+    return int(env_cap) if env_cap is not None else STREAM_PAIRS_BUDGET
+
+
+def _stream_pairs_exceed(p: dict, budget: int) -> bool:
+    """The shared over-budget predicate for a user-keyed state-cross
+    profile: the overflow-safe bound check (bigint + float64 shadow)
+    OR a single hot user alone over budget. One place (round-12
+    review) so a budget-semantics fix cannot silently miss one of the
+    two guards that price stream replays."""
+    from .dedup_q import audit_exceeds_budget
+
+    return (
+        audit_exceeds_budget(p["pairs_bound"], p["pairs_bound_dbl"], 0, budget)
+        or p["max_term"] > budget
+    )
+
+
 def _guard_stream_replay(spark: SparkSession, sf_dir: str, key: str, alt: str) -> None:
     """Probe-and-refuse for the stream-stream join demos: price the
     replay's per-user state cross before staging a byte. Eager by
     contract (tests/test_router.py pins every guarded key raising at
-    invocation); SPARK_GRAFT_STREAM_PAIRS_CAP overrides the budget
-    (0 = unlimited) for a deliberate replay measurement."""
-    import os
-
-    from .dedup_q import audit_exceeds_budget
-
-    env_cap = os.environ.get("SPARK_GRAFT_STREAM_PAIRS_CAP")
-    budget = int(env_cap) if env_cap is not None else STREAM_PAIRS_BUDGET
+    invocation)."""
+    budget = _stream_pairs_budget()
     if not budget:
         return
     p = stream_pair_profile_cached(spark, sf_dir)
-    if (
-        audit_exceeds_budget(
-            p["pairs_bound"], p["pairs_bound_dbl"], 0, budget
-        )
-        or p["max_term"] > budget
-    ):
+    if _stream_pairs_exceed(p, budget):
         raise ScaleRefusal(
             f"{key}: replaying this corpus through the micro-batch "
             f"state store evaluates {p['pairs_bound']} per-user "
@@ -883,12 +897,9 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.75e10 vs 2.0e6. Union(batch half, stream half) == the full
     batch answer, equivalence-pinned in tests/test_recall.py and
     oracle-checked by the driver."""
-    import os
     import tempfile
     from datetime import timedelta
     from pathlib import Path
-
-    from .dedup_q import audit_exceeds_budget
 
     ev = load_events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
@@ -898,16 +909,10 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = max_ts - timedelta(hours=STREAM_TAIL_HOURS)
     tail = ev.filter(F.col("ts") >= F.lit(split))
 
-    env_cap = os.environ.get("SPARK_GRAFT_STREAM_PAIRS_CAP")
-    budget = int(env_cap) if env_cap is not None else STREAM_PAIRS_BUDGET
+    budget = _stream_pairs_budget()
     if budget:
         p = stream_pair_profile(tail)
-        if (
-            audit_exceeds_budget(
-                p["pairs_bound"], p["pairs_bound_dbl"], 0, budget
-            )
-            or p["max_term"] > budget
-        ):
+        if _stream_pairs_exceed(p, budget):
             raise ScaleRefusal(
                 f"stream_backfill_tail: even the {STREAM_TAIL_HOURS}h "
                 f"tail's user-keyed state cross is {p['pairs_bound']} "

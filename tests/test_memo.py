@@ -144,19 +144,24 @@ def test_warm_shared_artifacts_marks_refused_builds(spark, tmp_path, monkeypatch
 
 
 def test_bench_facade_passthrough_bucket():
-    """VERDICT r11 #6: facades that did NOT reroute re-ran their heads
-    — their timings are duplicate seconds and must be attributable
-    from the artifact alone. Rerouted facades (bounded-tier work, not
-    a duplicate) and facades missing from timings (refused) stay out."""
+    """VERDICT r11 #6 + round-12 review: EVERY timed facade's seconds
+    duplicate an already-counted row — the head at passthrough scales,
+    the bounded tier at guarded scales (both are registered keys the
+    loop times separately) — so both belong in the bucket. Only
+    facades absent from timings (the route itself dead-ended, e.g. a
+    double refusal) stay out: nothing ran, nothing duplicated."""
     import bench
 
     timings = {"routed_a": 2.0, "routed_b": 3.0, "head_a": 2.1}
     last_route = {
         "routed_a": {"rerouted": False, "ran": "head_a"},
         "routed_b": {"rerouted": True, "ran": "head_b_lsh"},
-        "routed_c": {"rerouted": False, "ran": "head_c"},  # refused key
+        "routed_c": {"rerouted": False, "ran": "head_c"},  # dead-ended
     }
-    assert bench.facade_passthroughs(timings, last_route) == {"routed_a": 2.0}
+    assert bench.facade_passthroughs(timings, last_route) == {
+        "routed_a": 2.0,
+        "routed_b": 3.0,
+    }
 
 
 def test_bench_quality_bucket_rules():

@@ -16,7 +16,7 @@ import pytest
 
 from big_data_analysis_project_spark.registry import QUERIES
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_minhash_lsh_recall_and_precision(spark):
@@ -323,13 +323,12 @@ def test_backfill_tail_composition_equals_batch(spark):
     (measured: 32 history-owned + 1 tail-owned) — at sf0.001 the 6h
     tail owns zero pairs and the non-trivial check would be vacuous;
     that empty-tail edge is pinned separately below."""
-    sf01 = "/root/testdata/sf0.01"
     batch = sorted(
-        tuple(r) for r in QUERIES["events_attribution"](spark, sf01).collect()
+        tuple(r) for r in QUERIES["events_attribution"](spark, SF_CORRECT).collect()
     )
     composed = sorted(
         tuple(r)
-        for r in QUERIES["stream_backfill_tail"](spark, sf01).collect()
+        for r in QUERIES["stream_backfill_tail"](spark, SF_CORRECT).collect()
     )
     assert batch, "batch twin returned no rows"
     assert composed == batch  # sorted multisets: duplicates fail too
@@ -1006,16 +1005,23 @@ def test_knn_probe_strict_mode_raises_structured_quality_refusal(
     p_ok, pred_ok = select_knn_probes(unit, model, min_recall=0.95)
     assert p_ok > 4 and pred_ok >= 0.95
 
-    # ADVICE r11: min_recall is enforced on the SELECTED path too —
-    # a selection that clears a low target but sits below a higher
-    # min_recall must refuse, not ship. target=pred_def is reachable
-    # at the 4-probe cap (selection succeeds), min_recall=0.95 is not.
+    # ADVICE r11 + round-12 review: min_recall must STEER selection,
+    # not just gate it. Two poles:
+    # (a) bar unreachable within the cap -> refuse (target=pred_def is
+    #     reachable at 4 probes, min_recall=0.95 is not at any p<=4);
     with pytest.raises(ScaleRefusal) as exc2:
         select_knn_probes(
             unit, model, p_max=4, target=pred_def, min_recall=0.95
         )
     pay2 = exc2.value.payload()
     assert pay2["kind"] == "quality" and pay2["measured"] < 0.95
+    # (b) bar reachable at a LARGER affordable p -> select that p, do
+    #     NOT refuse just because the low target selected early (the
+    #     round-12 review's false-refusal scenario)
+    p_hi, pred_hi = select_knn_probes(
+        unit, model, target=0.5, min_recall=0.95
+    )
+    assert pred_hi >= 0.95 and p_hi == p_ok
 
 
 def test_knn_strict_env_wires_min_recall_and_provenance(
