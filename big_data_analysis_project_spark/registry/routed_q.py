@@ -80,6 +80,12 @@ _FACADES: dict[str, str] = {
     # batch-backfill-plus-streaming-tail architecture as one callable
     "stream_pair_join": "routed_pair_join",
     "stream_outer_join": "routed_outer_join",
+    # the backfill+tail composition (round 13, VERDICT r12 #2): its
+    # tail-over-budget refusal routes to the batch twin — which is
+    # row-IDENTICAL by the key's own equivalence contract, so this is
+    # the one ladder whose facade oracle stays exact on every corpus
+    # whichever tier runs
+    "stream_backfill_tail": "routed_backfill_tail",
     # the QUALITY ladder (round 12, VERDICT r11 #1) — the one ladder
     # that walks UP in cost: a strict-mode probe pre-flight refusal
     # ("cannot reach the recall bar within the probe budget") routes

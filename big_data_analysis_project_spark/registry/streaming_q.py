@@ -866,7 +866,7 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TAIL_HOURS = 6
 
 
-@q("stream_backfill_tail", _ATTRIBUTION_ORACLE)
+@q("stream_backfill_tail", _ATTRIBUTION_ORACLE, fallback="events_attribution")
 def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill + streaming-tail COMPOSITION (VERDICT r11 #3): the
     architecture the stream-join replay guard prescribes in prose,
@@ -896,7 +896,14 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (refuses) while the 6-hour tail's is 2.25e5 (runs); at sf10skew
     2.75e10 vs 2.0e6. Union(batch half, stream half) == the full
     batch answer, equivalence-pinned in tests/test_recall.py and
-    oracle-checked by the driver."""
+    oracle-checked by the driver.
+
+    The tail-over-budget refusal ROUTES (VERDICT r12 #2): the
+    declared fallback is ``events_attribution``, the batch twin this
+    key's oracle already describes — row-identical by the equivalence
+    above, so the route contract is EXACT, not one-sided, and
+    ``routed_backfill_tail`` (the facade) stays oracle-valid on every
+    corpus whichever tier runs."""
     import tempfile
     from datetime import timedelta
     from pathlib import Path
@@ -936,7 +943,16 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instances over the one staged copy
     stage = Path(tempfile.mkdtemp(prefix="bdap_backfill_tail_"))
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    tail.select("event_id", "ts", "user_id", "event_type").write.mode(
+    # SINGLE-FILE stage (ADVICE r12): the replay's row-for-row equality
+    # with the batch half relies on the whole tail landing in ONE
+    # micro-batch — if the file source ever split unordered part files
+    # across micro-batches, the 2h watermarks could evict click/
+    # purchase state before a matching row arrived and silently drop
+    # valid pairs. availableNow with no maxFilesPerTrigger reads all
+    # files in one batch today; coalesce(1) makes the invariant
+    # structural rather than an option default (the tail is priced
+    # above — it fits one writer task by construction).
+    tail.select("event_id", "ts", "user_id", "event_type").coalesce(1).write.mode(
         "overwrite"
     ).parquet(str(stage / "events"))
     sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"

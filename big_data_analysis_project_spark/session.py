@@ -89,6 +89,33 @@ def get_spark(
     return spark
 
 
+def run_config(spark: SparkSession) -> dict:
+    """The launch facts that decide whether two timing artifacts are
+    comparable (VERDICT r12 #4): heap, partitions, AQE, core count.
+    Recorded in every bench/scale artifact so a mismatched-config α
+    comparison is visible in the artifacts themselves — the round-12
+    sf30skew probe ran on the 16g default heap and overstated α (1.48
+    vs the heap-matched 0.76) with nothing in the artifact to say so.
+    ``jvm_max_heap_gb`` is the ACTUAL live heap (Runtime.maxMemory),
+    not the requested conf: heap is launch-time-only, so a
+    pre-existing JVM silently ignores spark.driver.memory."""
+    sc = spark.sparkContext
+    return {
+        "master": sc.getConf().get("spark.master", "?"),
+        "driver_memory_conf": sc.getConf().get(
+            "spark.driver.memory", "jvm-default"
+        ),
+        "jvm_max_heap_gb": round(
+            sc._jvm.java.lang.Runtime.getRuntime().maxMemory() / 2**30, 2
+        ),
+        "shuffle_partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions", "?"
+        ),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled", "?"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+    }
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

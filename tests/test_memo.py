@@ -188,12 +188,27 @@ def test_bench_quality_bucket_rules():
     assert set(qb) == {"ann_knn_join", "routed_knn"}
     assert all(v["shipped"] is False for v in qb.values())
 
-    # non-strict sub-target ship: provenance-only entry, shipped=True
+    # non-strict sub-target ship: provenance-only entry, shipped=True;
+    # without a tier field the shipped tier defaults to the head
     qb2 = bench.quality_bucket(
         {}, {"mode": "preflight", "strict": False, "predicted_recall": 0.61}, 0.95
     )
     assert qb2["ann_knn_join"]["shipped"] is True
     assert qb2["ann_knn_join"]["predicted_recall"] == 0.61
+    assert qb2["ann_knn_join"]["tier"] == "ann_knn_join"
+
+    # mid-scale upgrade (VERDICT r12 #3): sub-target recall but the
+    # exact tier was affordable — shipped=True with tier naming the
+    # exact join, note saying recall 1.0 shipped
+    qb_up = bench.quality_bucket(
+        {},
+        {"mode": "preflight", "strict": False, "predicted_recall": 0.61,
+         "tier": "ann_knn_exact", "upgraded": True},
+        0.95,
+    )
+    assert qb_up["ann_knn_join"]["shipped"] is True
+    assert qb_up["ann_knn_join"]["tier"] == "ann_knn_exact"
+    assert "exact tier" in qb_up["ann_knn_join"]["note"]
 
     # at/above target, or strict (the refusal already bucketed), or
     # fixed-k: nothing to report
@@ -202,3 +217,15 @@ def test_bench_quality_bucket_rules():
     assert bench.quality_bucket({}, {"mode": "preflight", "strict": True,
                                      "predicted_recall": 0.61}, 0.95) == {}
     assert bench.quality_bucket({}, {"mode": "fixed_k_default"}, 0.95) == {}
+
+    # import-failure path (VERDICT r12 #6): target=None means
+    # KNN_TARGET_RECALL itself was unimportable — the sub-target-ship
+    # classification is SKIPPED (no stale hard-coded bar), while
+    # payload-kind quality refusals still bucket
+    qb_none = bench.quality_bucket(
+        refusals,
+        {"mode": "preflight", "strict": False, "predicted_recall": 0.61},
+        None,
+    )
+    assert set(qb_none) == {"ann_knn_join", "routed_knn"}
+    assert all(v["shipped"] is False for v in qb_none.values())

@@ -1024,6 +1024,82 @@ def test_knn_probe_strict_mode_raises_structured_quality_refusal(
     assert pred_hi >= 0.95 and p_hi == p_ok
 
 
+def test_knn_mid_scale_upgrade_ships_exact_when_affordable(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 #3 done-condition — the mid-scale quality policy:
+    in NON-strict mode, when the probe pre-flight lands below
+    KNN_TARGET_RECALL but the exact tier's n*(n-1) bill fits the
+    budget, ann_knn_join upgrades to ann_knn_exact BY DEFAULT instead
+    of shipping the sub-target join behind a warning. Pinned end-to-
+    end on the home-cluster corpus (6000 vectors: exact bill ~3.6e7,
+    well under the 2.5e8 budget) with the probe ceiling clamped so
+    the pre-flight is sub-target by construction; the unaffordable
+    branch (budget clamped to 1) keeps today's ship-with-warning
+    behavior — the measured decade corpora stay unchanged."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from gen_big_embeddings import gen_embeddings
+
+    from big_data_analysis_project_spark.registry import similarity_q as S
+
+    gen_embeddings(spark, n=6000, n_clusters=6, out_dir=str(tmp_path))
+    sf = str(tmp_path)
+    # clamp the probe ceiling into deep home-cluster under-coverage so
+    # the non-strict pre-flight exhausts sub-target (same curve point
+    # the strict-mode test pins); non-strict = env unset
+    monkeypatch.setattr(S, "KNN_PROBE", 1)
+    monkeypatch.setattr(S, "KNN_PROBE_MAX", 2)
+    monkeypatch.delenv(S.KNN_STRICT_ENV, raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_PROBE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
+    S._KNN_PROBE_CACHE.clear()
+
+    decision = S.knn_ship_decision(spark, sf)
+    assert decision["mode"] == "preflight" and decision["strict"] is False
+    assert decision["predicted_recall"] < S.KNN_TARGET_RECALL
+    assert decision["exact_pairs_bound"] == 6000 * 5999
+    assert decision["exact_pairs_bound"] <= decision["exact_budget"]
+    assert decision["tier"] == "ann_knn_exact"
+    assert decision["upgraded"] is True
+
+    # the registry key ships the EXACT rows (recall 1.0), not the
+    # sub-target blocked join
+    shipped = QUERIES["ann_knn_join"](spark, sf)
+    exact = QUERIES["ann_knn_exact"](spark, sf)
+    assert sorted(map(tuple, shipped.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    # and bench's quality bucket names the shipped tier from the
+    # decision dict alone
+    import bench
+
+    qb = bench.quality_bucket({}, decision, S.KNN_TARGET_RECALL)
+    assert qb["ann_knn_join"]["shipped"] is True
+    assert qb["ann_knn_join"]["tier"] == "ann_knn_exact"
+
+    # unaffordable exact tier: the policy does NOT upgrade — the
+    # sub-target blocked join ships behind the warning, as at the
+    # measured decades
+    monkeypatch.setattr(S, "KNN_EXACT_PAIRS_BUDGET", 1)
+    decision2 = S.knn_ship_decision(spark, sf)
+    assert decision2["tier"] == "ann_knn_join"
+    assert "upgraded" not in decision2
+    assert decision2["exact_budget"] == 1
+    qb2 = bench.quality_bucket({}, decision2, S.KNN_TARGET_RECALL)
+    assert qb2["ann_knn_join"]["shipped"] is True
+    assert qb2["ann_knn_join"]["tier"] == "ann_knn_join"
+
+    # budget 0 = deliberate unlimited override of the EXACT guard, not
+    # a standing auto-upgrade instruction: no silent upgrade either
+    monkeypatch.setenv("SPARK_GRAFT_KNN_EXACT_CAP", "0")
+    decision3 = S.knn_ship_decision(spark, sf)
+    assert decision3["tier"] == "ann_knn_join"
+
+
 def test_knn_strict_env_wires_min_recall_and_provenance(
     spark, monkeypatch
 ):

@@ -111,28 +111,39 @@ def test_reroute_makes_facade_oracle_comparison_structural(
     monkeypatch.setattr(D, "EVIDENCE_PAIRS_BUDGET", 1)
     monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_PAIRS_CAP", raising=False)
 
-    # swap case: routed_neardup reroutes to dedup_ngram_dfcap, which
-    # is itself oracle-checked — the harness compares against THAT
-    # and the compare passes (no false fail)
-    df = QUERIES["routed_neardup"](spark, sf)
-    assert LAST_ROUTE["routed_neardup"]["rerouted"]
-    sql, note = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
-    assert sql == ORACLE["dedup_ngram_dfcap"]
-    assert note and "dedup_ngram_dfcap" in note
-    c = duckdb_conn(sf)
-    compare(df, c, sql)
+    # both route records this test dirties are restored afterwards
+    # (ADVICE r12): LAST_ROUTE is session-global, and a stale
+    # rerouted record would make any later resolve_oracle consumer in
+    # this pytest session wrongly skip/swap a valid comparison for a
+    # key it never re-ran
+    try:
+        # swap case: routed_neardup reroutes to dedup_ngram_dfcap,
+        # which is itself oracle-checked — the harness compares
+        # against THAT and the compare passes (no false fail)
+        df = QUERIES["routed_neardup"](spark, sf)
+        assert LAST_ROUTE["routed_neardup"]["rerouted"]
+        sql, note = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
+        assert sql == ORACLE["dedup_ngram_dfcap"]
+        assert note and "dedup_ngram_dfcap" in note
+        c = duckdb_conn(sf)
+        compare(df, c, sql)
 
-    # skip case: routed_clusters reroutes to dedup_clusters_lsh, which
-    # has NO oracle (one-sided refinement contract) — the harness must
-    # declare the comparison invalid, not compare
-    df2 = QUERIES["routed_clusters"](spark, sf)
-    assert LAST_ROUTE["routed_clusters"]["ran"] == "dedup_clusters_lsh"
-    sql2, note2 = resolve_oracle("routed_clusters", ORACLE["routed_clusters"])
-    assert sql2 is None
-    assert note2 and "dedup_clusters_lsh" in note2
-    c.close()
+        # skip case: routed_clusters reroutes to dedup_clusters_lsh,
+        # which has NO oracle (one-sided refinement contract) — the
+        # harness must declare the comparison invalid, not compare
+        df2 = QUERIES["routed_clusters"](spark, sf)
+        assert LAST_ROUTE["routed_clusters"]["ran"] == "dedup_clusters_lsh"
+        sql2, note2 = resolve_oracle(
+            "routed_clusters", ORACLE["routed_clusters"]
+        )
+        assert sql2 is None
+        assert note2 and "dedup_clusters_lsh" in note2
+        c.close()
 
-    # identity case: a passthrough (or non-facade) key is untouched
-    LAST_ROUTE.pop("routed_neardup", None)
-    sql3, note3 = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
-    assert sql3 == ORACLE["routed_neardup"] and note3 is None
+        # identity case: a passthrough (or non-facade) key is untouched
+        LAST_ROUTE.pop("routed_neardup", None)
+        sql3, note3 = resolve_oracle("routed_neardup", ORACLE["routed_neardup"])
+        assert sql3 == ORACLE["routed_neardup"] and note3 is None
+    finally:
+        LAST_ROUTE.pop("routed_neardup", None)
+        LAST_ROUTE.pop("routed_clusters", None)

@@ -379,6 +379,79 @@ def test_stream_join_guard_routes_to_batch_twin(spark, tmp_path, monkeypatch):
     )
 
 
+def test_backfill_tail_routes_to_batch_twin(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #2 done-condition: stream_backfill_tail's
+    tail-over-budget refusal WALKS — under a 1-unit
+    SPARK_GRAFT_STREAM_PAIRS_CAP the composed key refuses (even the
+    6h tail's state cross is over budget) and run_routed lands on the
+    declared batch twin, whose rows are IDENTICAL by the key's own
+    equivalence contract; the routed_backfill_tail facade records the
+    same route, and because the fallback registers the SAME oracle
+    SQL as the head, resolve_oracle's reroute swap is a no-op — the
+    one facade that stays hash-comparable on every corpus."""
+    from big_data_analysis_project_spark.registry import ORACLE
+    from big_data_analysis_project_spark.registry.routed_q import LAST_ROUTE
+    from tests.oracle_harness import resolve_oracle
+
+    # the attribution cluster sits INSIDE the final 6 hours (split =
+    # max_ts - 6h = 04:20): the tail guard prices the user-7 state
+    # cross (2 clicks x 1 purchase = 2 pairs) and must refuse at cap 1
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:20:00", 7, "purchase", 9.0, "{}"),
+            (4, "2024-01-01 09:00:00", 8, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PAIRS_CAP", "1")
+
+    try:
+        assert route_plan("stream_backfill_tail") == [
+            "stream_backfill_tail", "events_attribution",
+        ]
+        r = run_routed(spark, sf, "stream_backfill_tail")
+        assert r.rerouted and r.key == "events_attribution"
+        pay = r.hops[0].refusal
+        assert pay["key"] == "stream_backfill_tail"
+        assert pay["budget"] == 1
+        assert pay["alternative"] == "events_attribution"
+        assert pay["override_env"] == "SPARK_GRAFT_STREAM_PAIRS_CAP"
+        batch = QUERIES["events_attribution"](spark, sf)
+        assert sorted(map(tuple, r.df.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+
+        # the facade takes the same walk and records provenance
+        fdf = QUERIES["routed_backfill_tail"](spark, sf)
+        rec = LAST_ROUTE["routed_backfill_tail"]
+        assert rec["rerouted"] and rec["ran"] == "events_attribution"
+        assert sorted(map(tuple, fdf.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        # oracle-equal fallback: the reroute swap resolves to the SAME
+        # SQL, so the facade comparison stays valid at guarded scale
+        sql, note = resolve_oracle(
+            "routed_backfill_tail", ORACLE["routed_backfill_tail"]
+        )
+        assert sql == ORACLE["routed_backfill_tail"]
+        assert note and "events_attribution" in note
+
+        # under the real budget the composition itself runs
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_PAIRS_CAP")
+        r2 = run_routed(spark, sf, "stream_backfill_tail")
+        assert not r2.rerouted
+        assert sorted(map(tuple, r2.df.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        LAST_ROUTE.pop("routed_backfill_tail", None)
+
+
 def _quality_refusal():
     """The refusal select_knn_probes raises in strict mode when the
     probe ceiling cannot reach the recall bar — constructed here so
@@ -408,7 +481,7 @@ def test_knn_quality_ladder_routes_to_exact(spark, monkeypatch):
     def raising_probe(spark_, sf_dir_):
         raise _quality_refusal()
 
-    monkeypatch.setattr(SIM, "knn_probe_cached", raising_probe)
+    monkeypatch.setattr(SIM, "knn_probe_provenance", raising_probe)
     monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
 
     assert route_plan("ann_knn_join") == ["ann_knn_join", "ann_knn_exact"]
@@ -435,7 +508,7 @@ def test_knn_double_refusal_carries_both_payloads(spark, monkeypatch):
     def raising_probe(spark_, sf_dir_):
         raise _quality_refusal()
 
-    monkeypatch.setattr(SIM, "knn_probe_cached", raising_probe)
+    monkeypatch.setattr(SIM, "knn_probe_provenance", raising_probe)
     monkeypatch.setattr(SIM, "KNN_EXACT_PAIRS_BUDGET", 1)
     monkeypatch.delenv("SPARK_GRAFT_KNN_EXACT_CAP", raising=False)
 

@@ -159,8 +159,17 @@ def main() -> None:
     from big_data_analysis_project_spark.errors import ScaleRefusal
     from big_data_analysis_project_spark.operators.graphs import connected_components
     from big_data_analysis_project_spark.registry import warm_shared_artifacts
+    from big_data_analysis_project_spark.session import get_spark, run_config
     from big_data_analysis_project_spark.registry.dedup_q import ngram_pairs_cached
-    from big_data_analysis_project_spark.session import get_spark
+
+    # default to the REGISTRY heap, not Spark's (VERDICT r12 #4): the
+    # whole-registry scale benches run at SPARK_GRAFT_DRIVER_MEM=64g,
+    # and the round-12 sf30skew probe on the bare 16g default
+    # GC-starved the dfcap/simhash family into an overstated α (1.48
+    # vs the heap-matched 0.76). A bare probe invocation must be
+    # comparable with the registry artifacts by default; export
+    # SPARK_GRAFT_DRIVER_MEM explicitly for a deliberate smaller heap.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
     spark = get_spark(app_name="scale-probe", master="local[32]")
     Q = E.queries()
@@ -169,6 +178,11 @@ def main() -> None:
     result: dict = {"base": args.base, "big": args.big, "replicas": args.replicas,
                     "reps": args.reps, "shared": {}, "keys": {}, "rows": {},
                     "extra": {}}
+    try:
+        result["config"] = run_config(spark)
+        print(f"[probe] config: {result['config']}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — metadata, never fatal
+        print(f"[probe] config capture failed: {exc}", file=sys.stderr)
 
     for tag, sf_dir in (("base", args.base), ("big", args.big)):
         spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet")).count()  # warm
