@@ -48,6 +48,12 @@ def _equivalent_rerun(path: Path, full: dict) -> bool:
     for field in ("rows", "sf", "runs"):
         if old.get(field) != full.get(field):
             return False
+    # a config change (heap, partitions, AQE, cpu count) makes two
+    # artifacts non-comparable BY DEFINITION (VERDICT r12 #4) even if
+    # the totals happen to land within noise — never keep an
+    # old-config artifact over a new-config run
+    if old.get("config") != full.get("config"):
+        return False
     for bucket in (
         "failures",
         "refusals",

@@ -1501,7 +1501,7 @@ def knn_ship_decision(spark: SparkSession, sf_dir: str) -> dict:
         and pr is not None
         and pr < KNN_TARGET_RECALL
     ):
-        pairs, budget = _knn_exact_bill(spark, sf_dir)
+        _n, pairs, budget = _knn_exact_bill(spark, sf_dir)
         decision["exact_pairs_bound"] = pairs
         decision["exact_budget"] = budget
         # budget 0 = "unlimited by deliberate override": that is the
@@ -1714,16 +1714,16 @@ FROM embeddings
 """
 
 
-def _knn_exact_bill(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """(pairs_bound, budget) for the exact batch kNN join: n*(n-1)
-    ordered scored pairs against KNN_EXACT_PAIRS_BUDGET (or the
-    SPARK_GRAFT_KNN_EXACT_CAP override; budget 0 = unlimited). One
+def _knn_exact_bill(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """(n_vectors, pairs_bound, budget) for the exact batch kNN join:
+    n*(n-1) ordered scored pairs against KNN_EXACT_PAIRS_BUDGET (or
+    the SPARK_GRAFT_KNN_EXACT_CAP override; budget 0 = unlimited). One
     count on the checkpointed unit frame — cheap enough that both the
     guard and the non-strict upgrade policy price it per call."""
     env_cap = os.environ.get(KNN_EXACT_CAP_ENV)
     budget = int(env_cap) if env_cap is not None else KNN_EXACT_PAIRS_BUDGET
     n = unit_vectors_cached(spark, sf_dir).count()
-    return n * (n - 1), budget
+    return n, n * (n - 1), budget
 
 
 def _guard_knn_exact(spark: SparkSession, sf_dir: str) -> None:
@@ -1733,10 +1733,9 @@ def _guard_knn_exact(spark: SparkSession, sf_dir: str) -> None:
     unit frame makes the count free). Same budget constant and
     override discipline as every exact twin; SPARK_GRAFT_KNN_EXACT_CAP
     overrides (0 = unlimited) for a deliberate exact run."""
-    pairs, budget = _knn_exact_bill(spark, sf_dir)
+    n, pairs, budget = _knn_exact_bill(spark, sf_dir)
     if not budget:
         return
-    n = unit_vectors_cached(spark, sf_dir).count()
     if pairs > budget:
         from ..errors import ScaleRefusal
 

@@ -164,6 +164,41 @@ def test_bench_facade_passthrough_bucket():
     }
 
 
+def test_bench_equivalent_rerun_config_mismatch(tmp_path, monkeypatch):
+    """VERDICT r12 #4 follow-through: two artifacts with different run
+    configs (heap, partitions) are non-comparable by definition — the
+    rerun-dedup must NOT keep an old-config artifact just because the
+    totals land within 20% noise."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    base = {
+        "value": 100.0, "rows": {"k": 1}, "sf": 0.1, "runs": 2,
+        "queries": {"k": 100.0},
+        "failures": {}, "refusals": {}, "flaky": {},
+        "config": {"jvm_max_heap_gb": 16.0, "shuffle_partitions": "32"},
+    }
+    p = tmp_path / "bench_full.json"
+    p.write_text(_json.dumps(base))
+
+    same = dict(base, value=105.0)  # within 20%: equivalent rerun
+    assert bench._equivalent_rerun(p, same)
+
+    heap_moved = dict(
+        same, config={"jvm_max_heap_gb": 64.0, "shuffle_partitions": "32"}
+    )
+    assert not bench._equivalent_rerun(p, heap_moved)
+
+    # an old artifact with NO config block is likewise not equivalent
+    # to a new run that records one (the block's absence is the
+    # round-12 blind spot this field exists to close)
+    no_cfg = {k: v for k, v in base.items() if k != "config"}
+    p.write_text(_json.dumps(no_cfg))
+    assert not bench._equivalent_rerun(p, same)
+
+
 def test_bench_quality_bucket_rules():
     """VERDICT r11 #7: quality degradation reads uniformly with cost
     refusals — strict refusals (kind=quality payloads), routed double
