@@ -59,10 +59,17 @@ def _equivalent_rerun(path: Path, full: dict) -> bool:
         "refusals",
         "flaky",
         "route_hops",
-        "quality_refusals",
         "facade_passthrough",
     ):
         if set(old.get(bucket, {})) != set(full.get(bucket, {})):
+            return False
+    # provenance buckets compare by CONTENT, not key set (round-13
+    # review): a shipped-tier flip (warn-ship -> exact upgrade) or an
+    # n_probe dial change keeps the same keys but makes the artifacts
+    # describe different runs — these fields are deterministic per
+    # corpus/model (no timing noise inside), so exact equality is safe
+    for bucket in ("quality_refusals", "knn_probe"):
+        if old.get(bucket) != full.get(bucket):
             return False
     if set(old.get("queries", {})) != set(full.get("queries", {})):
         return False
@@ -166,22 +173,39 @@ def quality_bucket(
             and not knn_rec.get("strict")
         ):
             tier = knn_rec.get("tier", "ann_knn_join")
+            if tier == "ann_knn_exact":
+                note = (
+                    "sub-target sample recall: upgraded to the "
+                    "affordable exact tier (recall 1.0 by "
+                    "construction) per the mid-scale quality policy"
+                )
+            elif knn_rec.get("exact_budget") == 0:
+                # budget 0 = the SPARK_GRAFT_KNN_EXACT_CAP=0 override:
+                # the exact tier was not over budget — auto-upgrade is
+                # declined because budget-0 is a deliberate guard
+                # override, not a standing upgrade instruction
+                note = (
+                    "sub-target sample recall shipped behind the "
+                    "non-strict warning (exact-tier auto-upgrade "
+                    "declined under the deliberate "
+                    "SPARK_GRAFT_KNN_EXACT_CAP=0 override); "
+                    "SPARK_GRAFT_KNN_STRICT=1 turns this into a "
+                    "routed refusal"
+                )
+            else:
+                note = (
+                    "sub-target sample recall shipped behind the "
+                    "non-strict warning (exact tier over budget); "
+                    "SPARK_GRAFT_KNN_STRICT=1 turns this into a "
+                    "routed refusal"
+                )
             out["ann_knn_join"] = {
                 "kind": "quality",
                 "shipped": True,
                 "tier": tier,
                 "predicted_recall": pr,
                 "target_recall": target,
-                "note": (
-                    "sub-target sample recall: upgraded to the "
-                    "affordable exact tier (recall 1.0 by "
-                    "construction) per the mid-scale quality policy"
-                    if tier == "ann_knn_exact"
-                    else "sub-target sample recall shipped behind the "
-                    "non-strict warning (exact tier over budget); "
-                    "SPARK_GRAFT_KNN_STRICT=1 turns this into a "
-                    "routed refusal"
-                ),
+                "note": note,
             }
     return out
 

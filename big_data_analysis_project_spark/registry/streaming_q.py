@@ -949,12 +949,17 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across micro-batches, the 2h watermarks could evict click/
     # purchase state before a matching row arrived and silently drop
     # valid pairs. availableNow with no maxFilesPerTrigger reads all
-    # files in one batch today; coalesce(1) makes the invariant
-    # structural rather than an option default (the tail is priced
-    # above — it fits one writer task by construction).
-    tail.select("event_id", "ts", "user_id", "event_type").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(stage / "events"))
+    # files in one batch today; one staged file makes the invariant
+    # structural rather than an option default. repartition(1), NOT
+    # coalesce(1): coalesce propagates up the narrow chain and would
+    # serialize the corpus-sized events scan+filter into one task,
+    # while repartition shuffles only the already-filtered tail rows
+    # to the single writer (the scan stays 32-way). The write itself
+    # is one task by design; only the tail (hours, not history)
+    # crosses the shuffle.
+    tail.select("event_id", "ts", "user_id", "event_type").repartition(
+        1
+    ).write.mode("overwrite").parquet(str(stage / "events"))
     sch = "event_id bigint, ts timestamp, user_id bigint, event_type string"
 
     def src() -> DataFrame:

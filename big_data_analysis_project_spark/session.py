@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "run_config", "stop_spark"]
 
 
 def _default_parallelism() -> int:

@@ -191,6 +191,23 @@ def test_bench_equivalent_rerun_config_mismatch(tmp_path, monkeypatch):
     )
     assert not bench._equivalent_rerun(p, heap_moved)
 
+    # provenance buckets compare by CONTENT (round-13 review): a
+    # shipped-tier flip or an n_probe dial change keeps the key set
+    # but describes a different run
+    base_q = dict(
+        base,
+        quality_refusals={"ann_knn_join": {"tier": "ann_knn_join"}},
+        knn_probe={"n_probe": 8},
+    )
+    p.write_text(_json.dumps(base_q))
+    assert bench._equivalent_rerun(p, dict(base_q, value=104.0))
+    tier_flip = dict(
+        base_q, quality_refusals={"ann_knn_join": {"tier": "ann_knn_exact"}}
+    )
+    assert not bench._equivalent_rerun(p, tier_flip)
+    dial_moved = dict(base_q, knn_probe={"n_probe": 19})
+    assert not bench._equivalent_rerun(p, dial_moved)
+
     # an old artifact with NO config block is likewise not equivalent
     # to a new run that records one (the block's absence is the
     # round-12 blind spot this field exists to close)
@@ -244,6 +261,19 @@ def test_bench_quality_bucket_rules():
     assert qb_up["ann_knn_join"]["shipped"] is True
     assert qb_up["ann_knn_join"]["tier"] == "ann_knn_exact"
     assert "exact tier" in qb_up["ann_knn_join"]["note"]
+
+    # budget-0 override: the exact tier was NOT over budget — the note
+    # must name the declined-by-override rule, not claim over-budget
+    # (round-13 review)
+    qb_ovr = bench.quality_bucket(
+        {},
+        {"mode": "preflight", "strict": False, "predicted_recall": 0.61,
+         "tier": "ann_knn_join", "exact_pairs_bound": 100, "exact_budget": 0},
+        0.95,
+    )
+    assert qb_ovr["ann_knn_join"]["tier"] == "ann_knn_join"
+    assert "override" in qb_ovr["ann_knn_join"]["note"]
+    assert "over budget" not in qb_ovr["ann_knn_join"]["note"]
 
     # at/above target, or strict (the refusal already bucketed), or
     # fixed-k: nothing to report
