@@ -17,6 +17,53 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 
+_REGISTERED_CACHES: list[dict] = []
+
+
+def register_cache(cache: dict) -> dict:
+    """Register a module-level memo dict so :func:`release_snapshot`
+    can sweep it. Declared as ``_X_CACHE = register_cache({})`` at
+    module scope; returns the dict unchanged."""
+    _REGISTERED_CACHES.append(cache)
+    return cache
+
+
+def release_snapshot(sf_dir: str) -> int:
+    """Drop every memoized artifact built from ``sf_dir`` across all
+    registered caches, then GC so the freed DataFrames' pinned
+    localCheckpoint blocks can actually leave the unified memory pool
+    (localCheckpoint blocks are NOT evictable under pressure — they
+    only release when the owning RDD is garbage-collected and the
+    ContextCleaner drops its blocks).
+
+    Why this exists: a multi-corpus session (tools/scale_probe.py
+    timing a base and a big corpus back to back) otherwise carries the
+    base corpus's checkpointed shingle/minhash/unit-vector frames as
+    dead weight while the big corpus's shared artifacts build — at
+    sf30skew base + sf100skew big that cross-side pinning exhausted a
+    64 g pool mid-build ([UNABLE_TO_ACQUIRE_MEMORY] in the minhash
+    localCheckpoint) even though each side alone fits comfortably.
+    Returns the number of entries dropped. Single-corpus sessions
+    (bench.py, the driver gate, pytest) never need to call this."""
+    import gc
+
+    dropped = 0
+    for cache in _REGISTERED_CACHES:
+        for k in [
+            k
+            for k in cache
+            if isinstance(k[1], tuple) and len(k[1]) == 3 and k[1][0] == sf_dir
+        ]:
+            del cache[k]
+            dropped += 1
+    if dropped:
+        # Python-side refs gone; collect so py4j finalizers enqueue the
+        # JVM-side DataFrame/RDD releases that let the ContextCleaner
+        # unpin the checkpoint blocks
+        gc.collect()
+    return dropped
+
+
 def snapshot_fingerprint(sf_dir: str) -> tuple:
     """Cheap content fingerprint of a corpus snapshot directory:
     sorted (relative name, size, mtime_ns) of every parquet file under

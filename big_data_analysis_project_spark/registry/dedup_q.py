@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graphs import connected_components
 from ..sources.readers import load_table
-from ._memo import snapshot_memo
+from ._memo import register_cache, snapshot_memo
 
 from ._base import ScaleRefusal, make_registry
 
@@ -209,7 +209,7 @@ WHERE n_common * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * LEAST(sa.n, sb.n)
 )
 
 
-_SHINGLES_CACHE: dict = {}
+_SHINGLES_CACHE: dict = register_cache({})
 
 
 def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +228,7 @@ def shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVIDENCE_CACHE: dict = {}
+_EVIDENCE_CACHE: dict = register_cache({})
 
 # shingle document frequencies above this trip a loud audit warning at
 # evidence-build time: a shingle present in m documents contributes
@@ -281,7 +281,7 @@ def audit_exceeds_budget(
     )
 
 
-_DF_PROFILE_CACHE: dict = {}
+_DF_PROFILE_CACHE: dict = register_cache({})
 
 
 def shingle_df_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
@@ -852,7 +852,7 @@ def minhash_verified_pairs(docs: DataFrame, shingles: DataFrame | None = None) -
     )
 
 
-_MINHASH_CACHE: dict = {}
+_MINHASH_CACHE: dict = register_cache({})
 
 
 def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,7 +1400,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE: dict = register_cache({})
 
 
 def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,7 +1593,7 @@ def incremental_probe_profile(sh: DataFrame) -> dict:
     return row.asDict()
 
 
-_INC_PROFILE_CACHE: dict = {}
+_INC_PROFILE_CACHE: dict = register_cache({})
 
 
 def incremental_probe_profile_cached(spark: SparkSession, sf_dir: str) -> dict:

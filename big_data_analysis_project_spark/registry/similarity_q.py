@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 
 from ._base import ScaleRefusal, make_registry
+from ._memo import register_cache
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -65,8 +66,8 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-_UNIT_CACHE: dict = {}
-_CENTROID_CACHE: dict = {}
+_UNIT_CACHE: dict = register_cache({})
+_CENTROID_CACHE: dict = register_cache({})
 
 
 def unit_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +750,7 @@ def pq_adc_scores(codes: DataFrame, lut) -> DataFrame:
     return codes.select(*cols).mapInArrow(kernel, "vec_id bigint, adc double")
 
 
-_PQ_CODEBOOK_CACHE: dict = {}
+_PQ_CODEBOOK_CACHE: dict = register_cache({})
 
 
 def pq_codebooks_cached(
@@ -1355,7 +1356,7 @@ def select_knn_probes(
     return chosen, pred
 
 
-_KNN_PROBE_CACHE: dict = {}
+_KNN_PROBE_CACHE: dict = register_cache({})
 
 
 def knn_probe_cached(spark: SparkSession, sf_dir: str) -> int:

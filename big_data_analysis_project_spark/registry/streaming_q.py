@@ -33,6 +33,7 @@ from ..sources.readers import (
 )
 
 from ._base import ScaleRefusal, make_registry
+from ._memo import register_cache
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -655,7 +656,7 @@ def stream_pair_profile(ev: DataFrame) -> dict:
     return row.asDict()
 
 
-_STREAM_PAIR_PROFILE_CACHE: dict = {}
+_STREAM_PAIR_PROFILE_CACHE: dict = register_cache({})
 
 
 def stream_pair_profile_cached(spark: SparkSession, sf_dir: str) -> dict:

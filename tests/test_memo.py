@@ -7,6 +7,9 @@ from __future__ import annotations
 import time
 
 from big_data_analysis_project_spark.registry._memo import (
+    _REGISTERED_CACHES,
+    register_cache,
+    release_snapshot,
     session_memo,
     snapshot_fingerprint,
     snapshot_memo,
@@ -42,6 +45,66 @@ def test_snapshot_memo_extra_key_separates_models(spark, tmp_path):
     b = snapshot_memo(cache, spark, str(tmp_path), lambda: "b", extra=(2,))
     assert (a, b) == ("a", "b")
     assert len(cache) == 2
+
+
+def test_release_snapshot_drops_only_that_corpus(spark, tmp_path):
+    """The multi-corpus probe fix (round 13): release_snapshot must
+    sweep snapshot-keyed entries for exactly the released sf_dir from
+    every REGISTERED cache, leave other corpora and non-snapshot
+    session_memo entries alone, and report the drop count."""
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    dir_a.mkdir(), dir_b.mkdir()
+    _write_parquet(spark, dir_a, 3)
+    _write_parquet(spark, dir_b, 4)
+    cache: dict = register_cache({})
+    try:
+        snapshot_memo(cache, spark, str(dir_a), lambda: "A")
+        snapshot_memo(cache, spark, str(dir_b), lambda: "B")
+        session_memo(cache, spark, None, lambda: "session-scoped")
+        assert len(cache) == 3
+        assert release_snapshot(str(dir_a)) == 1
+        # dir_b and the non-snapshot entry survive; a re-ask for dir_a
+        # rebuilds instead of serving the dropped artifact
+        assert len(cache) == 2
+        rebuilt = []
+        snapshot_memo(
+            cache, spark, str(dir_a), lambda: rebuilt.append(1) or "A2"
+        )
+        assert rebuilt == [1]
+        # releasing a corpus nothing was built from is a no-op
+        assert release_snapshot(str(tmp_path / "nowhere")) == 0
+    finally:
+        _REGISTERED_CACHES.remove(cache)
+
+
+def test_registry_caches_are_registered():
+    """Every snapshot-keyed module-level memo dict must be swept by
+    release_snapshot — a cache added without register_cache would
+    silently reintroduce the cross-corpus pinning the probe fix
+    closed. The synthetic-marts cache is deliberately NOT snapshot
+    keyed (corpus-independent input) and is exempt."""
+    from big_data_analysis_project_spark.registry import (
+        dedup_q,
+        similarity_q,
+        streaming_q,
+    )
+
+    for mod, name in [
+        (dedup_q, "_SHINGLES_CACHE"),
+        (dedup_q, "_EVIDENCE_CACHE"),
+        (dedup_q, "_DF_PROFILE_CACHE"),
+        (dedup_q, "_MINHASH_CACHE"),
+        (dedup_q, "_PAIRS_CACHE"),
+        (dedup_q, "_INC_PROFILE_CACHE"),
+        (similarity_q, "_UNIT_CACHE"),
+        (similarity_q, "_CENTROID_CACHE"),
+        (similarity_q, "_PQ_CODEBOOK_CACHE"),
+        (similarity_q, "_KNN_PROBE_CACHE"),
+        (streaming_q, "_STREAM_PAIR_PROFILE_CACHE"),
+    ]:
+        assert any(
+            getattr(mod, name) is c for c in _REGISTERED_CACHES
+        ), f"{mod.__name__}.{name} is not registered for release_snapshot"
 
 
 def test_snapshot_fingerprint_missing_dir():

@@ -184,7 +184,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — metadata, never fatal
         print(f"[probe] config capture failed: {exc}", file=sys.stderr)
 
+    from big_data_analysis_project_spark.registry._memo import release_snapshot
+
     for tag, sf_dir in (("base", args.base), ("big", args.big)):
+        if tag == "big":
+            # unpin the base corpus's memoized localCheckpoint frames
+            # before the big side's shared builds start: checkpoint
+            # blocks are NOT evictable, and at sf30skew-base +
+            # sf100skew-big the cross-side dead weight exhausted a
+            # 64 g pool mid-build. Each side's keys only ever consume
+            # their own side's artifacts, so this cannot distort α.
+            n_dropped = release_snapshot(args.base)
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001 — nudge the ContextCleaner
+            print(f"[probe] released {n_dropped} base-side memoized artifacts",
+                  file=sys.stderr)
         spark.read.parquet(str(Path(sf_dir) / "lineitem.parquet")).count()  # warm
         t0 = time.perf_counter()
         shared = warm_shared_artifacts(
