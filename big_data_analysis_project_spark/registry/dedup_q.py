@@ -780,7 +780,19 @@ def minhash_verified_pairs(docs: DataFrame, shingles: DataFrame | None = None) -
         if shingles is not None
         else _shingles(docs).localCheckpoint(eager=True)
     )  # feeds the exact verify
-    sig = minhash_signatures(docs)
+    # partition by DATA, not by file count, before the per-doc kernel:
+    # the corpus generator (and many real lakes) packs millions of docs
+    # into a handful of part files, and the Arrow kernel + the x16 band
+    # explode + checkpoint all inherit that file partitioning — at the
+    # sf100skew probe (5M docs / 8 files) that meant ~10 partitions of
+    # 388+ MB each unrolling into storage while three AQE stages built
+    # gigabyte partial-agg maps over them: [UNABLE_TO_ACQUIRE_MEMORY].
+    # A round-robin repartition to the session's shuffle parallelism
+    # costs one scan-sized shuffle and bounds every downstream task's
+    # working set — the same fix a 1000-executor cluster needs, where
+    # 10 fat partitions would idle 990 executors.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig = minhash_signatures(docs.repartition(n_part))
     rows_per_band = N_PERMS // N_BANDS
     band_entries = sig.select(
         "doc_id",

@@ -142,6 +142,19 @@ def main() -> None:
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument("--out", default=str(REPO / "bench_scale_raw.json"))
     ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions for BOTH sides "
+        "(recorded in the artifact's config block). Partition count "
+        "should scale with the corpus — the fixed-32 default that "
+        "matches the registry artifacts exhausts per-task execution "
+        "memory on 10+ GB corpora (the sf100skew shared minhash build "
+        "OOM'd at 32; 128 gives each task a 4x smaller working set, "
+        "exactly what a real cluster does by running thousands of "
+        "partitions at 100 TB)",
+    )
+    ap.add_argument(
         "--skip-warm",
         default="",
         help="comma-separated shared-artifact names to leave cold "
@@ -171,7 +184,11 @@ def main() -> None:
     # SPARK_GRAFT_DRIVER_MEM explicitly for a deliberate smaller heap.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 
-    spark = get_spark(app_name="scale-probe", master="local[32]")
+    spark = get_spark(
+        app_name="scale-probe",
+        master="local[32]",
+        shuffle_partitions=args.shuffle_partitions,
+    )
     Q = E.queries()
     print(f"[probe] loadavg={os.getloadavg()}", file=sys.stderr)
 
