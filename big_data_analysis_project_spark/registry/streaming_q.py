@@ -20,6 +20,7 @@ checkpoint-sharing incremental re-run over newly-arrived files
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,20 +39,72 @@ from ._memo import register_cache
 QUERIES, ORACLE, q = make_registry()
 
 
-_STREAM_STATE_PARTITIONS = 8
+# ~bytes of source data one state store should own before another
+# partition pays off; far below this, per-batch delta-file commits (4
+# stores per join side per partition) dominate the stage
+_STATE_PARTITION_TARGET_BYTES = 64 << 20
 
 
-def _drain(spark: SparkSession, writer) -> None:
-    """Start + drain a streaming query with a bounded state-partition
-    count. Every stateful streaming op instantiates ONE state store
-    per shuffle partition, each paying per-batch delta-file and
-    maintenance cost — so state partitions should be sized to state
-    VOLUME, not cluster cores (32 stores for a few MB of state
-    measured 3x slower than 8 on the sf0.1 suite). The conf only
-    affects queries STARTED under it; restored after the drain so
-    batch keys keep the session default."""
+def _stream_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events",
+    kernel_parallel: bool = False,
+) -> int:
+    """Shuffle-partition count for a streaming drain, sized to the
+    DATA instead of fixed (optimization round 13; previously a flat 8).
+    Two regimes, measured at sf0.1:
+
+    * state-store-bound ops (stream-stream joins, windowed aggs,
+      dropDuplicates): every shuffle partition is a state store paying
+      per-batch delta-file + commit cost — a 4-batch outer-join drain
+      measured 6.0-8.9 s at 8 partitions vs 4.3-4.8 s at 2 for a few
+      MB of state. Partitions derive from source size
+      (ceil(bytes / 64 MB), floor 2, cap cores), so a 100 TB arrival
+      dir still fans out to the cluster while a small tail stays at
+      the floor;
+    * ``kernel_parallel`` ops (applyInPandasWithState): throughput is
+      bound by Python-worker parallelism, not store count — the same
+      sf0.1 sessionize measured 5.2-5.8 s at 2 partitions vs 2.6-3.8 s
+      at 8-16 — so these size to cores (capped at 16).
+
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides both regimes for
+    cluster tuning."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass  # a typo'd override falls back to the derived sizing
+    cores = spark.sparkContext.defaultParallelism
+    if kernel_parallel:
+        return max(2, min(cores, 16))
+    from pathlib import Path
+
+    nbytes = 0
+    try:
+        p = Path(sf_dir) / f"{table}.parquet"
+        if p.is_dir():
+            nbytes = sum(
+                f.stat().st_size for f in p.rglob("*.parquet") if f.is_file()
+            )
+        elif p.exists():
+            nbytes = p.stat().st_size
+    except OSError:
+        pass  # unreadable source: fall through to the floor
+    return max(2, min(cores, -(-nbytes // _STATE_PARTITION_TARGET_BYTES)))
+
+
+def _drain(spark: SparkSession, writer, parts: int) -> None:
+    """Start + drain a streaming query with ``parts`` shuffle
+    partitions (see ``_stream_partitions`` for how callers size it).
+    Every stateful streaming op instantiates ONE state store per
+    shuffle partition, each paying per-batch delta-file and
+    maintenance cost — so state partitions are sized to state VOLUME,
+    not cluster cores (32 stores for a few MB of state measured 3x
+    slower than 8, and 8 measured ~1.4-2x slower than 2, on the sf0.1
+    suite). The conf only affects queries STARTED under it; restored
+    after the drain so batch keys keep the session default."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         writer.start().awaitTermination()
     finally:
@@ -192,6 +245,7 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_hourly")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return spark.table("bdap_stream_hourly")
 
@@ -359,6 +413,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_sessionize")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir, kernel_parallel=True),
     )
     # update-mode memory sink: latest emission per (user, session_start)
     tbl = spark.table("bdap_stream_sessionize")
@@ -405,6 +460,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_dedup")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir, table="documents"),
     )
     return spark.table("bdap_stream_dedup")
 
@@ -433,6 +489,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_sliding")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return spark.table("bdap_stream_sliding")
 
@@ -498,6 +555,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_enrich")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return spark.table("bdap_stream_enrich")
 
@@ -657,6 +715,11 @@ def stream_pair_profile(ev: DataFrame) -> dict:
 
 
 _STREAM_PAIR_PROFILE_CACHE: dict = register_cache({})
+
+# stream_backfill_tail's pre-flight (corpus max_ts + tail profile),
+# deterministic per snapshot — same memo discipline as the profile
+# above (see the key's body)
+_BACKFILL_PREFLIGHT_CACHE: dict = register_cache({})
 
 
 def stream_pair_profile_cached(spark: SparkSession, sf_dir: str) -> dict:
@@ -860,6 +923,7 @@ def stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_pair_join")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return spark.table("bdap_stream_pair_join")
 
@@ -910,16 +974,33 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     ev = load_events(spark, sf_dir)
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # the pre-flight scalars (corpus max_ts, tail state-cross profile)
+    # are deterministic per snapshot, so they are memoized the same way
+    # every other guard's probe is (stream_pair_profile_cached): one
+    # events scan + one tail aggregation per snapshot instead of per
+    # invocation — the bench (min-of-2) and the routed facade otherwise
+    # re-pay both jobs on all four calls of a round
+    from ._memo import snapshot_memo
+
+    def _preflight():
+        m = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        if m is None:
+            return None, None
+        s = m - timedelta(hours=STREAM_TAIL_HOURS)
+        return s, stream_pair_profile(ev.filter(F.col("ts") >= F.lit(s)))
+
+    split, tail_profile = snapshot_memo(
+        _BACKFILL_PREFLIGHT_CACHE, spark, sf_dir, _preflight,
+        extra=("tail", STREAM_TAIL_HOURS),
+    )
     clicks, purchases = _attribution_sides(spark, sf_dir)
-    if max_ts is None:  # empty corpus: the (empty) batch join
+    if split is None:  # empty corpus: the (empty) batch join
         return _attribution_join(clicks, purchases, "inner")
-    split = max_ts - timedelta(hours=STREAM_TAIL_HOURS)
     tail = ev.filter(F.col("ts") >= F.lit(split))
 
     budget = _stream_pairs_budget()
     if budget:
-        p = stream_pair_profile(tail)
+        p = tail_profile
         if _stream_pairs_exceed(p, budget):
             raise ScaleRefusal(
                 f"stream_backfill_tail: even the {STREAM_TAIL_HOURS}h "
@@ -1007,6 +1088,7 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_backfill_tail")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return hist.unionByName(spark.table("bdap_backfill_tail"))
 
@@ -1087,6 +1169,7 @@ def stream_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_session_builtin")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     return spark.table("bdap_stream_session_builtin")
 
@@ -1158,6 +1241,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     latest = int((mart / "_LATEST").read_text())
     return spark.read.parquet(str(mart / f"v{latest}"))
@@ -1236,7 +1320,9 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
 
     stats = {"batch_rows": batch_rows, "run_input_rows": []}
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_stream_partitions(spark, sf_dir))
+    )
     try:
         for bdir in batches:
             land(bdir)
@@ -1328,6 +1414,13 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = (hi - lo) // n_files + 1
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_outer_"))
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    # stage ONLY the event types the join consumes (guide §2.3: filter
+    # before the heavy bytes move): every other type would be written,
+    # re-scanned per micro-batch, and then dropped by both branch
+    # filters anyway. The quartile boundaries above are computed over
+    # the FULL table first, so batch composition — and with it the
+    # watermark progression and the emitted row set — is unchanged.
+    ev = ev.filter(F.col("event_type").isin("click", "purchase"))
     # ONE partitioned write produces all quartile files (vs 4 separate
     # filter+write jobs), then each part file moves to the stage root
     # with ascending mtimes so the file source replays them in
@@ -1393,6 +1486,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_outer_join")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     # full data copy — remove once drained so bench/test cycles don't
     # accumulate /tmp usage (the memory sink holds the results)
@@ -1440,6 +1534,10 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.monotonic() + 60
+        # 50 ms poll: the source drains its 300 rows in a few hundred
+        # ms of micro-batches, so a 200 ms poll added up to ~0.6 s of
+        # pure sleep to a ~1 s key (measured r13); the count() poll
+        # itself is a 3-partition local job, cheap at this cadence
         while spark.table(qname).count() < STREAM_TOTAL_ROWS:
             # fail FAST on a dead query: without this check a startup
             # error (source registration, schema) would burn the whole
@@ -1448,7 +1546,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise q.exception()
             if time.monotonic() > deadline:
                 raise TimeoutError("stream_python_source never reached terminal count")
-            time.sleep(0.2)
+            time.sleep(0.05)
     finally:
         q.stop()
         q.awaitTermination()
@@ -1514,6 +1612,7 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName("bdap_stream_dedup_wm")
         .trigger(availableNow=True),
+        _stream_partitions(spark, sf_dir),
     )
     # full data copy — remove once drained (memory sink holds results)
     shutil.rmtree(stage, ignore_errors=True)
