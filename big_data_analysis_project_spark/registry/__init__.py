@@ -89,6 +89,7 @@ for _k in _FB:
 # each registration only declares what its code directly touches.
 ARTIFACT_PARENTS: dict[str, frozenset[str]] = {
     "shingle_evidence": frozenset({"shingles"}),
+    "capped_evidence": frozenset({"shingles"}),
     "ngram_pairs": frozenset({"shingle_evidence", "shingles"}),
     "minhash_pairs": frozenset({"shingles"}),
     "ivf_model": frozenset({"unit_vectors"}),
@@ -224,6 +225,13 @@ def warm_shared_artifacts(
         (
             "shingle_evidence",
             lambda: dedup_q.shingle_evidence_cached(spark, sf_dir).count(),
+        ),
+        # the df-capped bounded-tier evidence (optimization r13):
+        # shared by all three dfcap keys; unlike shingle_evidence it
+        # never refuses — the cap bounds its join by construction
+        (
+            "capped_evidence",
+            lambda: dedup_q.capped_evidence_cached(spark, sf_dir).count(),
         ),
         (
             "minhash_pairs",

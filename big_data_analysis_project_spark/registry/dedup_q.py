@@ -523,7 +523,59 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-@q("dedup_ngram_dfcap", _DFCAP_ORACLE, artifacts={"shingles"})
+_CAPPED_EVIDENCE_CACHE: dict = register_cache({})
+
+
+def capped_evidence_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) over the DF_CAP-filtered
+    shingle frame — the bounded-tier analogue of
+    ``shingle_evidence_cached`` (optimization r13): the three dfcap
+    keys (ngram, containment, incremental) previously each re-ran an
+    identical rare-filter + self-join + size-join pipeline; one
+    memoized checkpoint serves all three as cheap filters, the exact
+    sharing round 6 applied to the uncapped evidence. ``n_common``
+    counts only shingles with df <= DF_CAP while na/nb keep TRUE set
+    sizes, so every consumer's one-sided lower-bound contract is
+    unchanged. No refusal guard: the cap bounds the self-join at
+    sum min(df, DF_CAP)^2 rows by construction — bounded-by-design is
+    the reason this tier exists. MERGE hints for the same
+    misreported-checkpoint-stats reason as the uncapped build."""
+
+    def build() -> DataFrame:
+        sh = shingles_cached(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= DF_CAP)
+            .select("s")
+        )
+        capped = sh.hint("merge").join(rare.hint("merge"), "s")
+        a, b = capped.alias("a"), capped.alias("b")
+        inter = (
+            a.hint("merge")
+            .join(
+                b.hint("merge"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        return (
+            inter.join(na.hint("merge"), "doc_a")
+            .join(nb.hint("merge"), "doc_b")
+            .localCheckpoint(eager=True)
+        )
+
+    return snapshot_memo(_CAPPED_EVIDENCE_CACHE, spark, sf_dir, build)
+
+
+@q("dedup_ngram_dfcap", _DFCAP_ORACLE, artifacts={"capped_evidence"})
 def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOUNDED-evidence tier of exact Jaccard dedup (VERDICT r6
     #3): identical to ``dedup_ngram_jaccard`` except shingles whose
@@ -540,38 +592,16 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``jaccard_lb`` is a LOWER bound of true Jaccard and every emitted
     pair is a true >= threshold pair (precision 1 vs the exact key;
     recall drops only where boilerplate carried the overlap —
-    tests/test_recall.py pins the subset/lower-bound property). The
-    df filter is a semi-join against the (s, df<=cap) frame — both
-    sides corpus-sized and checkpoint-free here, but the shingle side
-    carries the same MERGE discipline as the evidence build."""
-    sh = shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("s")
-    )
-    capped = sh.hint("merge").join(rare.hint("merge"), "s")
-    a, b = capped.alias("a"), capped.alias("b")
-    inter = (
-        a.hint("merge")
-        .join(
-            b.hint("merge"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    tests/test_recall.py pins the subset/lower-bound property).
+    The capped evidence join lives in ``capped_evidence_cached``
+    (shared with the containment and incremental dfcap tiers); this
+    key is the Jaccard threshold over it."""
+    ev = capped_evidence_cached(spark, sf_dir)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(na.hint("merge"), "doc_a")
-        .join(nb.hint("merge"), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        ev.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_lb"))
     )
 
@@ -601,7 +631,7 @@ WHERE n_common_lb * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * LEAST(sa.n, sb.n)
 """
 
 
-@q("dedup_containment_dfcap", _CONTAINMENT_DFCAP_ORACLE, artifacts={"shingles"})
+@q("dedup_containment_dfcap", _CONTAINMENT_DFCAP_ORACLE, artifacts={"capped_evidence"})
 def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOUNDED tier of containment dedup (round 10 — previously
     the ONE question refused at sf3skew with no servable tier, because
@@ -615,37 +645,18 @@ def dedup_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (precision 1 vs the exact key; recall drops only where boilerplate
     carried the overlap — and a pair whose overlap is ENTIRELY one hot
     template phrase is exactly the pair the cap is designed to
-    drop). Evidence join capped at DF_CAP rows per shingle, flat on
-    the corpus whose hot family detonates the exact build."""
-    sh = shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("s")
-    )
-    capped = sh.hint("merge").join(rare.hint("merge"), "s")
-    a, b = capped.alias("a"), capped.alias("b")
-    inter = (
-        a.hint("merge")
-        .join(
-            b.hint("merge"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common_lb"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    drop). The capped evidence join lives in
+    ``capped_evidence_cached`` (shared with the ngram and incremental
+    dfcap tiers); this key is the integer containment filter over it."""
+    ev = capped_evidence_cached(spark, sf_dir)
     return (
-        inter.join(na.hint("merge"), "doc_a")
-        .join(nb.hint("merge"), "doc_b")
-        .filter(
-            F.col("n_common_lb") * _CONTAIN_DEN
+        ev.filter(
+            F.col("n_common") * _CONTAIN_DEN
             >= _CONTAIN_NUM * F.least("na", "nb")
         )
-        .select("doc_a", "doc_b", "n_common_lb", "na", "nb")
+        .select(
+            "doc_a", "doc_b", F.col("n_common").alias("n_common_lb"), "na", "nb"
+        )
     )
 
 
@@ -1776,7 +1787,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-@q("dedup_incremental_dfcap", _INCREMENTAL_DFCAP_ORACLE, artifacts={"shingles"})
+@q("dedup_incremental_dfcap", _INCREMENTAL_DFCAP_ORACLE, artifacts={"capped_evidence"})
 def dedup_incremental_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOUNDED tier of incremental dedup (round 10 — the tier the
     guard above routes to): identical delta-probes-base join except
@@ -1790,38 +1801,30 @@ def dedup_incremental_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (precision 1 vs the exact probe; recall drops only where
     boilerplate carried the overlap). Per-arrival cost becomes
     O(batch x min(df, {DF_CAP})) — flat on the corpus whose hot
-    template detonates the exact twin."""
-    sh = shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("s")
+    template detonates the exact twin.
+
+    Derived from ``capped_evidence_cached`` (optimization r13): the
+    shared capped frame holds every doc_a < doc_b pair with a rare
+    shared shingle, so the delta-probes-base result is exactly its
+    mixed-parity slice re-oriented to (new_doc=odd, dup_of=even) —
+    n_common and the symmetric Jaccard denominator are unchanged by
+    the swap. A real arrival pipeline keys the delta by ingest batch
+    instead of parity and probes the persisted capped index the same
+    way."""
+    ev = capped_evidence_cached(spark, sf_dir).filter(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
     )
-    capped = sh.hint("merge").join(rare.hint("merge"), "s")
-    delta = capped.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("new_doc"), "s"
-    )
-    base = capped.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("dup_of"), "s"
-    )
-    inter = (
-        delta.hint("merge")
-        .join(base.hint("merge"), "s")
-        .groupBy("new_doc", "dup_of")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"))
+    a_is_new = F.col("doc_a") % 2 == 1
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(sa.hint("merge"), "new_doc")
-        .join(sb.hint("merge"), "dup_of")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard_lb"))
+        ev.filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.when(a_is_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc"),
+            F.when(a_is_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dup_of"),
+            F.round(jac, 4).alias("jaccard_lb"),
+        )
     )
 
 

@@ -28,6 +28,7 @@ REG_DIR = (
 ACCESSORS = {
     "shingles_cached": "shingles",
     "shingle_evidence_cached": "shingle_evidence",
+    "capped_evidence_cached": "capped_evidence",
     "minhash_pairs_cached": "minhash_pairs",
     "ngram_pairs_cached": "ngram_pairs",
     "unit_vectors_cached": "unit_vectors",
