@@ -241,6 +241,7 @@ def main() -> None:
     # un-diagnosable round-over-round. Charging them here means every
     # per-key number below measures the QUERY against a warm snapshot.
     shared: dict[str, float] = {}
+    t_warm = time.perf_counter()
     try:
         from big_data_analysis_project_spark.registry import warm_shared_artifacts
 
@@ -248,7 +249,15 @@ def main() -> None:
         print(f"[bench] shared setup {shared}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] shared setup failed: {exc}", file=sys.stderr)
-    shared_total = round(sum(shared.values()), 3)
+    # WALL time of the phase, not sum(shared.values()): the warm phase
+    # runs independent builder chains concurrently (guide §2.6), so
+    # per-artifact seconds overlap and their sum would overstate the
+    # real elapsed setup the way double-counting facade seconds did.
+    # Before r13 the builders ran sequentially and the two numbers were
+    # equal, so totals stay round-over-round comparable; the per-entry
+    # detail (now contended wall times) stays in `shared_setup` for
+    # attribution.
+    shared_total = round(time.perf_counter() - t_warm, 3)
 
     # quiet-host protocol (VERDICT r5 #7): every key timed N times
     # back-to-back (default 2), report the per-key MIN — host-noise

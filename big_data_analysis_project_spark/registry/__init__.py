@@ -189,7 +189,10 @@ QUERIES = {
 
 
 def warm_shared_artifacts(
-    spark: SparkSession, sf_dir: str, skip: frozenset[str] = frozenset()
+    spark: SparkSession,
+    sf_dir: str,
+    skip: frozenset[str] = frozenset(),
+    parallel: int | None = None,
 ) -> dict[str, float]:
     """Pre-materialize every session-memoized corpus-snapshot artifact
     and return per-artifact build seconds (VERDICT r5 #2: the bench
@@ -217,7 +220,23 @@ def warm_shared_artifacts(
     it needs ~1.45e9 join rows and a ~64 g heap, and a probe of the
     CAPPED tiers must not pay (or die on) a bill none of its keys
     incur. bench.py never passes skip — the full registry consumes
-    everything."""
+    everything.
+
+    ``parallel``: max builders in flight (default
+    ``$SPARK_GRAFT_WARM_PARALLEL`` or 4). The builders form two
+    independent chains (shingles -> evidence/minhash -> ngram;
+    unit_vectors -> ivf -> pq/batch -> knn_probe) plus the standalone
+    tb_marts, so independent builds overlap (guide §2.6: actions are
+    only sequential because the driver calls them sequentially) and
+    the phase wall drops to roughly its critical path. Dependency
+    order within a chain is enforced from ``ARTIFACT_PARENTS`` — the
+    same closure the bench and scale probes already consume — so a
+    child never races its parent's memoized build. ``parallel=1``
+    keeps the exact sequential behavior, where each entry's seconds
+    are its MARGINAL cost given its predecessors (scale-probe
+    attribution mode); in parallel mode per-entry seconds are
+    contended wall times that can overlap, so callers must report the
+    phase wall, not the sum."""
     import time
 
     builders = [
@@ -265,31 +284,85 @@ def warm_shared_artifacts(
         ),
         ("tb_marts", lambda: pipeline_q.synthetic_marts(spark)),
     ]
+    import os
+    import sys
+
+    if parallel is None:
+        try:
+            parallel = int(os.environ.get("SPARK_GRAFT_WARM_PARALLEL", "4"))
+        except ValueError:
+            parallel = 4
+    parallel = max(1, min(parallel, 8))
+
     out: dict[str, float] = {}
-    for name, build in builders:
-        if name in skip:
-            continue
+
+    def run_one(name: str, build) -> None:
+        """Build one artifact, recording seconds (or '<name>!refused').
+
+        A refusing artifact must not strand the REST of the warm
+        phase (round 10): at sf3skew shingle_evidence refuses at
+        its 6.9e8 pairs_bound, and aborting used to leave the
+        INDEPENDENT artifacts (minhash_pairs, unit_vectors, the
+        models) cold — silently first-touch-charged to whichever key
+        hit them first, exactly the attribution bug this phase exists
+        to prevent. The probe time spent reaching the refusal is real
+        work and stays recorded: a refused warm is NOT a warmed
+        artifact (ADVICE r10), so it lands under a self-describing
+        '<name>!refused' key (float value — sum() stays safe)."""
         t0 = time.perf_counter()
+        spark.sparkContext.setJobDescription(f"warm_shared_artifacts: {name}")
         try:
             build()
         except ScaleRefusal as exc:
-            # A refusing artifact must not strand the REST of the warm
-            # phase (round 10): at sf3skew shingle_evidence refuses at
-            # its 6.9e8 pairs_bound, and aborting here used to leave
-            # the INDEPENDENT artifacts (minhash_pairs, unit_vectors,
-            # the models) cold — silently first-touch-charged to
-            # whichever key hit them first, exactly the attribution
-            # bug this phase exists to prevent. The probe time spent
-            # reaching the refusal is real work and stays recorded.
-            import sys
-
             print(f"[warm] {name} refused: {exc}", file=sys.stderr)
-            # a refused warm is NOT a warmed artifact (ADVICE r10):
-            # record the probe time under a self-describing key so
-            # bench `shared` maps can't read a refusal as a build —
-            # values stay floats, so sum(shared.values()) (the honest
-            # total: the probe work was real) keeps working everywhere
             out[f"{name}!refused"] = round(time.perf_counter() - t0, 3)
-            continue
+            return
+        finally:
+            spark.sparkContext.setJobDescription(None)
         out[name] = round(time.perf_counter() - t0, 3)
+
+    active = [(n, b) for n, b in builders if n not in skip]
+    if parallel == 1:
+        for name, build in active:
+            run_one(name, build)
+        return out
+
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+    from concurrent.futures import wait as futures_wait
+
+    present = {n for n, _ in active}
+    pending = [n for n, _ in active]  # declared order = submit preference
+    fns = dict(active)
+    done: set[str] = set()
+    first_error: BaseException | None = None
+    with ThreadPoolExecutor(max_workers=parallel) as pool:
+        inflight: dict = {}
+        while pending or inflight:
+            if first_error is None:
+                # a skipped parent never blocks (the child's accessor
+                # builds it inline, exactly as in the sequential path)
+                ready = [
+                    n
+                    for n in pending
+                    if (ARTIFACT_PARENTS.get(n, frozenset()) & present) <= done
+                ]
+                for n in ready:
+                    pending.remove(n)
+                    inflight[pool.submit(run_one, n, fns[n])] = n
+            if not inflight:
+                break  # hard error drained, or nothing runnable
+            finished, _ = futures_wait(
+                set(inflight), return_when=FIRST_COMPLETED
+            )
+            for fut in finished:
+                n = inflight.pop(fut)
+                exc = fut.exception()
+                if exc is not None and first_error is None:
+                    first_error = exc
+                # errored/refused names still count as done for
+                # scheduling: dependents run and re-raise/refuse
+                # themselves, matching the sequential semantics
+                done.add(n)
+    if first_error is not None:
+        raise first_error
     return out

@@ -11,11 +11,20 @@ the cache without bound or pin a dead session's checkpoint blocks.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+# Guards cache BOOKKEEPING (eviction scans + lookup/insert), never the
+# builds themselves: warm_shared_artifacts runs independent builders
+# from a thread pool (guide §2.6), and an unguarded eviction
+# comprehension can hit "dict changed size during iteration" against a
+# concurrent insert. Builds stay outside the lock so independent
+# artifacts actually overlap; two racing builds of the SAME key (which
+# the warm DAG prevents) resolve first-write-wins via setdefault.
+_MEMO_LOCK = threading.RLock()
 
 _REGISTERED_CACHES: list[dict] = []
 
@@ -48,14 +57,15 @@ def release_snapshot(sf_dir: str) -> int:
     import gc
 
     dropped = 0
-    for cache in _REGISTERED_CACHES:
-        for k in [
-            k
-            for k in cache
-            if isinstance(k[1], tuple) and len(k[1]) == 3 and k[1][0] == sf_dir
-        ]:
-            del cache[k]
-            dropped += 1
+    with _MEMO_LOCK:
+        for cache in _REGISTERED_CACHES:
+            for k in [
+                k
+                for k in cache
+                if isinstance(k[1], tuple) and len(k[1]) == 3 and k[1][0] == sf_dir
+            ]:
+                del cache[k]
+                dropped += 1
     if dropped:
         # Python-side refs gone; collect so py4j finalizers enqueue the
         # JVM-side DataFrame/RDD releases that let the ContextCleaner
@@ -102,16 +112,17 @@ def snapshot_memo(
     sweep cannot evict anything still servable."""
     fp = snapshot_fingerprint(sf_dir)
     app = spark.sparkContext.applicationId
-    for stale in [
-        k
-        for k in cache
-        if k[0] == app
-        and isinstance(k[1], tuple)
-        and len(k[1]) == 3
-        and k[1][0] == sf_dir
-        and k[1][1] != fp
-    ]:
-        del cache[stale]
+    with _MEMO_LOCK:
+        for stale in [
+            k
+            for k in cache
+            if k[0] == app
+            and isinstance(k[1], tuple)
+            and len(k[1]) == 3
+            and k[1][0] == sf_dir
+            and k[1][1] != fp
+        ]:
+            del cache[stale]
     return session_memo(cache, spark, (sf_dir, fp, extra), build)
 
 
@@ -124,9 +135,12 @@ def session_memo(
     """Return ``cache[(app_id, extra_key)]``, building it on first use;
     evicts entries belonging to other (stopped) applications."""
     app = spark.sparkContext.applicationId
-    for stale in [k for k in cache if k[0] != app]:
-        del cache[stale]
     key = (app, extra_key)
-    if key not in cache:
-        cache[key] = build()
-    return cache[key]
+    with _MEMO_LOCK:
+        for stale in [k for k in cache if k[0] != app]:
+            del cache[stale]
+        if key in cache:
+            return cache[key]
+    val = build()
+    with _MEMO_LOCK:
+        return cache.setdefault(key, val)

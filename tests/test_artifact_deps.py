@@ -150,3 +150,75 @@ def test_closure_is_transitive():
     assert {"ngram_pairs", "shingle_evidence", "shingles"} <= set(deps)
     # a key with no declarations closes to the empty set
     assert key_artifact_deps("dedup_exact") == frozenset()
+
+
+def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
+    """r13 optimization (guide §2.6): warm_shared_artifacts runs
+    independent builder chains concurrently but must never start a
+    child before its ARTIFACT_PARENTS finish — a child racing its
+    parent's memoized build would double-build the checkpoint. Fakes
+    with deliberate sleeps record (start, end) per builder; the
+    parallel run must (a) order every present (child, parent) edge and
+    (b) actually overlap (wall well under the serial sum)."""
+    import time
+    import types
+
+    import big_data_analysis_project_spark.registry as R
+
+    spans: dict[str, tuple[float, float]] = {}
+
+    def fake(name, dt=0.15):
+        def _f(*a, **k):
+            t0 = time.perf_counter()
+            time.sleep(dt)
+            spans[name] = (t0, time.perf_counter())
+            return types.SimpleNamespace(count=lambda: 0)
+
+        return _f
+
+    monkeypatch.setattr(R.dedup_q, "shingles_cached", fake("shingles"))
+    monkeypatch.setattr(
+        R.dedup_q, "shingle_evidence_cached", fake("shingle_evidence")
+    )
+    monkeypatch.setattr(
+        R.dedup_q, "capped_evidence_cached", fake("capped_evidence")
+    )
+    monkeypatch.setattr(R.dedup_q, "minhash_pairs_cached", fake("minhash_pairs"))
+    monkeypatch.setattr(R.dedup_q, "ngram_pairs_cached", fake("ngram_pairs"))
+    monkeypatch.setattr(
+        R.similarity_q, "unit_vectors_cached", fake("unit_vectors")
+    )
+    monkeypatch.setattr(R.similarity_q, "ivf_centroids_cached", fake("ivf_model"))
+    monkeypatch.setattr(R.similarity_q, "warm_pq_codebooks", fake("pq_codebooks"))
+    monkeypatch.setattr(
+        R.similarity_q, "batch_centroids_cached", fake("batch_model")
+    )
+    monkeypatch.setattr(R.similarity_q, "knn_probe_cached", fake("knn_probe"))
+    monkeypatch.setattr(R.pipeline_q, "synthetic_marts", fake("tb_marts"))
+
+    t0 = time.perf_counter()
+    out = R.warm_shared_artifacts(spark, "/nonexistent", parallel=4)
+    wall = time.perf_counter() - t0
+
+    assert set(spans) == set(out) == {
+        "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
+        "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
+        "batch_model", "knn_probe", "tb_marts",
+    }
+    for child, parents in R.ARTIFACT_PARENTS.items():
+        for parent in parents:
+            assert spans[child][0] >= spans[parent][1], (
+                f"{child} started before parent {parent} finished"
+            )
+    serial = sum(e - s for s, e in spans.values())
+    assert wall < 0.8 * serial, (wall, serial)
+
+    # parallel=1 is the sequential attribution mode: declared order
+    spans.clear()
+    R.warm_shared_artifacts(spark, "/nonexistent", parallel=1)
+    starts = sorted(spans, key=lambda n: spans[n][0])
+    assert starts == [
+        "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
+        "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
+        "batch_model", "knn_probe", "tb_marts",
+    ]
