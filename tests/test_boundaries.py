@@ -827,3 +827,64 @@ def test_incremental_dfcap_is_precision_one_lower_bound(spark):
         key = (r["new_doc"], r["dup_of"])
         assert key in exact, key
         assert r["jaccard_lb"] <= exact[key] + 1e-9
+
+
+def test_dedup_embedding_kernel_edge_semantics(spark, tmp_path):
+    """r13 optimization: the per-pair JVM zip_with fold became a
+    grouped Arrow kernel. The emitted set must stay exactly the old
+    join's under every edge the join handled implicitly: NULL
+    label/vec_id rows never pair, duplicate vec_ids never self-pair
+    (strict <), cross-dim pairs drop (zip_with null-padded them to a
+    NULL cosine), and surviving cosines match DuckDB's in-order
+    list_cosine_similarity bit-for-bit through the 4-digit round."""
+    import duckdb
+
+    from big_data_analysis_project_spark.registry import ORACLE
+    from big_data_analysis_project_spark.registry.dedup_q import dedup_embedding
+
+    rows = [
+        # label 1: three 4-dim vectors, one duplicate vec_id pair
+        (1, [1.0, 2.0, 3.0, 4.0], 1),
+        (2, [1.0, 2.0, 3.0, 4.5], 1),
+        (2, [9.0, 1.0, 1.0, 1.0], 1),   # duplicate id: strict < must cut
+        (3, [0.5, 2.0, 3.0, 4.0], 1),
+        # null label / null vector: never pair
+        (6, [1.0, 2.0, 3.0, 4.0], None),
+        (7, None, 1),
+        # label 2: anti-correlated pair lands under the 0.3 cut
+        (8, [1.0, 0.0, 0.0, 0.0], 2),
+        (9, [0.0, 1.0, 0.0, 0.0], 2),
+    ]
+    pdf_path = tmp_path / "embeddings.parquet"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(pdf_path))
+
+    got = sorted(
+        tuple(r) for r in dedup_embedding(spark, str(tmp_path)).collect()
+    )
+    conn = duckdb.connect()
+    conn.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{pdf_path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in conn.execute(ORACLE["dedup_embedding"]).fetchall())
+    assert got == want
+    assert (2, 2) not in {(a, b) for a, b, _ in got}  # strict < on dup ids
+    assert got, "fixture must exercise surviving pairs"
+
+    # Ragged dims are OUTSIDE the oracle contract (DuckDB's
+    # list_cosine_similarity raises on unequal lengths), so the kernel
+    # pins the OLD Spark semantics directly: zip_with null-padded a
+    # cross-dim pair into a NULL cosine the filter dropped — cross-dim
+    # pairs never emit, same-dim pairs still do.
+    ragged = rows + [(4, [1.0, 2.0], 1), (5, [1.0, 2.1], 1)]
+    spark.createDataFrame(
+        ragged, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(pdf_path))
+    got2 = {(a, b) for a, b, _ in dedup_embedding(spark, str(tmp_path)).collect()}
+    assert (4, 5) in got2  # the same-dim dim-2 pair emits
+    cross = {p for p in got2 if (p[0] in (4, 5)) != (p[1] in (4, 5))}
+    assert not cross, f"cross-dim pairs must not emit: {cross}"
+    # the uniform-dim pairs are unaffected by the ragged rows
+    assert {(a, b) for a, b, _ in got} <= got2
