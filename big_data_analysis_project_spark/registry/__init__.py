@@ -282,6 +282,13 @@ def warm_shared_artifacts(
             "knn_probe",
             lambda: similarity_q.knn_probe_cached(spark, sf_dir),
         ),
+        # the fitted PCA basis (optimization r13): model-sized like the
+        # IVF/PQ models above; without warming, embed_pca re-paid the
+        # fit's two corpus passes on every call
+        (
+            "pca_model",
+            lambda: training_q.pca_model_cached(spark, sf_dir),
+        ),
         ("tb_marts", lambda: pipeline_q.synthetic_marts(spark)),
     ]
     import os

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from ..sources.readers import load_table
 
 from ._base import make_registry
+from ._memo import register_cache, snapshot_memo
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -510,7 +511,21 @@ def _fit_pca(spark: SparkSession, sf_dir: str):
     return mu, comps, evals[order]
 
 
-@q("embed_pca")  # approximate surface: eigh has no SQL oracle; pytest
+_PCA_CACHE: dict = register_cache({})
+
+
+def pca_model_cached(spark: SparkSession, sf_dir: str):
+    """``_fit_pca`` memoized per (session, snapshot) — the fitted
+    (mu, comps, evals) is a model-sized corpus-snapshot artifact
+    exactly like the IVF centroids and PQ codebooks (similarity_q),
+    which are memoized and pre-built in the warm phase for the same
+    reason: the fit's two corpus passes (gram partials + per-dim sums)
+    were re-paid on EVERY ``embed_pca`` call, while a real deployment
+    fits once per snapshot and projects many times."""
+    return snapshot_memo(_PCA_CACHE, spark, sf_dir, lambda: _fit_pca(spark, sf_dir))
+
+
+@q("embed_pca", artifacts={"pca_model"})  # no SQL oracle for eigh; pytest
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of every embedding onto the top-{PCA_K}
     principal components — the standard corpus-visualization /
@@ -548,7 +563,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy PCA, plus a float-fidelity bound)."""
     import numpy as np
 
-    mu, comps, _ = _fit_pca(spark, sf_dir)
+    mu, comps, _ = pca_model_cached(spark, sf_dir)
     mu_e6 = np.floor(mu * GRAM_SCALE).astype(np.int64)
     comps_e6 = np.floor(comps * GRAM_SCALE).astype(np.int64)
 

@@ -36,6 +36,7 @@ ACCESSORS = {
     "pq_codebooks_cached": "pq_codebooks",
     "batch_centroids_cached": "batch_model",
     "knn_probe_cached": "knn_probe",
+    "pca_model_cached": "pca_model",
     "synthetic_marts": "tb_marts",
 }
 
@@ -194,6 +195,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
         R.similarity_q, "batch_centroids_cached", fake("batch_model")
     )
     monkeypatch.setattr(R.similarity_q, "knn_probe_cached", fake("knn_probe"))
+    monkeypatch.setattr(R.training_q, "pca_model_cached", fake("pca_model"))
     monkeypatch.setattr(R.pipeline_q, "synthetic_marts", fake("tb_marts"))
 
     t0 = time.perf_counter()
@@ -203,7 +205,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     assert set(spans) == set(out) == {
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
         "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
-        "batch_model", "knn_probe", "tb_marts",
+        "batch_model", "knn_probe", "pca_model", "tb_marts",
     }
     for child, parents in R.ARTIFACT_PARENTS.items():
         for parent in parents:
@@ -220,5 +222,5 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     assert starts == [
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
         "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
-        "batch_model", "knn_probe", "tb_marts",
+        "batch_model", "knn_probe", "pca_model", "tb_marts",
     ]
