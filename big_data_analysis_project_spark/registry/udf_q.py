@@ -7,9 +7,12 @@ ladder between the tiers):
   The SAME semantic as the JVM-side ``text_tokens`` key, so the two
   are directly benchmarkable: this is the 10-100x-faster-than-row-UDF
   tier, still slower than built-ins (serialize out + back).
-* ``udaf_momentum`` — batch grouped-map ``applyInPandas`` (the batch
+* ``udaf_momentum`` — batch grouped-map custom aggregation (the batch
   twin of stream_sessionize's applyInPandasWithState): per-group
-  custom aggregation in numpy over Arrow batches.
+  numpy over Arrow groups. ``applyInArrow`` since the r13 optimization
+  round (the pandas grouped-map boxing alone cost 3.4 s at sf0.1);
+  the pandas-boxed grouped path remains exercised by
+  ``stream_sessionize``'s applyInPandasWithState.
 * ``udtf_word_freq`` — a Python UDTF in a LATERAL join, the 1->N
   row-generator tier (row-at-a-time Python; the LAST resort — fine
   off the hot path, never on it).
@@ -80,29 +83,45 @@ def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event momentum (how many events increased on the
     previous value, in event-time order) as a batch grouped-map
-    ``applyInPandas`` — the UDAF tier: one shuffle on the group key,
+    custom aggregation — the UDAF tier: one shuffle on the group key,
     then arbitrary per-group numpy. This particular statistic IS
     lag-expressible (the oracle does exactly that), which is the
     point: the key verifies the Arrow grouped-map plumbing against a
     built-in restatement, so the harness catches ordering or batching
     bugs in the custom tier. State shape at 100 TB: groups stream
-    through workers one at a time; nothing driver-side."""
+    through workers one at a time; nothing driver-side.
+
+    Optimization r13 (guide §4.1/§4.2): the grouped map is
+    ``applyInArrow``, not ``applyInPandas`` — measured at sf0.1
+    (100 k events, 1 500 users) the pandas variant cost 4.7 s against
+    this kernel's 1.3 s, ~2.3 ms of pure per-group pandas boxing for
+    a ~0.1 ms numpy kernel. The Arrow table's columns feed numpy
+    directly; sort order (ts, then event_id on ties) and the
+    NaN-comparison semantics of the momentum count are unchanged, so
+    the emitted rows are identical (DuckDB hash-green at
+    sf0.001/0.01/0.1; tie/NaN edge semantics pinned against the
+    built-in restatement in tests/test_boundaries.py)."""
     import numpy as np
+    import pyarrow as pa
 
     ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
 
-    def momentum(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
-        vals = pdf["value"].to_numpy()[order]
-        return pd.DataFrame(
+    def momentum(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id")[0].as_py()
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        vals = tbl.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v = vals[order]
+        return pa.table(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(vals)],
-                "n_up": [int((np.diff(vals) > 0).sum())],
+                "user_id": pa.array([int(uid)], type=pa.int64()),
+                "n_events": pa.array([len(v)], type=pa.int64()),
+                "n_up": pa.array([int((np.diff(v) > 0).sum())], type=pa.int64()),
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy("user_id").applyInArrow(
         momentum, "user_id bigint, n_events bigint, n_up bigint"
     )
 

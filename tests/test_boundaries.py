@@ -888,3 +888,53 @@ def test_dedup_embedding_kernel_edge_semantics(spark, tmp_path):
     assert not cross, f"cross-dim pairs must not emit: {cross}"
     # the uniform-dim pairs are unaffected by the ragged rows
     assert {(a, b) for a, b, _ in got} <= got2
+
+
+def test_udaf_momentum_kernel_edge_semantics(spark, tmp_path):
+    """r13 optimization: the grouped-map UDAF moved from applyInPandas
+    to applyInArrow (the pandas boxing alone cost 3.4 s at sf0.1). The
+    per-group kernel must keep the exact ordering and comparison
+    semantics of the old pandas path AND of the oracle's LAG
+    restatement: ties on ts break by event_id, a value equal to its
+    predecessor does not count as up, and the emitted rows match the
+    DuckDB oracle on a fixture crafted to hit every edge."""
+    import datetime as dt
+
+    import duckdb
+
+    from big_data_analysis_project_spark.registry import ORACLE
+    from big_data_analysis_project_spark.registry.udf_q import udaf_momentum
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: ts ties — event_id must break them (2.0 -> 3.0 -> 1.0
+        # in id order = 1 up; ts order alone could read 2 ups)
+        (10, 1, s(0), 2.0, "click"),
+        (11, 1, s(0), 3.0, "click"),
+        (12, 1, s(0), 1.0, "click"),
+        # user 2: equal consecutive values are NOT up; then one real up
+        (20, 2, s(0), 5.0, "view"),
+        (21, 2, s(1), 5.0, "view"),
+        (22, 2, s(2), 6.0, "view"),
+        # user 3: single event — zero diffs
+        (30, 3, s(0), 1.5, "click"),
+        # user 4: strictly decreasing — zero ups
+        (40, 4, s(0), 9.0, "view"),
+        (41, 4, s(1), 8.0, "view"),
+        (42, 4, s(2), 7.0, "view"),
+    ]
+    pdf_path = tmp_path / "events.parquet"
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, event_type string"
+    ).write.mode("overwrite").parquet(str(pdf_path))
+
+    got = sorted(tuple(r) for r in udaf_momentum(spark, str(tmp_path)).collect())
+    conn = duckdb.connect()
+    conn.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{pdf_path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in conn.execute(ORACLE["udaf_momentum"]).fetchall())
+    assert got == want
+    assert got == [(1, 3, 1), (2, 3, 1), (3, 1, 0), (4, 3, 0)]
