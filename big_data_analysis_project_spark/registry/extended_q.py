@@ -1224,8 +1224,20 @@ def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
     """Degree-oriented, adjacency-capped triangle count over an edge
     frame (doc_a < doc_b, one row per undirected edge). Exact whenever
     every oriented out-degree is <= cap; deterministic truncation
-    lower bound otherwise. See ``graph_triangles_capped``."""
-    adj = capped_adjacency(degree_oriented_edges(e), cap)
+    lower bound otherwise. See ``graph_triangles_capped``.
+
+    The capped adjacency is materialized ONCE with an eager
+    localCheckpoint before the three-way self-join (optimization r13,
+    guide §2.4/§3.3): the three aliases previously re-planned the
+    whole orientation pipeline (degree aggregation + two merge joins
+    + the per-src cap window — ~4 exchanges each) per join arm, 18
+    Exchange nodes total, with no ReusedExchange because each arm's
+    required ordering differs. Checkpointing truncates the plan to
+    three scans of an n*cap-bounded frame (6 Exchange nodes; the same
+    bounded-intermediate discipline as ``_pagerank_over``'s symdeg)."""
+    adj = capped_adjacency(degree_oriented_edges(e), cap).localCheckpoint(
+        eager=True
+    )
     a1, a2, a3 = adj.alias("a1"), adj.alias("a2"), adj.alias("a3")
     wedges = a1.hint("merge").join(
         a2.hint("merge"),
