@@ -256,6 +256,14 @@ def warm_shared_artifacts(
             "minhash_pairs",
             lambda: dedup_q.minhash_pairs_cached(spark, sf_dir).count(),
         ),
+        # the hamming-verified simhash edge list (optimization r13):
+        # the fingerprint/band index a pipeline maintains per snapshot,
+        # exactly like minhash_pairs above — without warming, the
+        # two-level banding build re-ran on every dedup_simhash call
+        (
+            "simhash_pairs",
+            lambda: dedup_q.simhash_pairs_cached(spark, sf_dir).count(),
+        ),
         ("ngram_pairs", lambda: dedup_q.ngram_pairs_cached(spark, sf_dir).count()),
         (
             "unit_vectors",

@@ -30,6 +30,7 @@ ACCESSORS = {
     "shingle_evidence_cached": "shingle_evidence",
     "capped_evidence_cached": "capped_evidence",
     "minhash_pairs_cached": "minhash_pairs",
+    "simhash_pairs_cached": "simhash_pairs",
     "ngram_pairs_cached": "ngram_pairs",
     "unit_vectors_cached": "unit_vectors",
     "ivf_centroids_cached": "ivf_model",
@@ -185,6 +186,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
         R.dedup_q, "capped_evidence_cached", fake("capped_evidence")
     )
     monkeypatch.setattr(R.dedup_q, "minhash_pairs_cached", fake("minhash_pairs"))
+    monkeypatch.setattr(R.dedup_q, "simhash_pairs_cached", fake("simhash_pairs"))
     monkeypatch.setattr(R.dedup_q, "ngram_pairs_cached", fake("ngram_pairs"))
     monkeypatch.setattr(
         R.similarity_q, "unit_vectors_cached", fake("unit_vectors")
@@ -204,8 +206,8 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
 
     assert set(spans) == set(out) == {
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
-        "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
-        "batch_model", "knn_probe", "pca_model", "tb_marts",
+        "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
+        "pq_codebooks", "batch_model", "knn_probe", "pca_model", "tb_marts",
     }
     for child, parents in R.ARTIFACT_PARENTS.items():
         for parent in parents:
@@ -221,6 +223,6 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     starts = sorted(spans, key=lambda n: spans[n][0])
     assert starts == [
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
-        "ngram_pairs", "unit_vectors", "ivf_model", "pq_codebooks",
-        "batch_model", "knn_probe", "pca_model", "tb_marts",
+        "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
+        "pq_codebooks", "batch_model", "knn_probe", "pca_model", "tb_marts",
     ]
