@@ -583,15 +583,42 @@ def test_distributed_cc_loop_joins_are_sort_merge(spark):
 
 
 def test_triangles_capped_plan_shape(spark):
-    """The capped triangle tier's scale contract, pinned in the plan:
-    the per-vertex adjacency cap must compile to WindowGroupLimit
-    (Catalyst's partial+final rank-limit pushdown — the cap applies
-    MAP-SIDE, so a hot vertex's adjacency never fully shuffles), the
-    wedge pipeline must stay SortMergeJoin (all sides derive from the
-    checkpoint-backed edge artifact whose stats misreport as tiny),
-    and the per-src window must never degrade to a partition-less
-    global sort."""
+    """The capped triangle tier's scale contract, pinned in the plan.
+    Since the r13 optimization the kernel eagerly checkpoints the
+    capped adjacency before the three-way self-join (it was re-planned
+    once per join arm — 18 Exchange nodes), so the contract is pinned
+    in TWO plans:
+
+    * the ADJACENCY pipeline (what the checkpoint materializes): the
+      per-vertex cap must compile to WindowGroupLimit (Catalyst's
+      partial+final rank-limit pushdown — the cap applies MAP-SIDE, so
+      a hot vertex's adjacency never fully shuffles), its orientation
+      joins stay SortMergeJoin, and the per-src window never degrades
+      to a partition-less global sort;
+    * the WEDGE pipeline (the key's own plan): SortMergeJoin over the
+      checkpoint scans — never a broadcast of the adjacency, whose
+      checkpoint-backed stats misreport as tiny."""
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        ngram_pairs_cached,
+    )
+    from big_data_analysis_project_spark.registry.extended_q import (
+        TRIANGLE_ADJ_CAP,
+        capped_adjacency,
+        degree_oriented_edges,
+    )
+
+    e = ngram_pairs_cached(spark, SF_SMOKE).select("doc_a", "doc_b")
+    adj_plan = _plan(
+        spark, capped_adjacency(degree_oriented_edges(e), TRIANGLE_ADJ_CAP)
+    )
+    assert "WindowGroupLimit" in adj_plan, adj_plan
+    assert "SortMergeJoin" in adj_plan, adj_plan
+    assert "BroadcastHashJoin" not in adj_plan, adj_plan
+
     plan = _plan(spark, QUERIES["graph_triangles_capped"](spark, SF_SMOKE))
-    assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+    # the adjacency build must appear exactly once (the checkpoint),
+    # not once per join arm: no Window/aggregation nodes survive in
+    # the wedge plan itself
+    assert "WindowGroupLimit" not in plan, plan
