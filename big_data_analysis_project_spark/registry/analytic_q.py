@@ -194,7 +194,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — each stage's frame is tiny (one row per surviving
     user), so at 100 TB the joins after stage 1 are broadcast-able
     and the heavy table is scanned once per stage with the event_type
-    filter pushed down."""
+    filter pushed down.
+
+    The per-stage frames are eager-localCheckpointed (optimization
+    r14, guide §2.4/§3.3 — the capped-triangle discipline): without
+    it, the three-count union re-planned each stage's WHOLE upstream
+    subtree per leg (v's lineage in all three legs, c's in two — six
+    events scans for a three-stage funnel), and that duplicated
+    corpus-scan term grows with the corpus. The checkpointed frames
+    are one row per surviving user — bounded — and each events scan
+    now happens exactly once per stage."""
     from ..sources.readers import load_events
 
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
@@ -202,7 +211,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
-    )
+    ).localCheckpoint(eager=True)
     hour = F.expr("INTERVAL 12 HOUR")
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -210,7 +219,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + hour))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
-    )
+    ).localCheckpoint(eager=True)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")

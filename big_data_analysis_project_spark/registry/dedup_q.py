@@ -1442,22 +1442,36 @@ def dedup_embedding(
             for d in range(1, int(dim)):
                 nacc = nacc + mat[:, d] * mat[:, d]
             nrm = np.sqrt(nacc)
-            iu, ju = np.triu_indices(n, k=1)
-            # strict vec_a < vec_b: duplicate ids sort adjacent and
-            # their positional pair must not emit (the join's < cut it)
-            keep = ids[iu] < ids[ju]
-            iu, ju = iu[keep], ju[keep]
+            # pair indices are generated per i-ROW-BLOCK (i-major, j
+            # ascending — the exact triu order) instead of one
+            # triu_indices(n, 2) materialization: worker RSS stays
+            # bounded by ~`chunk` pairs of indices regardless of how
+            # high the pairs-budget ceiling is dialed (the old
+            # allocation was O(block²) up to the ceiling)
             chunk = 1 << 20
-            for s in range(0, len(iu), chunk):
-                i, j = iu[s : s + chunk], ju[s : s + chunk]
-                acc = mat[i, 0] * mat[j, 0]
-                for d in range(1, int(dim)):
-                    acc = acc + mat[i, d] * mat[j, d]
-                cos = acc / (nrm[i] * nrm[j])
-                m = cos >= 0.3
-                out_a.append(ids[i][m])
-                out_b.append(ids[j][m])
-                out_c.append(cos[m])
+            row_blk = max(1, chunk // max(1, n - 1))
+            for r0 in range(0, n - 1, row_blk):
+                r1 = min(r0 + row_blk, n - 1)
+                per_row = n - 1 - np.arange(r0, r1)
+                iu = np.repeat(np.arange(r0, r1), per_row)
+                ju = np.concatenate(
+                    [np.arange(i0 + 1, n) for i0 in range(r0, r1)]
+                )
+                # strict vec_a < vec_b: duplicate ids sort adjacent and
+                # their positional pair must not emit (the join's < cut
+                # it)
+                keep = ids[iu] < ids[ju]
+                iu, ju = iu[keep], ju[keep]
+                for s in range(0, len(iu), chunk):
+                    i, j = iu[s : s + chunk], ju[s : s + chunk]
+                    acc = mat[i, 0] * mat[j, 0]
+                    for d in range(1, int(dim)):
+                        acc = acc + mat[i, d] * mat[j, d]
+                    cos = acc / (nrm[i] * nrm[j])
+                    m = cos >= 0.3
+                    out_a.append(ids[i][m])
+                    out_b.append(ids[j][m])
+                    out_c.append(cos[m])
         cat = lambda xs, dt: (  # noqa: E731
             np.concatenate(xs) if xs else np.empty(0, dtype=dt)
         )
@@ -1977,7 +1991,16 @@ def _keep_best_over(
 ) -> DataFrame:
     """Shared keep-longest argmax over (vertex, component) labels (see
     ``dedup_keep_best`` for the policy rationale and the merge-hint
-    discipline)."""
+    discipline).
+
+    The argmax is a WINDOW max-of-struct over the component partition
+    (optimization r14, guide §2.4 "remove shuffles outright"): the old
+    shape aggregated per component and joined the one-row-per-component
+    result BACK onto the labels — re-shuffling the label frame a second
+    time and paying a second join. A max-over-partition attaches the
+    same keep_id to every member in one pass over the single component
+    exchange; every member vertex exists in documents by construction
+    (vertices come from document pairs), so the row set is unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     # merge hint: the label frame is checkpoint-backed (misreported
     # tiny stats) and vertex-sized — the planner would statically
@@ -1985,19 +2008,11 @@ def _keep_best_over(
     members = labels.select(
         F.col("vertex").alias("doc_id"), "component"
     ).hint("merge").join(docs, "doc_id")
-    best = (
-        members.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
-            ).alias("b")
-        )
-        .select("component", (-F.col("b.nd")).alias("keep_id"))
-    )
-    return (
-        labels.select(F.col("vertex").alias("doc_id"), "component")
-        .join(best, "component")
-        .select("doc_id", "keep_id")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    ).over(Window.partitionBy("component"))
+    return members.select(
+        "doc_id", (-best.getField("nd")).alias("keep_id")
     )
 
 

@@ -1233,8 +1233,9 @@ def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
     + the per-src cap window — ~4 exchanges each) per join arm, 18
     Exchange nodes total, with no ReusedExchange because each arm's
     required ordering differs. Checkpointing truncates the plan to
-    three scans of an n*cap-bounded frame (6 Exchange nodes; the same
-    bounded-intermediate discipline as ``_pagerank_over``'s symdeg)."""
+    three scans of an n*cap-bounded frame (5 Exchange nodes in the
+    captured plan dump; the same bounded-intermediate discipline as
+    ``_pagerank_over``'s symdeg)."""
     adj = capped_adjacency(degree_oriented_edges(e), cap).localCheckpoint(
         eager=True
     )
@@ -1670,6 +1671,53 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_int_bounds(
+    sf_dir: str, table: str, cols: tuple[str, ...]
+) -> dict[str, tuple[int, int]] | None:
+    """Exact per-column (min, max) for integer columns read from the
+    parquet FOOTER statistics — a pure-metadata pass over row-group
+    headers, no data read (optimization r14, guide §6: "reuse table
+    statistics instead of the extra pass"; footer min/max is exactly
+    what catalog stats are derived from). Integer parquet statistics
+    are exact (no string truncation), so the bounds equal what the
+    MIN/MAX scalar aggregation they replace would compute. Returns
+    None — caller falls back to the aggregation — when any row group
+    lacks stats for any requested column or the footer is unreadable."""
+    import pyarrow.parquet as pq
+
+    src = Path(sf_dir) / f"{table}.parquet"
+    files = (
+        sorted(p for p in src.rglob("*.parquet") if p.is_file())
+        if src.is_dir()
+        else [src]
+    )
+    if not files:
+        return None
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            } if md.num_row_groups else {}
+            if not set(cols) <= set(names):
+                return None
+            for rg in range(md.num_row_groups):
+                for c in cols:
+                    st = md.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo[c] = min(lo.get(c, st.min), st.min)
+                    hi[c] = max(hi.get(c, st.max), st.max)
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+    if set(lo) != set(cols):
+        return None
+    return {c: (int(lo[c]), int(hi[c])) for c in cols}
+
+
 @q(
     "sink_zorder",
     """SELECT l_orderkey, l_partkey, l_suppkey,
@@ -1687,18 +1735,26 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     EITHER column — where a single-column sort (sink_sorted) prunes
     only its sort key and leaves the second column's ranges spanning
     every file. Two-column pruning is footer-verified in
-    tests/test_sinks.py. The bucket bounds come from one scalar
-    min/max aggregation — at 100 TB you'd reuse table statistics
-    instead of the extra pass; everything else is unchanged."""
+    tests/test_sinks.py. The bucket bounds come from the parquet
+    FOOTER statistics (optimization r14, guide §6) — the same exact
+    min/max the previous scalar aggregation computed, read from
+    row-group headers instead of a full corpus scan; at 100 TB this
+    is the catalog-statistics lookup. A source without usable footer
+    stats falls back to the one scalar min/max pass."""
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         F.round("l_extendedprice", 2).alias("price"),
     )
-    b = li.select(
-        F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
-        F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
-    ).collect()[0]
+    stats = _parquet_int_bounds(sf_dir, "lineitem", ("l_partkey", "l_suppkey"))
+    if stats is not None:
+        (p_lo, p_hi), (s_lo, s_hi) = stats["l_partkey"], stats["l_suppkey"]
+    else:  # pragma: no cover — every driver corpus writes footer stats
+        b = li.select(
+            F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
+            F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
+        ).collect()[0]
+        p_lo, p_hi, s_lo, s_hi = b.p_lo, b.p_hi, b.s_lo, b.s_hi
     bits = 8
 
     def rank(col: str, lo: int, hi: int):
@@ -1708,7 +1764,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col(col) - lo) * (1 << bits) / (span + 1)).cast("int"),
         )
 
-    px, sx = rank("l_partkey", b.p_lo, b.p_hi), rank("l_suppkey", b.s_lo, b.s_hi)
+    px, sx = rank("l_partkey", p_lo, p_hi), rank("l_suppkey", s_lo, s_hi)
     morton = F.lit(0)
     for i in range(bits):
         bit_p = F.shiftright(px, i).bitwiseAND(F.lit(1))
