@@ -840,7 +840,7 @@ def train_pq_codebooks(
     }
 
 
-@q("ann_pq", artifacts={"pq_codebooks"})  # approximate: rows-only driver check + pytest recall test
+@q("ann_pq", artifacts={"pq_codebooks", "unit_vectors"})  # approximate: rows-only driver check + pytest recall test
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-bound scale path: every
     unit vector compresses to m={_PQ_M} 4-bit codes (16x smaller than
@@ -866,13 +866,14 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(qraw)
     qn = sum(x * x for x in qraw) ** 0.5
     qv = [x / qn for x in qraw]
-    # no checkpoint: normalize is narrow per-row math recomputed inside
-    # each consumer's scan (training-sample collect, encode, re-rank) —
-    # cheaper than materializing 2x-width vectors once to save it, and
-    # deterministic per row so every consumer sees identical values
-    unit = e.withColumn("n", _norm(F.col("raw"))).select(
-        "vec_id", F.transform("raw", lambda x: x / F.col("n")).alias("v")
-    )
+    # the shared checkpointed unit frame (optimization r14): the inline
+    # normalize this replaces was value-identical to _unit_vectors (the
+    # warmed codebooks already depend on that identity — see
+    # warm_pq_codebooks), but was re-planned from the parquet scan in
+    # BOTH the encode pass and the re-rank pass, costing two corpus
+    # scans + two normalize evaluations per call that the rest of the
+    # ANN family already shares through the memoized materialization
+    unit = unit_vectors_cached(spark, sf_dir)
     codebooks = pq_codebooks_cached(spark, sf_dir, unit, dim, "plain")
     # encode the corpus: m packed 4-bit codes per vector (stored form)
     codes = pq_encode(unit, codebooks, dim)
