@@ -48,7 +48,28 @@ def _driver_union_find(ed: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(v, find(v)) for v in sorted(vertices)]
-    schema = "vertex {0}, component {0}".format(ed.schema["a"].dataType.simpleString())
+    t = ed.schema["a"].dataType.simpleString()
+    schema = "vertex {0}, component {0}".format(t)
+    # Arrow the labels back (optimization r14, guide §6 "Arrow for
+    # driver transfers"): createDataFrame over a plain Python list
+    # ships pickled rows through a per-partition Python conversion
+    # (~0.55 s even for a few hundred labels — paid by EVERY
+    # union-find consumer per call), while a typed pandas frame takes
+    # the Arrow path (~0.2 s). Values are identical — the dtype map
+    # pins the exact integer width the declared schema would coerce
+    # to; unmapped vertex types keep the row-list path.
+    np_t = {"bigint": "int64", "int": "int32", "smallint": "int16"}.get(t)
+    if np_t is not None:
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "vertex": np.fromiter((r[0] for r in rows), dtype=np_t, count=len(rows)),
+                "component": np.fromiter((r[1] for r in rows), dtype=np_t, count=len(rows)),
+            }
+        )
+        return ed.sparkSession.createDataFrame(pdf, schema)
     return ed.sparkSession.createDataFrame(rows, schema)
 
 
