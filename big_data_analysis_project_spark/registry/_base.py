@@ -12,8 +12,46 @@ __all__ = [
     "KEY_FALLBACKS",
     "KEY_ORACLES",
     "ScaleRefusal",
+    "local_values_df",
     "make_registry",
 ]
+
+
+def local_values_df(spark, rows, cols_ddl: str):
+    """A small LITERAL dimension as a pure-JVM LocalRelation
+    (optimization r14, guide §4 "eliminate the Python boundary"):
+    ``createDataFrame`` over a Python list ships pickled rows through a
+    per-partition Python conversion job — ~0.5-1 s even for a handful
+    of rows, re-paid on EVERY call by keys that construct their
+    dimension inline — while a SQL ``VALUES`` literal plans as a
+    LocalRelation with no Python worker anywhere (measured ~3x faster,
+    interleaved A/B). Values are rendered by the DECLARED type so the
+    schema is bit-identical to what ``createDataFrame(rows, cols_ddl)``
+    produced: strings quote-escaped, doubles via ``repr`` + ``D``
+    (shortest round-trip text parses to the identical IEEE double),
+    bigints suffixed ``L``, ints plain, None as a typed NULL."""
+    cols = [c.strip().rsplit(None, 1) for c in cols_ddl.split(",")]
+
+    def cell(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        t = typ.lower()
+        if t == "string":
+            return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if t == "double":
+            return repr(float(v)) + "D"
+        if t == "bigint":
+            return str(int(v)) + "L"
+        if t in ("int", "integer"):
+            return str(int(v))
+        raise ValueError(f"local_values_df: unsupported type {typ}")
+
+    body = ", ".join(
+        "(" + ", ".join(cell(v, t) for v, (_, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({names})")
 
 # key -> frozenset of session-memoized shared-artifact names the key's
 # query lazily consumes (the names warm_shared_artifacts builds:

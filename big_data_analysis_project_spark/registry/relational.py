@@ -29,7 +29,7 @@ from ..plans.flagship import FLAGSHIP_ORACLE_SQL, revenue_by_nation
 from ..sources.readers import load_events, load_table, read_csv
 from ..sources.synthetic import _BASE_RATES, _POPULATIONS
 
-from ._base import KEY_ARTIFACTS, make_registry
+from ._base import KEY_ARTIFACTS, local_values_df, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -169,7 +169,11 @@ def gen_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FIXTURES.md: 'no RNG in harness'). Fully distributed: dimension
     cross-join x year range, column exprs only.
     ref: tb_data_collection.py:251-318."""
-    dim = spark.createDataFrame(
+    # pure-JVM VALUES literal, not createDataFrame (optimization r14):
+    # the pickled-row conversion job cost ~0.5 s per call — see
+    # _base.local_values_df
+    dim = local_values_df(
+        spark,
         [(iso3, rate, float(_POPULATIONS[iso3])) for iso3, rate in _BASE_RATES.items()],
         "iso3 string, base_rate double, population double",
     )

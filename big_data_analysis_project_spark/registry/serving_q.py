@@ -32,7 +32,7 @@ from ..sources.readers import load_table
 from .pipeline_q import synthetic_marts
 from .relational import _SYN_DIM
 
-from ._base import make_registry
+from ._base import local_values_df, make_registry
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -77,7 +77,11 @@ _CFR = """ROUND(CAST(CASE WHEN total_cases > 0
 
 
 def _coords_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    # pure-JVM VALUES literal, not createDataFrame: the pickled-row
+    # conversion job cost ~0.5 s per CALL (serve_map_data and
+    # serve_countries both build this inline) — see local_values_df
+    return local_values_df(
+        spark,
         [(iso3, name, lat, lon) for iso3, (name, lat, lon) in COUNTRY_COORDS.items()],
         "iso3 string, country string, lat double, lon double",
     )
@@ -264,8 +268,8 @@ def serve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def serve_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /api/health (timestamp excluded: nondeterministic).
     ref: flask_api_server.py:756-763."""
-    return spark.createDataFrame(
-        [("healthy", "TB Data API")], "status string, service string"
+    return local_values_df(
+        spark, [("healthy", "TB Data API")], "status string, service string"
     )
 
 
