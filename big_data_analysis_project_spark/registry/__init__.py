@@ -93,6 +93,8 @@ ARTIFACT_PARENTS: dict[str, frozenset[str]] = {
     "ngram_pairs": frozenset({"shingle_evidence", "shingles"}),
     "minhash_pairs": frozenset({"shingles"}),
     "ivf_model": frozenset({"unit_vectors"}),
+    # the memoized 1-row query probe reads the checkpointed unit frame
+    "query_vec": frozenset({"unit_vectors"}),
     # batch_model delegates to the shared fixed-k model at driver
     # scales, so it transitively needs both
     "batch_model": frozenset({"unit_vectors", "ivf_model"}),
@@ -270,6 +272,9 @@ def warm_shared_artifacts(
             lambda: similarity_q.unit_vectors_cached(spark, sf_dir).count(),
         ),
         ("ivf_model", lambda: similarity_q.ivf_centroids_cached(spark, sf_dir)),
+        # the single-query ANN keys' memoized 1-row probe (r14) — a
+        # sub-0.2 s build, warmed so min-of-runs never hides it
+        ("query_vec", lambda: similarity_q.query_unit_cached(spark, sf_dir)),
         # ADVICE r6 #1: PQ codebooks (plain + residual) and the batch
         # quantizer are memoized exactly like the IVF model — without
         # warming them here their training hides in run 0 of the

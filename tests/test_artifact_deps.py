@@ -33,6 +33,7 @@ ACCESSORS = {
     "simhash_pairs_cached": "simhash_pairs",
     "ngram_pairs_cached": "ngram_pairs",
     "unit_vectors_cached": "unit_vectors",
+    "query_unit_cached": "query_vec",
     "ivf_centroids_cached": "ivf_model",
     "pq_codebooks_cached": "pq_codebooks",
     "batch_centroids_cached": "batch_model",
