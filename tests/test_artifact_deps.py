@@ -193,6 +193,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
         R.similarity_q, "unit_vectors_cached", fake("unit_vectors")
     )
     monkeypatch.setattr(R.similarity_q, "ivf_centroids_cached", fake("ivf_model"))
+    monkeypatch.setattr(R.similarity_q, "query_unit_cached", fake("query_vec"))
     monkeypatch.setattr(R.similarity_q, "warm_pq_codebooks", fake("pq_codebooks"))
     monkeypatch.setattr(
         R.similarity_q, "batch_centroids_cached", fake("batch_model")
@@ -208,7 +209,8 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     assert set(spans) == set(out) == {
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
         "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
-        "pq_codebooks", "batch_model", "knn_probe", "pca_model", "tb_marts",
+        "query_vec", "pq_codebooks", "batch_model", "knn_probe",
+        "pca_model", "tb_marts",
     }
     for child, parents in R.ARTIFACT_PARENTS.items():
         for parent in parents:
@@ -225,5 +227,6 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     assert starts == [
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
         "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
-        "pq_codebooks", "batch_model", "knn_probe", "pca_model", "tb_marts",
+        "query_vec", "pq_codebooks", "batch_model", "knn_probe",
+        "pca_model", "tb_marts",
     ]
