@@ -1235,7 +1235,14 @@ def count_triangles_capped(e: DataFrame, cap: int) -> DataFrame:
     required ordering differs. Checkpointing truncates the plan to
     three scans of an n*cap-bounded frame (5 Exchange nodes in the
     captured plan dump; the same bounded-intermediate discipline as
-    ``_pagerank_over``'s symdeg)."""
+    ``_pagerank_over``'s symdeg).
+
+    Construction-time side effect (ADVICE r13 #2, documented): the
+    eager checkpoint runs a Spark job when the DataFrame is BUILT, so
+    even explain-only/schema-introspection callers pay one bounded
+    adjacency materialization per construction — the same accepted
+    trade as ``_pagerank_over``; memoize per (edge-artifact, cap) via
+    snapshot_memo if that ever becomes a problem."""
     adj = capped_adjacency(degree_oriented_edges(e), cap).localCheckpoint(
         eager=True
     )
