@@ -92,6 +92,10 @@ ARTIFACT_PARENTS: dict[str, frozenset[str]] = {
     "capped_evidence": frozenset({"shingles"}),
     "ngram_pairs": frozenset({"shingle_evidence", "shingles"}),
     "minhash_pairs": frozenset({"shingles"}),
+    # the MLlib interop key's TF features + fitted MinHashLSH model
+    # (r14); its warm builder also reads the shared df profile to
+    # refuse where the key would
+    "mllib_model": frozenset({"shingles"}),
     "ivf_model": frozenset({"unit_vectors"}),
     # the memoized 1-row query probe reads the checkpointed unit frame
     "query_vec": frozenset({"unit_vectors"}),
@@ -265,6 +269,14 @@ def warm_shared_artifacts(
         (
             "simhash_pairs",
             lambda: dedup_q.simhash_pairs_cached(spark, sf_dir).count(),
+        ),
+        # the MLlib interop features+model (optimization r14): the
+        # pca_model discipline — deterministic per snapshot, linear to
+        # build, re-paid per call (and per routed-facade call) without
+        # this; the builder refuses exactly where the key would
+        (
+            "mllib_model",
+            lambda: dedup_q.warm_mllib_model(spark, sf_dir),
         ),
         ("ngram_pairs", lambda: dedup_q.ngram_pairs_cached(spark, sf_dir).count()),
         (

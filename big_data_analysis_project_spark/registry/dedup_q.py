@@ -1541,7 +1541,80 @@ def ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_mllib_minhash", artifacts={"shingles"}, fallback="dedup_minhash_lsh")  # approximate: rows-only driver check + pytest recall test
+_MLLIB_CACHE: dict = register_cache({})
+
+
+def _mllib_guard(spark: SparkSession, sf_dir: str) -> None:
+    """``dedup_mllib_minhash``'s probe-and-refuse pre-flight (round 9,
+    VERDICT r8 #1), extracted so the warm builder prices the corpus the
+    same way the key does before building anything."""
+    env_cap = os.environ.get("SPARK_GRAFT_MLLIB_PAIRS_CAP")
+    budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
+    if not budget:
+        return
+    profile = shingle_df_profile_cached(spark, sf_dir)
+    if audit_exceeds_budget(
+        profile["pairs_bound"],
+        profile["pairs_bound_dbl"],
+        profile["max_df"],
+        budget,
+    ):
+        raise ScaleRefusal(
+            f"dedup_mllib_minhash: the corpus shingle-df audit bounds "
+            f"the candidate-pair space at {profile['pairs_bound']} "
+            f"(> budget {budget}; max_df={profile['max_df']}) — "
+            "MLlib approxSimilarityJoin has no bucket-population cap, "
+            "scores every in-bucket pair, and lands a hot family's "
+            "~m^2/2 pairs on the few tasks owning its band hashes "
+            "(measured round 8: 1,219 s at sf3skew pairs_bound 6.9e8, "
+            "26 of 32 task slots idle). Route near-dup through "
+            "dedup_minhash_lsh (BUCKET_CAP banding, measured flat) or "
+            "dedup_ngram_dfcap, or set SPARK_GRAFT_MLLIB_PAIRS_CAP=0 "
+            "(unlimited) for a deliberate library-reference run.",
+            key="dedup_mllib_minhash",
+            measured=profile["pairs_bound"],
+            budget=budget,
+            alternative="dedup_minhash_lsh",
+            override_env="SPARK_GRAFT_MLLIB_PAIRS_CAP",
+        )
+
+
+def mllib_model_cached(spark: SparkSession, sf_dir: str):
+    """(binary-TF features frame, fitted MinHashLSH model) for the
+    MLlib interop key, memoized per corpus snapshot — the pca_model /
+    ivf_model discipline (optimization r14, guide §5): the collect_set
+    + HashingTF transform + eager checkpoint (~0.3–0.8 s at sf0.1) and
+    the fit are deterministic per snapshot (binary TF is order-
+    insensitive, the LSH coefficients are seed-pinned), yet re-ran on
+    every call of the key and its routed facade. The
+    ``approxSimilarityJoin`` — the query itself — still runs per call.
+    Build is linear in the corpus (no pair enumeration), so warming it
+    is safe even where the key's own guard would refuse the join."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    def build():
+        sh = shingles_cached(spark, sf_dir)
+        sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+        feats = HashingTF(
+            inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
+        ).transform(sets).localCheckpoint(eager=True)  # fit + self-join reuse
+        model = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+        ).fit(feats)
+        return feats, model
+
+    return snapshot_memo(_MLLIB_CACHE, spark, sf_dir, build)
+
+
+def warm_mllib_model(spark: SparkSession, sf_dir: str) -> None:
+    """Warm-phase entry: refuse (recorded as ``mllib_model!refused``)
+    exactly where the key itself would, so a guarded corpus never pays
+    even the linear build for a join that will not run."""
+    _mllib_guard(spark, sf_dir)
+    mllib_model_cached(spark, sf_dir)
+
+
+@q("dedup_mllib_minhash", artifacts={"mllib_model"}, fallback="dedup_minhash_lsh")  # approximate: rows-only driver check + pytest recall test
 def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-interop near-dup path: shingle sets binarized with
     ``HashingTF(binary=True)`` and fed to ``MinHashLSH``'s
@@ -1577,44 +1650,8 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup routes through ``dedup_minhash_lsh`` /
     ``dedup_ngram_dfcap`` (the same contract split as the df audit's
     escape hatch)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = shingles_cached(spark, sf_dir)
-    env_cap = os.environ.get("SPARK_GRAFT_MLLIB_PAIRS_CAP")
-    budget = int(env_cap) if env_cap is not None else EVIDENCE_PAIRS_BUDGET
-    if budget:
-        profile = shingle_df_profile_cached(spark, sf_dir)
-        if audit_exceeds_budget(
-            profile["pairs_bound"],
-            profile["pairs_bound_dbl"],
-            profile["max_df"],
-            budget,
-        ):
-            raise ScaleRefusal(
-                f"dedup_mllib_minhash: the corpus shingle-df audit bounds "
-                f"the candidate-pair space at {profile['pairs_bound']} "
-                f"(> budget {budget}; max_df={profile['max_df']}) — "
-                "MLlib approxSimilarityJoin has no bucket-population cap, "
-                "scores every in-bucket pair, and lands a hot family's "
-                "~m^2/2 pairs on the few tasks owning its band hashes "
-                "(measured round 8: 1,219 s at sf3skew pairs_bound 6.9e8, "
-                "26 of 32 task slots idle). Route near-dup through "
-                "dedup_minhash_lsh (BUCKET_CAP banding, measured flat) or "
-                "dedup_ngram_dfcap, or set SPARK_GRAFT_MLLIB_PAIRS_CAP=0 "
-                "(unlimited) for a deliberate library-reference run.",
-                key="dedup_mllib_minhash",
-                measured=profile["pairs_bound"],
-                budget=budget,
-                alternative="dedup_minhash_lsh",
-                override_env="SPARK_GRAFT_MLLIB_PAIRS_CAP",
-            )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
-    feats = HashingTF(
-        inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
-    ).transform(sets).localCheckpoint(eager=True)  # fit + self-join reuse
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
-    ).fit(feats)
+    _mllib_guard(spark, sf_dir)
+    feats, model = mllib_model_cached(spark, sf_dir)
     pairs = model.approxSimilarityJoin(
         feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jd"
     )

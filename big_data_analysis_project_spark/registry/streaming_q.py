@@ -148,6 +148,80 @@ def _stage_table_files(stage, sf_dir: str, table: str) -> None:
     else:
         os.symlink(src, Path(stage) / f"{table}.parquet")
 
+def _events_ts_bounds_us(sf_dir: str) -> tuple[int, int] | None:
+    """Exact (min, max) of ``events.ts`` in unix MICROSECONDS read from
+    the parquet FOOTER statistics — a pure-metadata pass over row-group
+    headers, no data read (optimization r14, guide §6: the same
+    table-statistics discipline ``sink_zorder``'s ``_parquet_int_bounds``
+    established). The MIN/MAX aggregation this replaces is a FULL corpus
+    scan at 100 TB, run once per call by the quartile/split staging
+    keys. INT64 timestamp statistics are exact (no truncation), so the
+    bounds equal ``unix_micros(min/max(ts))`` over the normalized frame
+    for both on-disk encodings:
+
+    * ``timestamp[us]``: the physical INT64 IS unix micros (session tz
+      pinned UTC, so the NTZ reading is value-identical);
+    * ``TIMESTAMP(NANOS)`` (read as bigint): physical nanos
+      floor-divide to micros exactly like ``normalize_events_ts``'s
+      ``ts div 1000`` (values are post-1970 — guarded below — so
+      floor == Spark's truncating ``div``).
+
+    Returns None — caller falls back to the aggregation — when any
+    row group lacks stats, the unit is unrecognized, a value is
+    pre-epoch, or the footer is unreadable. min/max statistics ignore
+    nulls, exactly as the MIN/MAX aggregation does."""
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    src = Path(sf_dir) / "events.parquet"
+    if src.is_dir():
+        files = sorted(p for p in src.rglob("*.parquet") if p.is_file())
+    elif src.exists():
+        files = [src]
+    else:
+        return None
+    if not files:
+        return None
+    lo: int | None = None
+    hi: int | None = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            if not md.num_row_groups:
+                continue
+            names = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            if "ts" not in names:
+                return None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                if g.num_rows == 0:
+                    continue
+                st = g.column(names["ts"]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                meta = json.loads(st.logical_type.to_json())
+                unit = meta.get("timeUnit")
+                a, b = int(st.min_raw), int(st.max_raw)
+                if a < 0:
+                    return None  # pre-epoch: floor vs div diverge
+                if unit == "nanoseconds":
+                    a, b = a // 1000, b // 1000
+                elif unit != "microseconds":
+                    return None
+                lo = a if lo is None else min(lo, a)
+                hi = b if hi is None else max(hi, b)
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """Shared file-source staging for the events-driven streaming
     keys: probe the on-disk ts encoding (nanos-as-long vs
@@ -1281,16 +1355,33 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
     landing.mkdir()
 
     # deterministic 2-way split of the events feed, written in the raw
-    # on-disk schema so the file stream reads both batches identically
+    # on-disk schema so the file stream reads both batches identically.
+    # ONE partitioned write produces both splits (r14, guide §2.4: two
+    # filtered writes re-scanned the feed twice); partitionBy drops the
+    # split column from the data files, so each part file keeps exactly
+    # the raw schema. batch_rows comes from the written files' parquet
+    # footers (row counts are footer metadata, exact) instead of two
+    # count jobs — the same metadata-for-scan trade as
+    # _events_ts_bounds_us, and independent evidence for the
+    # incrementality assertion (not derived from streaming progress).
     raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-    batches = []
-    for i in (0, 1):
-        bdir = root / f"batch{i}"
-        raw.filter(F.pmod("event_id", F.lit(2)) == i).write.parquet(str(bdir))
-        batches.append(bdir)
-    batch_rows = [
-        spark.read.schema(raw_schema).parquet(str(b)).count() for b in batches
-    ]
+    split_root = root / "split"
+    (
+        raw.withColumn("b", F.pmod("event_id", F.lit(2)))
+        .write.partitionBy("b")
+        .parquet(str(split_root))
+    )
+    batches = [split_root / f"b={i}" for i in (0, 1)]
+
+    def _footer_rows(bdir: Path) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(bdir.glob("part-*.parquet"))
+        )
+
+    batch_rows = [_footer_rows(b) for b in batches]
 
     stream = normalize_events_ts(
         spark.readStream.schema(raw_schema).format("parquet").load(str(landing))
@@ -1340,10 +1431,10 @@ def incremental_hourly_runs(spark: SparkSession, sf_dir: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # both runs have terminated: only the mart (read lazily by the
-        # returned DataFrame) must outlive the call — drop the two feed
-        # copies and the checkpoint so repeated bench/test cycles don't
+        # returned DataFrame) must outlive the call — drop the feed
+        # split and the checkpoint so repeated bench/test cycles don't
         # accumulate /tmp usage
-        for d in (landing, ckpt, *batches):
+        for d in (landing, ckpt, split_root):
             shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(str(mart)), stats
 
@@ -1406,10 +1497,18 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
     )
-    b = ev.select(
-        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
-    ).collect()[0]
-    lo, hi = b.lo, b.hi
+    # quartile bounds from parquet footer statistics when available
+    # (r14, guide §6): the scalar MIN/MAX aggregation is a full corpus
+    # scan per call at 100 TB; the footer pass reads only metadata and
+    # is bit-identical (see _events_ts_bounds_us)
+    bounds = _events_ts_bounds_us(sf_dir)
+    if bounds is None:  # pragma: no cover — every driver corpus has stats
+        b = ev.select(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        bounds = (b.lo, b.hi)
+    lo, hi = bounds
     n_files = 4
     span = (hi - lo) // n_files + 1
     stage = Path(tempfile.mkdtemp(prefix="bdap_stream_outer_"))
@@ -1577,10 +1676,16 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type")
-    b = ev.select(
-        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
-    ).collect()[0]
-    mid = (b.lo + b.hi) // 2
+    # split bounds from footer statistics, aggregation fallback — same
+    # metadata-for-scan trade as stream_outer_join (r14, guide §6)
+    bounds = _events_ts_bounds_us(sf_dir)
+    if bounds is None:  # pragma: no cover — every driver corpus has stats
+        b = ev.select(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        bounds = (b.lo, b.hi)
+    mid = (bounds[0] + bounds[1]) // 2
     two_h = 2 * 3600 * 1_000_000
     b1 = ev.filter(F.unix_micros("ts") <= mid)
     redelivered = b1.filter(F.unix_micros("ts") > mid - two_h)

@@ -31,6 +31,7 @@ ACCESSORS = {
     "capped_evidence_cached": "capped_evidence",
     "minhash_pairs_cached": "minhash_pairs",
     "simhash_pairs_cached": "simhash_pairs",
+    "mllib_model_cached": "mllib_model",
     "ngram_pairs_cached": "ngram_pairs",
     "unit_vectors_cached": "unit_vectors",
     "query_unit_cached": "query_vec",
@@ -188,6 +189,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     )
     monkeypatch.setattr(R.dedup_q, "minhash_pairs_cached", fake("minhash_pairs"))
     monkeypatch.setattr(R.dedup_q, "simhash_pairs_cached", fake("simhash_pairs"))
+    monkeypatch.setattr(R.dedup_q, "warm_mllib_model", fake("mllib_model"))
     monkeypatch.setattr(R.dedup_q, "ngram_pairs_cached", fake("ngram_pairs"))
     monkeypatch.setattr(
         R.similarity_q, "unit_vectors_cached", fake("unit_vectors")
@@ -208,9 +210,9 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
 
     assert set(spans) == set(out) == {
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
-        "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
-        "query_vec", "pq_codebooks", "batch_model", "knn_probe",
-        "pca_model", "tb_marts",
+        "simhash_pairs", "mllib_model", "ngram_pairs", "unit_vectors",
+        "ivf_model", "query_vec", "pq_codebooks", "batch_model",
+        "knn_probe", "pca_model", "tb_marts",
     }
     for child, parents in R.ARTIFACT_PARENTS.items():
         for parent in parents:
@@ -226,7 +228,7 @@ def test_warm_scheduler_respects_parents_and_overlaps(spark, monkeypatch):
     starts = sorted(spans, key=lambda n: spans[n][0])
     assert starts == [
         "shingles", "shingle_evidence", "capped_evidence", "minhash_pairs",
-        "simhash_pairs", "ngram_pairs", "unit_vectors", "ivf_model",
-        "query_vec", "pq_codebooks", "batch_model", "knn_probe",
-        "pca_model", "tb_marts",
+        "simhash_pairs", "mllib_model", "ngram_pairs", "unit_vectors",
+        "ivf_model", "query_vec", "pq_codebooks", "batch_model",
+        "knn_probe", "pca_model", "tb_marts",
     ]

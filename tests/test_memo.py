@@ -357,3 +357,36 @@ def test_bench_quality_bucket_rules():
     )
     assert set(qb_none) == {"ann_knn_join", "routed_knn"}
     assert all(v["shipped"] is False for v in qb_none.values())
+
+
+def test_mllib_model_memoized_per_snapshot(spark):
+    """r14: the MLlib interop features+model build is memoized per
+    corpus snapshot (the pca_model discipline) — a second call must
+    return the SAME checkpointed frame and fitted model, not rebuild."""
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        mllib_model_cached,
+    )
+
+    from .conftest import SF_SMOKE
+
+    feats1, model1 = mllib_model_cached(spark, SF_SMOKE)
+    feats2, model2 = mllib_model_cached(spark, SF_SMOKE)
+    assert feats1 is feats2 and model1 is model2
+    assert "features" in feats1.columns
+
+
+def test_warm_mllib_model_refuses_where_the_key_would(spark, monkeypatch):
+    """The warm builder prices the corpus with the key's own guard so a
+    guarded corpus never pays even the linear TF build."""
+    import pytest as _pytest
+
+    from big_data_analysis_project_spark.registry._base import ScaleRefusal
+    from big_data_analysis_project_spark.registry.dedup_q import (
+        warm_mllib_model,
+    )
+
+    from .conftest import SF_SMOKE
+
+    monkeypatch.setenv("SPARK_GRAFT_MLLIB_PAIRS_CAP", "1")
+    with _pytest.raises(ScaleRefusal):
+        warm_mllib_model(spark, SF_SMOKE)

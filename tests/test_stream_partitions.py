@@ -76,3 +76,92 @@ def test_typoed_env_override_falls_back(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "lots")
     (tmp_path / "events.parquet").write_bytes(b"x" * 1024)
     assert _stream_partitions(_stub_spark(32), str(tmp_path)) == 2
+
+
+# --- r14: events ts bounds from parquet footer statistics -------------
+#
+# stream_outer_join / stream_dedup_watermarked derive their staging
+# split points from min/max(ts); the footer read replaces a full
+# corpus scan (guide §6) and must be bit-identical to the aggregation
+# for BOTH on-disk ts encodings, else the staged micro-batches — and
+# with them the emitted row sets — would silently change.
+
+
+def test_ts_bounds_footer_equals_aggregation(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        _events_ts_bounds_us,
+    )
+    from big_data_analysis_project_spark.sources.readers import load_events
+
+    from .conftest import SF_SMOKE
+
+    got = _events_ts_bounds_us(SF_SMOKE)
+    b = (
+        load_events(spark, SF_SMOKE)
+        .select(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert got == (b.lo, b.hi)
+
+
+def test_ts_bounds_nanos_encoding_floors_to_micros(spark, tmp_path):
+    """TIMESTAMP(NANOS) corpora (older testdata generations) read as
+    bigint nanos and normalize with ``ts div 1000``; the footer path
+    must floor-divide the same way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        _events_ts_bounds_us,
+    )
+    from big_data_analysis_project_spark.sources.readers import load_events
+
+    ns = [1_704_067_200_123_456_789, 1_704_067_200_123_457_999, 1_706_000_000_000_000_001]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["click"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _events_ts_bounds_us(str(tmp_path))
+    assert got == (min(ns) // 1000, max(ns) // 1000)
+    b = (
+        load_events(spark, str(tmp_path))
+        .select(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert got == (b.lo, b.hi)
+
+
+def test_ts_bounds_fallback_paths(tmp_path):
+    """No stats / no file / non-timestamp unit all return None so the
+    caller's aggregation fallback fires instead of a wrong bound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        _events_ts_bounds_us,
+    )
+
+    # missing table
+    assert _events_ts_bounds_us(str(tmp_path)) is None
+    # statistics disabled at write time
+    tbl = pa.table({"ts": pa.array([1, 2, 3], pa.timestamp("us"))})
+    pq.write_table(
+        tbl, tmp_path / "events.parquet", write_statistics=False
+    )
+    assert _events_ts_bounds_us(str(tmp_path)) is None
