@@ -229,7 +229,7 @@ def warm_shared_artifacts(
     everything.
 
     ``parallel``: max builders in flight (default
-    ``$SPARK_GRAFT_WARM_PARALLEL`` or 4). The builders form two
+    ``$SPARK_GRAFT_WARM_PARALLEL`` or 6). The builders form two
     independent chains (shingles -> evidence/minhash -> ngram;
     unit_vectors -> ivf -> pq/batch -> knn_probe) plus the standalone
     tb_marts, so independent builds overlap (guide §2.6: actions are
@@ -319,11 +319,17 @@ def warm_shared_artifacts(
     import os
     import sys
 
+    # default 6 (r14): with the mllib_model builder, shingles has FIVE
+    # children competing for slots — at 4 one child of the hot chain
+    # always queues behind the others (interleaved A/B, fresh sessions:
+    # with-mllib wall 23.5/29.7 s at 4 vs 19.4/23.3 s at 6; the
+    # without-mllib baseline is 19.4/19.9 s). 4 vs 6 vs 8 was a wash
+    # before the 15th builder existed (the r14 change-10 A/B).
     if parallel is None:
         try:
-            parallel = int(os.environ.get("SPARK_GRAFT_WARM_PARALLEL", "4"))
+            parallel = int(os.environ.get("SPARK_GRAFT_WARM_PARALLEL", "6"))
         except ValueError:
-            parallel = 4
+            parallel = 6
     parallel = max(1, min(parallel, 8))
 
     out: dict[str, float] = {}

@@ -1057,7 +1057,23 @@ def stream_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._memo import snapshot_memo
 
     def _preflight():
-        m = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        # corpus max_ts from the parquet footer when available (r14,
+        # guide §6): the MAX aggregation is the preflight's only FULL
+        # corpus scan (the tail profile below prunes row groups via the
+        # pushed ts >= split predicate). The datetime construction
+        # replicates pyspark's own TimestampType.fromInternal exactly
+        # (integer seconds + microsecond replace), so the F.lit
+        # round-trip is bit-identical to the collected value's.
+        bounds = _events_ts_bounds_us(sf_dir)
+        if bounds is not None:
+            from datetime import datetime
+
+            hi_us = bounds[1]
+            m = datetime.fromtimestamp(hi_us // 1_000_000).replace(
+                microsecond=hi_us % 1_000_000
+            )
+        else:  # pragma: no cover — every driver corpus has stats
+            m = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         if m is None:
             return None, None
         s = m - timedelta(hours=STREAM_TAIL_HOURS)

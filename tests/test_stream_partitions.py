@@ -165,3 +165,28 @@ def test_ts_bounds_fallback_paths(tmp_path):
         tbl, tmp_path / "events.parquet", write_statistics=False
     )
     assert _events_ts_bounds_us(str(tmp_path)) is None
+
+
+def test_ts_bounds_match_pyspark_datetime_roundtrip(spark):
+    """stream_backfill_tail reconstructs the corpus max_ts datetime
+    from the footer hi bound via TimestampType.fromInternal's exact
+    recipe; it must equal the collected MAX(ts) value."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_project_spark.registry.streaming_q import (
+        _events_ts_bounds_us,
+    )
+    from big_data_analysis_project_spark.sources.readers import load_events
+
+    from .conftest import SF_SMOKE
+
+    hi_us = _events_ts_bounds_us(SF_SMOKE)[1]
+    m_footer = datetime.fromtimestamp(hi_us // 1_000_000).replace(
+        microsecond=hi_us % 1_000_000
+    )
+    m_collected = (
+        load_events(spark, SF_SMOKE).agg(F.max("ts").alias("m")).collect()[0]["m"]
+    )
+    assert m_footer == m_collected
